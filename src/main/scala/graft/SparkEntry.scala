@@ -1,13 +1,463 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.kmeans.{Dbi, KMeans, KMeansParams}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import graft.streaming.EventWindows
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY §2 (or a
+  * beyond-reference pipeline operator) exercised end-to-end on the
+  * driver testdata; `oracleSql` holds the DuckDB-equivalent SQL for the
+  * hash-compare. Determinism rules used throughout:
+  *   - double sums go through DECIMAL (exact, associative → identical
+  *     across engines and partition orders), then cast back to double;
+  *   - means are (exact double) / (exact long) — one IEEE division;
+  *   - every query ends in an ORDER BY on a unique key;
+  *   - argmin ties break to the lowest index via identical CASE chains.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** exact associative sum: double → decimal → sum → double */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  // Fixed 1-D centroids on c_acctbal for the SQL-checkable assignment
+  // queries (J1/A5 analogs). Non-round values so no data point ties.
+  private val C0 = 211.73; private val C1 = 4387.21; private val C2 = 8842.02
+
+  /** J1 argmin with lowest-index tie-break as a CASE chain — identical
+    * double arithmetic in Spark and DuckDB. */
+  private def acctCluster(c: Column): Column = {
+    val d0 = abs(c - C0); val d1 = abs(c - C1); val d2 = abs(c - C2)
+    when(d0 <= d1 && d0 <= d2, lit(0)).when(d1 <= d2, lit(1)).otherwise(lit(2))
+  }
+  private val acctClusterSql: String =
+    s"CASE WHEN abs(c_acctbal - $C0) <= abs(c_acctbal - $C1) AND " +
+      s"abs(c_acctbal - $C0) <= abs(c_acctbal - $C2) THEN 0 " +
+      s"WHEN abs(c_acctbal - $C1) <= abs(c_acctbal - $C2) THEN 1 ELSE 2 END"
+
+  /** Flagship query on sf=0.001: full K-Means fit on the embeddings
+    * table (the reference's entire pipeline, SURVEY §3.1) → centroids. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = T(spark, dir, "embeddings")
+    val init = emb.orderBy("vec_id").limit(8)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val model = KMeans.fit(
+      emb.select(col("embedding").as("features")),
+      KMeansParams(k = 8, threshold = 1e-3, maxLoop = 20,
+        initCentroids = Some(init)))
+    model.centroidsAsDF(spark)
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2+A3: grouped partial+final aggregation (the combiner/reducer core)
+    "q01_agg_sum" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // S-scan + P-filter + projection with pushdown
+    "q02_filter_project" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .where(col("l_quantity") > 45 && col("l_discount") < 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate").cast("long").as("ship_epoch"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Broadcast join through the dim chain (J1's relational form)
+    "q03_join_dims" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val n = broadcast(T(s, dir, "nation"))
+      val r = broadcast(T(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // O: global top-k (TakeOrderedAndProject — no full sort at scale)
+    "q04_topk_orders" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // Window: per-group top-n with deterministic tiebreak
+    "q05_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // J1: broadcast-argmin assignment to fixed centroids + A4 counts
+    "q06_argmin_assign" -> ((s, dir) => {
+      T(s, dir, "customer")
+        .select(acctCluster(col("c_acctbal")).as("cluster"), col("c_acctbal"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          (dsum(col("c_acctbal"), 2) / count(lit(1))).as("mean_bal"))
+        .orderBy("cluster")
+    }),
+
+    // One full Lloyd iteration (map+combine+reduce) in relational form,
+    // 3-D feature space on lineitem, k=2 fixed centroids
+    "q07_kmeans_step" -> ((s, dir) => {
+      val q = col("l_quantity"); val d = col("l_discount"); val t = col("l_tax")
+      val d0 = (q - 10.0) * (q - 10.0) + (d - 0.03) * (d - 0.03) + (t - 0.02) * (t - 0.02)
+      val d1 = (q - 40.0) * (q - 40.0) + (d - 0.07) * (d - 0.07) + (t - 0.05) * (t - 0.05)
+      T(s, dir, "lineitem")
+        .select(when(d0 <= d1, lit(0)).otherwise(lit(1)).as("cluster"), q, d, t)
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n"),
+          (dsum(q, 2) / count(lit(1))).as("mean_qty"),
+          (dsum(d, 6) / count(lit(1))).as("mean_disc"),
+          (dsum(t, 6) / count(lit(1))).as("mean_tax"))
+        .orderBy("cluster")
+    }),
+
+    // A5: per-cluster scatter (mean distance to assigned centroid);
+    // distance summed via decimal for cross-engine determinism
+    "q08_scatter" -> ((s, dir) => {
+      val dmin = least(abs(col("c_acctbal") - C0), abs(col("c_acctbal") - C1),
+        abs(col("c_acctbal") - C2))
+      T(s, dir, "customer")
+        .select(acctCluster(col("c_acctbal")).as("cluster"), dmin.as("dist"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          (dsum(col("dist"), 4) / count(lit(1))).as("mean_dist"))
+        .orderBy("cluster")
+    }),
+
+    // Exact dedup: hash-groupBy keepers
+    "q09_dedup_exact" -> ((s, dir) => {
+      Dedup.exactKeepers(T(s, dir, "documents")).orderBy("keep_id")
+    }),
+
+    // Text: token counting
+    "q10_token_stats" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Text: quality-score components
+    "q11_text_quality" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          TextAnalysis.digitCount(col("text")).as("n_digit"),
+          TextAnalysis.alphaCount(col("text")).as("n_alpha"))
+        .orderBy("doc_id")
+    }),
+
+    // Text: language-marker scoring per declared lang
+    "q12_lang_marker" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wordOccurrences(col("text"), "the")).as("the_hits"))
+        .orderBy("lang")
+    }),
+
+    // Set op: INTERSECT
+    "q13_intersect" -> ((s, dir) => {
+      T(s, dir, "customer").where(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey").as("custkey"))
+        .intersect(T(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    }),
+
+    // Set op: EXCEPT (ordering kept non-vacuous: customers that placed
+    // orders minus the high-balance ones)
+    "q14_except" -> ((s, dir) => {
+      T(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .except(T(s, dir, "customer").where(col("c_acctbal") > 5000.0)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")
+    }),
+
+    // Date functions + aggregation
+    "q15_date_agg" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("y", "m")
+    }),
+
+    // Similarity: exact brute-force top-10 by dot product vs vec_id 0
+    "q16_knn_brute" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(emb, q, 10)
+    }),
+
+    // Dedup: exact n-gram Jaccard near-dup pairs (oracle for MinHash)
+    "q17_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+          T(s, dir, "documents").where(col("doc_id") < 500), n = 8,
+          threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal: payload + typed metadata plumbing
+    "q18_multimodal_meta" -> ((s, dir) => {
+      Multimodal.asMedia(T(s, dir, "documents"))
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: deterministic frame sampling (explode shape)
+    "q19_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(Multimodal.asMedia(T(s, dir, "documents")), 64)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("byte_offset").cast("long").as("byte_offset"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // Structured Streaming: tumbling-window agg over events
+    "q20_stream_hourly" -> ((s, dir) => {
+      EventWindows.hourlyByType(s, dir).orderBy("hour_epoch", "event_type")
+    }),
+
+    // ---------------- rows-only checks (not SQL-expressible) ----------
+
+    // Full iterative K-Means fit (reference pipeline end-to-end)
+    "q30_kmeans_fit" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val init = emb.orderBy("vec_id").limit(8)
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      KMeans.fit(emb.select(col("embedding").as("features")),
+          KMeansParams(k = 8, threshold = 1e-3, maxLoop = 20,
+            initCentroids = Some(init)))
+        .centroidsAsDF(s)
+    }),
+
+    // Labeling (model.transform) + per-cluster counts, fixed centroids
+    "q31_kmeans_label" -> ((s, dir) => {
+      val cents = Similarity.hyperplanes(seed = 7L, nPlanes = 4, dim = 64)
+      graft.kmeans.KMeansModel(cents, 0, converged = true)
+        .transform(T(s, dir, "embeddings"), featuresCol = "embedding")
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+        .orderBy("cluster")
+    }),
+
+    // DBI evaluation query (SURVEY §3.2)
+    "q32_dbi" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Similarity.hyperplanes(seed = 7L, nPlanes = 4, dim = 64)
+      val labeled = graft.kmeans.KMeansModel(cents, 0, converged = true)
+        .transform(T(s, dir, "embeddings"), featuresCol = "embedding")
+      Seq(Dbi.compute(labeled, cents, featuresCol = "embedding")).toDF("dbi")
+    }),
+
+    // MinHash LSH dedup (scale path; q17 is its exact oracle)
+    "q33_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashDedupPairs(T(s, dir, "documents"), n = 8, threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs
+    "q34_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(T(s, dir, "documents"), maxHamming = 12)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ANN: LSH-bucketed top-k
+    "q35_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Similarity.lshTopK(emb, q, 10, seed = 42L, nPlanes = 6)
+    }),
+
+    // Embedding cosine near-dup pairs
+    "q36_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(
+          T(s, dir, "embeddings").where(col("vec_id") < 2000), 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal: stub decode via per-partition batches (mapPartitions)
+    "q37_multimodal_decode" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+          Multimodal.asMedia(T(s, dir, "documents")), dim = 8)
+        .orderBy("media_id")
+    }),
+
+    // Streaming: per-user hourly with watermark
+    "q38_stream_user" -> ((s, dir) => {
+      EventWindows.hourlyPerUser(s, dir).orderBy("hour_epoch", "user_id")
+    }),
+
+    // Text: document fingerprinting + BPE-ish token estimate
+    "q39_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }))
+
+  // --------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |CAST(extract(epoch FROM l_shipdate) AS BIGINT) AS ship_epoch
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_dims" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q05_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |SELECT o_custkey, o_orderkey, row_number() OVER
+        |(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q06_argmin_assign" ->
+      s"""SELECT cluster, count(*) AS n,
+         |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_bal
+         |FROM (SELECT $acctClusterSql AS cluster, c_acctbal FROM customer)
+         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q07_kmeans_step" ->
+      """SELECT cluster, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_qty,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS mean_disc,
+        |CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS mean_tax
+        |FROM (SELECT CASE WHEN
+        |(l_quantity - 10.0)*(l_quantity - 10.0) + (l_discount - 0.03)*(l_discount - 0.03) + (l_tax - 0.02)*(l_tax - 0.02)
+        |<= (l_quantity - 40.0)*(l_quantity - 40.0) + (l_discount - 0.07)*(l_discount - 0.07) + (l_tax - 0.05)*(l_tax - 0.05)
+        |THEN 0 ELSE 1 END AS cluster, l_quantity, l_discount, l_tax FROM lineitem)
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q08_scatter" ->
+      s"""SELECT cluster, count(*) AS n,
+         |CAST(sum(CAST(dist AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS mean_dist
+         |FROM (SELECT $acctClusterSql AS cluster,
+         |least(abs(c_acctbal - $C0), abs(c_acctbal - $C1), abs(c_acctbal - $C2)) AS dist
+         |FROM customer) GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q09_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q10_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_calc,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q11_text_quality" ->
+      """SELECT doc_id,
+        |length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+        |length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        |length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q12_lang_marker" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(len(regexp_extract_all(text, '\bthe\b', 0, 'i'))) AS BIGINT) AS the_hits
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q13_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+        |INTERSECT SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+
+    "q14_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY custkey""".stripMargin,
+
+    "q15_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |CAST(month(o_orderdate) AS INT) AS m, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q16_knn_brute" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+        |FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q17_jaccard_pairs" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
+        |range(1, length(text) - 6), i -> substr(text, CAST(i AS INT), 8))) AS sh
+        |FROM documents WHERE doc_id < 500)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |FROM s a, s b WHERE a.doc_id < b.doc_id
+        |AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |len(list_distinct(list_concat(a.sh, b.sh))) > 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q18_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |CAST(length(text) % 640 + 1 AS INT) AS width
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q19_frame_sample" ->
+      """SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+        |CAST(i * 64 AS BIGINT) AS byte_offset FROM (
+        |SELECT doc_id AS media_id, unnest(range(0, greatest(
+        |CAST(floor(octet_length(CAST(text AS BLOB)) / 64.0) AS INT), 1))) AS i
+        |FROM documents) ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q20_stream_hourly" ->
+      """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |event_type, count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
 }

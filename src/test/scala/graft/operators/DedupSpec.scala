@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import Dedup._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: distinct char n-grams; short text -> empty") {
+    val df = docs((1L, "abcab"), (2L, "ab"))
+    val got = df.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(1L) === Set("abc", "bca", "cab"))
+    assert(got(2L) === Set.empty)
+  }
+
+  test("jaccard exact value") {
+    val df = docs((1L, "x")).select(
+      jaccard(array(lit("a"), lit("b"), lit("c")),
+        array(lit("b"), lit("c"), lit("d"))).as("j"))
+    assert(df.head().getDouble(0) === 0.5)
+  }
+
+  test("exactKeepers keeps lowest id per distinct text") {
+    val df = docs((5L, "aaa"), (2L, "aaa"), (3L, "bbb"))
+    val got = exactKeepers(df).orderBy("keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((2L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds all high-jaccard pairs the exact oracle finds") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val rows = Seq(
+      1L -> base,
+      2L -> (base + " x"),         // near-dup of 1
+      3L -> base.replace("quick", "slow"), // near-dup of 1
+      4L -> "completely different content with nothing shared at all here zzz",
+      5L -> "another unrelated document talking about spark and scala engines")
+    val df = docs(rows: _*)
+    val exact = ngramJaccardPairs(df, n = 5, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = minhashDedupPairs(df, n = 5, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "oracle should find near-dups")
+    // LSH precision is exact (post-filter); recall should be total here
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical texts have hamming 0; pairs found in bucket") {
+    val df = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words entirely"))
+    val fps = df.select(simhash(col("text")).as("fp")).collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    val pairs = simhashPairs(df, maxHamming = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding near-dup: parallel vectors above threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(2f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = embeddingNearDupPairs(df, 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import Similarity._
+
+  test("bruteForceTopK returns exact top-k by dot, id tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(3f, 0f)),
+      (3L, Array(2f, 0f)), (4L, Array(3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = bruteForceTopK(df, Array(1f, 0f), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((2L, 3.0), (4L, 3.0), (3L, 2.0)))
+  }
+
+  test("hyperplanes are deterministic in seed") {
+    val a = hyperplanes(7L, 3, 8)
+    val b = hyperplanes(7L, 3, 8)
+    assert(a.flatten.toSeq === b.flatten.toSeq)
+    assert(a.flatten.forall(v => v >= -1f && v <= 1f))
+    val c = hyperplanes(8L, 3, 8)
+    assert(a.flatten.toSeq !== c.flatten.toSeq)
+  }
+
+  test("lshTopK finds the query vector itself (same bucket by definition)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 3).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val got = lshTopK(emb, q, 5, seed = 42L, nPlanes = 4)
+      .collect().map(_.getLong(0))
+    assert(got.contains(3L))
+  }
+
+  test("lshTopK results are a subset of brute-force ranking order") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val brute = bruteForceTopK(emb, q, 1000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = lshTopK(emb, q, 10, seed = 42L, nPlanes = 6).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // scores must agree exactly with the brute-force scores
+    lsh.foreach { case (id, s) => assert(math.abs(brute(id) - s) < 1e-9) }
+  }
+}

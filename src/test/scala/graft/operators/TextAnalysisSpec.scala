@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import TextAnalysis._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Long = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c.as("v")).head().getLong(0)
+  }
+
+  test("tokenCount: words, blanks, empty") {
+    assert(one(tokenCount(col("text")), "the quick  brown\tfox") === 4L)
+    assert(one(tokenCount(col("text")), "") === 0L)
+    assert(one(tokenCount(col("text")), "   ") === 0L)
+    assert(one(tokenCount(col("text")), "one") === 1L)
+  }
+
+  test("character-class counts") {
+    val t = "Ab1, c2!"
+    assert(one(punctCount(col("text")), t) === 2L) // , !
+    assert(one(digitCount(col("text")), t) === 2L)
+    assert(one(alphaCount(col("text")), t) === 3L)
+    assert(one(upperCount(col("text")), t) === 1L)
+  }
+
+  test("wordOccurrences: whole-word, case-insensitive") {
+    assert(one(wordOccurrences(col("text"), "the"), "The theater the THE") === 3L)
+  }
+
+  test("langScore: english markers dominate on english text") {
+    val en = "the cat and the dog went to the house of the king"
+    val s = {
+      import spark.implicits._
+      Seq(en).toDF("text")
+        .select(langScore(col("text"), "en").as("en"),
+          langScore(col("text"), "de").as("de")).head()
+    }
+    assert(s.getLong(0) > s.getLong(1))
+  }
+
+  test("fingerprint is deterministic and text-sensitive") {
+    import spark.implicits._
+    val got = Seq("aaa", "aaa", "aab").toDF("text")
+      .select(fingerprint(col("text")).as("fp")).collect().map(_.getLong(0))
+    assert(got(0) === got(1))
+    assert(got(0) !== got(2))
+  }
+
+  test("tokenCountBpeIsh splits punctuation boundaries") {
+    assert(one(tokenCountBpeIsh(col("text")), "hi,there") === 3L) // hi , there
+    assert(one(tokenCountBpeIsh(col("text")), "") === 0L)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  test("asMedia: payload bytes and metadata derived from text") {
+    import spark.implicits._
+    val media = asMedia(Seq((1L, "hello")).toDF("doc_id", "text")).head()
+    assert(media.getLong(0) === 1L)
+    assert(new String(media.getAs[Array[Byte]]("payload"), "UTF-8") === "hello")
+    val meta = media.getStruct(2)
+    assert(meta.getAs[Long]("n_bytes") === 5L)
+    assert(meta.getAs[Int]("width") === 6) // 5 % 640 + 1
+  }
+
+  test("stubDecodeFeatures is deterministic, normalized, dim-sized") {
+    val bytes = "some payload bytes".getBytes("UTF-8")
+    val a = stubDecodeFeatures(bytes, 8)
+    val b = stubDecodeFeatures(bytes, 8)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 8)
+    assert(a.forall(v => v >= 0f && v <= 1f))
+    assert(stubDecodeFeatures(Array.empty[Byte], 4).toSeq === Seq(0f, 0f, 0f, 0f))
+  }
+
+  test("extractFeatures: mapPartitions plumbing end-to-end") {
+    import spark.implicits._
+    val media = asMedia(Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text"))
+    val got = extractFeatures(media, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got(1L) === stubDecodeFeatures("abcdefgh".getBytes("UTF-8"), 4).toSeq)
+    assert(got(2L) === Seq(0f, 0f, 0f, 0f))
+  }
+
+  test("sampleFrames: one frame per stride bytes, at least one") {
+    import spark.implicits._
+    val media = asMedia(Seq((1L, "x" * 130), (2L, "y")).toDF("doc_id", "text"))
+    val got = sampleFrames(media, stride = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byId = got.groupBy(_._1)
+    assert(byId(1L).map(f => (f._2, f._3)).toSeq.sorted === Seq((0, 0), (1, 64)))
+    assert(byId(2L).map(f => (f._2, f._3)).toSeq === Seq((0, 0)))
+  }
+}
+
+class SourcesSpec extends SparkSpec {
+
+  test("PointReader parses CSV lines into float arrays") {
+    val dir = java.nio.file.Files.createTempDirectory("pr").toFile
+    val f = new java.io.File(dir, "pts.txt")
+    java.nio.file.Files.writeString(f.toPath, "1.0,2.0,3.0\n4.5, 5.5 ,6.5\n\n")
+    val got = graft.sources.PointReader.read(spark, f.getAbsolutePath)
+      .collect().map(_.getSeq[Float](0).toSeq)
+    assert(got.toSet === Set(Seq(1f, 2f, 3f), Seq(4.5f, 5.5f, 6.5f)))
+  }
+
+  test("PointReader rejects ragged input") {
+    val dir = java.nio.file.Files.createTempDirectory("pr").toFile
+    val f = new java.io.File(dir, "bad.txt")
+    java.nio.file.Files.writeString(f.toPath, "1.0,2.0\n3.0\n")
+    intercept[IllegalArgumentException] {
+      graft.sources.PointReader.read(spark, f.getAbsolutePath)
+    }
+  }
+
+  test("PointReader rejects non-numeric fields") {
+    val dir = java.nio.file.Files.createTempDirectory("pr").toFile
+    val f = new java.io.File(dir, "bad2.txt")
+    java.nio.file.Files.writeString(f.toPath, "1.0,2.0\n3.0,abc\n")
+    intercept[IllegalArgumentException] {
+      graft.sources.PointReader.read(spark, f.getAbsolutePath)
+    }
+  }
+
+  test("CentroidWriter formats the reference's result.txt line format") {
+    val s = graft.sources.CentroidWriter.format(
+      Array(Array(0.5f, 1.0f), Array(2.25f, 3f)))
+    assert(s === "0.5,1.0\n2.25,3.0\n")
+  }
+
+  test("Tables normalizes nano timestamps to TimestampType") {
+    val li = graft.sources.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    assert(li.schema("l_shipdate").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(li.count() > 0)
+  }
+}
