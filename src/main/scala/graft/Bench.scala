@@ -5,12 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line with per-query wall seconds on
   * SPARK_GRAFT_SF_DIR (driver default sf0.1).
   *
-  * Measurement protocol (BASELINE.md): a full untimed warmup pass at
-  * sf0.001 first — paying per-JVM one-time costs (whole-stage codegen
-  * compilation per query shape, Spark 4's ~40s collation/ICU static
-  * init, parquet footer caching) outside the timed region, exactly as a
-  * long-running cluster would have them amortized — then each query
-  * timed once at the target SF, forced end-to-end via the noop sink
+  * Measurement protocol (BASELINE.md): a full untimed warmup pass over
+  * the same queries at the target SF first — paying per-JVM one-time
+  * costs (whole-stage codegen compilation per query shape, JIT, Spark
+  * 4's ~40s collation/ICU static init, parquet footer caching) outside
+  * the timed region, exactly as a long-running cluster has them
+  * amortized; measured skew without it is ~10× on sub-second queries —
+  * then each query timed once, forced end-to-end via the noop sink
   * (`count()` would let Catalyst prune projections and undercount work).
   */
 object Bench {
@@ -39,8 +40,8 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup at the smallest SF: codegen + ICU + reader init, untimed
-    names.foreach(force(_, "/root/testdata/sf0.001"))
+    // untimed warmup pass at the target SF (codegen/JIT/ICU/reader init)
+    names.foreach(force(_, sfDir))
     val results = names.map(n => n -> force(n, sfDir))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -250,6 +250,12 @@ object SparkEntry {
       EventWindows.hourlyByType(s, dir).orderBy("hour_epoch", "event_type")
     }),
 
+    // Streaming state: flatMapGroupsWithState sessionization (30-min gap)
+    "q21_sessionize" -> ((s, dir) => {
+      EventWindows.sessionize(s, dir, gapMinutes = 30)
+        .orderBy("user_id", "start_us")
+    }),
+
     // ---------------- rows-only checks (not SQL-expressible) ----------
 
     // Full iterative K-Means fit (reference pipeline end-to-end)
@@ -459,5 +465,19 @@ object SparkEntry {
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |event_type, count(*) AS n_events,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q21_sessionize" ->
+      """WITH d AS (
+        |SELECT user_id, ts,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS is_start
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |SELECT user_id, ts, sum(is_start) OVER
+        |(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM d)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |epoch_us(max(ts)) AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)
 }

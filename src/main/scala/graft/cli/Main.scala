@@ -1,0 +1,96 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.kmeans.{Dbi, KMeans, KMeansParams}
+import graft.sources.{CentroidWriter, PointReader}
+
+/** CLI with flag parity to the reference driver
+  * (`Code/KmeanMapReduce/src/Main.java:256-275`):
+  *
+  * {{{
+  * runMain graft.cli.Main -Din <file> [-Dlines n] -Dout <dir>
+  *   [-Dresult f] [-Dk 3] [-Dthresh 0.001] [-Dmaxloop 50]
+  *   [-DNumReduceTask 1] [--seed 42] [--init <csv file>]
+  * }}}
+  *
+  * Reference semantics preserved: defaults k=3 thresh=0.001 maxloop=50
+  * result=result.txt (Main.java:261-266); at most maxloop−1 iterations
+  * (the check precedes the job, Main.java:303-305); final centroids
+  * written one comma-joined line each to `<out>/<result>`
+  * (writeFinalResult, Main.java:222-236); loop count, wall ms and DBI
+  * printed like Main.java:362-364. `-Dlines` is accepted and ignored
+  * (Spark counts rows itself); `-DNumReduceTask` maps to
+  * `spark.sql.shuffle.partitions`. New, for the determinism the
+  * reference lacks (unseeded Random, Main.java:135): `--seed`, and
+  * `--init` to inject initial centroids from a CSV file.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args)
+    val in = opts.getOrElse("in",
+      { System.err.println(usage); sys.exit(2) })
+    val out = opts.getOrElse("out",
+      { System.err.println(usage); sys.exit(2) })
+    val result = opts.getOrElse("result", "result.txt")
+    val k = opts.getOrElse("k", "3").toInt
+    val thresh = opts.getOrElse("thresh", "0.001").toDouble
+    val maxloop = opts.getOrElse("maxloop", "50").toInt
+    val reducers = opts.getOrElse("NumReduceTask", "1").toInt
+    val seed = opts.getOrElse("seed", "42").toLong
+
+    val preExisting = SparkSession.getDefaultSession
+      .orElse(SparkSession.getActiveSession)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-kmeans")
+      .config("spark.sql.shuffle.partitions",
+        math.max(reducers, 1).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.currentTimeMillis()
+    val points = PointReader.read(spark, in)
+    val init = opts.get("init").map { f =>
+      scala.io.Source.fromFile(f).getLines().filter(_.trim.nonEmpty)
+        .map(_.split(",").map(_.trim.toFloat)).toArray
+    }
+    val model = KMeans.fit(points,
+      KMeansParams(k = k, threshold = thresh, maxLoop = maxloop,
+        seed = seed, initCentroids = init))
+
+    CentroidWriter.write(model.centroids,
+      java.nio.file.Paths.get(out, result).toString)
+
+    val labeled = model.transform(points)
+    val dbi = Dbi.compute(labeled, model.centroids)
+
+    // same observables as the reference driver (Main.java:362-364)
+    println(s"Number of loop: ${model.iterations}")
+    println(s"Time: ${System.currentTimeMillis() - t0}")
+    println(s"DBI: $dbi")
+    // don't tear down a session we merely joined (embedded/test use)
+    if (preExisting.isEmpty) spark.stop()
+  }
+
+  private[cli] def parse(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("-D")) {
+        m += a.drop(2) -> args(i + 1); i += 2
+      } else if (a.startsWith("--")) {
+        m += a.drop(2) -> args(i + 1); i += 2
+      } else i += 1
+    }
+    m.toMap
+  }
+
+  private val usage =
+    "usage: -Din <file> -Dout <dir> [-Dlines n] [-Dresult f] [-Dk 3] " +
+      "[-Dthresh 0.001] [-Dmaxloop 50] [-DNumReduceTask 1] " +
+      "[--seed 42] [--init <csv>]"
+}

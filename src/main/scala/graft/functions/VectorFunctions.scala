@@ -91,24 +91,20 @@ object VectorFunctions {
 
   // --------------------------------------------------------------- Column
 
-  /** Codegen'd dot product of two array<float|double> columns, accumulated
-    * in double. */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (s, x) => s + x)
+  private def expr(c: Column) =
+    org.apache.spark.sql.graftshim.expression(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftshim.column(e)
+
+  /** Codegen'd dot product of two array<float|double> columns, double
+    * accumulation — the native [[VecDot]] expression (the `zip_with` +
+    * `aggregate` HOF form is interpreted per element and ~100× slower). */
+  def dotCol(a: Column, b: Column): Column = toCol(VecDot(expr(a), expr(b)))
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
   def sqdistCol(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (s, x) => s + x)
+    toCol(VecSqDist(expr(a), expr(b)))
 
   def euclideanCol(a: Column, b: Column): Column = sqrt(sqdistCol(a, b))
 

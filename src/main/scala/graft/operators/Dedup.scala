@@ -24,6 +24,124 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
+  // ------------------------------------------------- compiled hash core
+  //
+  // MinHash/SimHash kernels are compiled Scala (tight loops over the
+  // text, one 64-bit hash per shingle/token, then cheap mixing per hash
+  // function) rather than nested higher-order Column expressions:
+  // Catalyst evaluates HOF lambdas interpreted per element, which
+  // measured ~200s for 5000 docs at 64 hashes — the compiled kernel is
+  // the same math at JIT speed, and at scale the shuffle carries 8-byte
+  // hashes instead of string shingles.
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a over the n chars at `start`, avalanched. Deterministic,
+    * allocation-free (no substring). */
+  @inline private def shingleHash(text: String, start: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = start
+    val end = start + n
+    while (i < end) { h ^= text.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Distinct character-n-gram hashes of `text`, sorted (so array
+    * equality and merge-joins are deterministic). */
+  def shingleHashSet(text: String, n: Int): Array[Long] = {
+    if (text == null || text.length < n) return Array.emptyLongArray
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    val last = text.length - n
+    while (i <= last) { set.add(shingleHash(text, i, n)); i += 1 }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** Jaccard of two sorted distinct long arrays via linear merge. */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** LSH band hashes of `text`: minhash signature of `bands*rowsPerBand`
+    * hash functions (h_k(x) = mix64(x ^ seed_k) over the distinct
+    * shingle hashes), folded into one 64-bit hash per band. One pass
+    * over the text, numHashes mixes per distinct shingle. */
+  def minhashBandHashes(
+      text: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int): Array[Long] = {
+    if (text == null || text.length < n) return Array.emptyLongArray
+    val numHashes = bands * rowsPerBand
+    val seeds = Array.tabulate(numHashes)(k => mix64(0x5851f42d4c957f2dL * k))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    val last = text.length - n
+    while (i <= last) {
+      val h0 = shingleHash(text, i, n)
+      if (seen.add(h0)) {
+        var k = 0
+        while (k < numHashes) {
+          val h = mix64(h0 ^ seeds(k))
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    Array.tabulate(bands) { b =>
+      var acc = mix64(b.toLong)
+      var r = 0
+      while (r < rowsPerBand) { acc = mix64(acc ^ mins(b * rowsPerBand + r)); r += 1 }
+      acc
+    }
+  }
+
+  /** 64-bit SimHash over whitespace tokens, one compiled pass: token →
+    * 64-bit hash, ±1 vote per bit, fingerprint = sign bits. */
+  def simhashFn(text: String): Long = {
+    val votes = new Array[Int](64)
+    if (text != null) {
+      var i = 0
+      val len = text.length
+      while (i < len) {
+        while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+        val start = i
+        while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+        if (i > start) {
+          val h = shingleHash(text, start, i - start)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
   // ------------------------------------------------------------- exact
 
   /** Exact dedup: keep the lowest id per distinct value of `textCol`.
@@ -74,8 +192,11 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("s"))
+    // 64-bit shingle hashes stand in for the shingle strings: counts
+    // (and hence Jaccard) are identical absent a 64-bit collision
+    // (~n²/2⁶⁵), and the shuffle carries 8-byte keys instead of strings.
+    val shU = udf((t: String) => shingleHashSet(t, n))
+    val sh = df.select(col(idCol).as("id"), explode(shU(col(textCol))).as("s"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("id").as("id_a"), col("s"))
       .join(sh.select(col("id").as("id_b"), col("s")), "s")
@@ -93,18 +214,11 @@ object Dedup {
 
   // ------------------------------------------------------- MinHash LSH
 
-  /** MinHash signature: `numHashes` independent min-hashes of the shingle
-    * set. Hash family = xxhash64(shingle, seed_i) — deterministic, no RNG
-    * state to broadcast. Pure higher-order column expression. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingleCol, s => xxhash64(s, h))))
-
-  /** Candidate pairs via LSH banding: signature split into `bands` bands
-    * of `rowsPerBand`; docs sharing any band hash become candidates.
-    * Result is distinct (id_a < id_b) pairs; verify with exact Jaccard
-    * downstream ([[minhashDedupPairs]]). */
+  /** Candidate pairs via LSH banding: the compiled
+    * [[minhashBandHashes]] kernel emits one 64-bit hash per band; docs
+    * sharing any (band, hash) become candidates. Self-join on the
+    * banded table — at scale candidates come from Σ bucket², not n².
+    * Verify with exact Jaccard downstream ([[minhashDedupPairs]]). */
   def minhashCandidates(
       df: DataFrame,
       n: Int,
@@ -112,24 +226,10 @@ object Dedup {
       rowsPerBand: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    // band hash: xxhash64 over the band's slice rendered to one string
-    val banded = sig.select(
-      col("id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b =>
-            xxhash64(
-              concat_ws(",",
-                transform(
-                  slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-                  v => v.cast("string"))),
-              b))).as(Seq("band", "bh")))
+    val bandU = udf((t: String) => minhashBandHashes(t, n, bands, rowsPerBand))
+    val banded = df.select(
+      col(idCol).as("id"),
+      posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
     val l = banded.select(col("band").as("band_l"), col("bh").as("bh_l"), col("id").as("id_a"))
     val r = banded.select(col("band").as("band_r"), col("bh").as("bh_r"), col("id").as("id_b"))
     l.join(r,
@@ -139,8 +239,8 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash LSH dedup: LSH candidates, then exact n-gram Jaccard filter
-    * (so precision is exact; recall is the LSH knob). */
+  /** MinHash LSH dedup: LSH candidates, then exact Jaccard over hashed
+    * shingle sets (so precision is exact; recall is the LSH knob). */
   def minhashDedupPairs(
       df: DataFrame,
       n: Int,
@@ -150,32 +250,27 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val cand = minhashCandidates(df, n, bands, rowsPerBand, idCol, textCol)
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val shU = udf((t: String) => shingleHashSet(t, n))
+    val jacU = udf((a: Seq[Long], b: Seq[Long]) =>
+      jaccardSorted(a.toArray, b.toArray))
+    val sh = df.select(col(idCol).as("id"), shU(col(textCol)).as("sh"))
     cand
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .select(col("id_a"), col("id_b"), jacU(col("sh_a"), col("sh_b")).as("jac"))
       .where(col("jac") > threshold)
   }
 
   // ----------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is
-    * the sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
-    * Declarative: 64 aggregate-over-tokens expressions folded into a
-    * single long. */
+    * the sign of Σ_tokens (bit b of hash64(token) ? +1 : -1). Compiled
+    * single-pass kernel ([[simhashFn]]) — the equivalent 64
+    * aggregate-over-tokens Column expressions are interpreted per
+    * element and ~20× slower. */
   def simhash(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(
-        toks,
-        lit(0L),
-        (acc, t) =>
-          acc + when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L)
-            .otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val u = udf((t: String) => simhashFn(t))
+    u(text)
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

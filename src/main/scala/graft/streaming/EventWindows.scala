@@ -56,8 +56,71 @@ object EventWindows {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
-  /** Stateful sessionization shape (flatMapGroupsWithState is exercised
-    * in tests on a bounded stream): count events per user per hour. */
+  /** Stateful sessionization via `flatMapGroupsWithState`: split each
+    * user's event stream into sessions separated by > `gapMinutes` of
+    * event-time silence, emitting (user_id, session start/end epoch,
+    * n_events).
+    *
+    * On this bounded file stream all events arrive in one batch, so the
+    * group function sorts its events and emits every session including
+    * the final one (state is only needed across batches). On an
+    * unbounded stream the open session would stay in `GroupState` with
+    * an event-time timeout; the emitted closed-session semantics are
+    * identical — which is what the SQL oracle (lag/cumsum windowing in
+    * DuckDB) checks.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val stream = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .as[(Long, Long)]
+
+    def splitSessions(
+        userId: Long,
+        rows: Iterator[(Long, Long)],
+        state: GroupState[Long]): Iterator[(Long, Long, Long, Long)] = {
+      val ts = rows.map(_._2).toArray
+      java.util.Arrays.sort(ts)
+      if (ts.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = ts(0); var prev = ts(0); var n = 1L
+        var i = 1
+        while (i < ts.length) {
+          if (ts(i) - prev > gapMicros) {
+            out += ((userId, start, prev, n))
+            start = ts(i); n = 0L
+          }
+          prev = ts(i); n += 1
+          i += 1
+        }
+        out += ((userId, start, prev, n))
+        out.iterator
+      }
+    }
+
+    val sessions = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(splitSessions)
+
+    val name = s"graft_sessions_${counter.incrementAndGet()}"
+    val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
+
+  /** Per-user hourly windowed counts with a watermark (the state-cleanup
+    * path an unbounded deployment needs). */
   def hourlyPerUser(spark: SparkSession, dir: String): DataFrame = {
     val stream = eventsStream(spark, dir)
     val agg = stream

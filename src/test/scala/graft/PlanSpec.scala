@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions: the physical properties the engine relies on
+  * at scale — pushdown, pruning, broadcast, top-k, partial aggregation,
+  * codegen'd custom expressions — hold in the actual Catalyst output,
+  * not just in intent. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: filter is pushed to the parquet scan and columns pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // pruned read schema: only the 5 referenced columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan("q03_join_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q04: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q04_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation splits into partial + final HashAggregate") {
+    val p = plan("q01_agg_sum")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("q16: VecDot participates in whole-stage codegen") {
+    val p = plan("q16_knn_brute")
+    assert(p.contains("vec_dot"), p)
+    // formatted mode marks codegen'd operators with a codegen id; the
+    // projection computing vec_dot must be inside a codegen stage
+    assert(p.linesIterator.exists(l =>
+      l.contains("Project [codegen id")), p)
+  }
+
+  test("exact dedup shuffles 8-byte fingerprints, not document text") {
+    val p = graft.operators.Dedup
+      .exactKeepers(graft.sources.Tables(spark, dir, "documents"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the exchange key is the xxhash64 fingerprint; text is not carried
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(exchangeIdx > 0, p)
+    assert(p.contains("xxhash64"), p)
+  }
+}
