@@ -191,12 +191,27 @@ object Dedup {
       n: Int,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxDocFreq: Option[Int] = None): DataFrame = {
     // 64-bit shingle hashes stand in for the shingle strings: counts
     // (and hence Jaccard) are identical absent a 64-bit collision
     // (~n²/2⁶⁵), and the shuffle carries 8-byte keys instead of strings.
     val shU = udf((t: String) => shingleHashSet(t, n))
-    val sh = df.select(col(idCol).as("id"), explode(shU(col(textCol))).as("s"))
+    val shAll = df.select(col(idCol).as("id"), explode(shU(col(textCol))).as("s"))
+    // Scale valve: a shingle in m docs contributes m² join rows, so a
+    // stop-word-like shingle dominates the pair generation. Capping
+    // document frequency drops those shingles from BOTH sizes and
+    // intersections (Jaccard over the capped universe — boilerplate
+    // n-grams stop counting as similarity, which is usually the wanted
+    // semantics for near-dup detection). Off by default for exactness.
+    val sh = maxDocFreq match {
+      case None => shAll
+      case Some(m) =>
+        // the over-frequent shingles are few — broadcast anti-join them
+        val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+          .where(col("df_") > m).select(col("s"))
+        shAll.join(broadcast(hot), Seq("s"), "left_anti")
+    }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("id").as("id_a"), col("s"))
       .join(sh.select(col("id").as("id_b"), col("s")), "s")

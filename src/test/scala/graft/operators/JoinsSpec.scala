@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+
+  test("saltedJoin returns exactly the plain join result") {
+    import spark.implicits._
+    // heavy skew: 90% of left rows share key 1
+    val left = ((1 to 900).map(i => (1L, s"l$i")) ++
+      (1 to 100).map(i => (i.toLong + 1, s"x$i"))).toDF("k", "lv")
+    val right = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+
+    val plain = left.join(right, "k")
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val salted = Joins.saltedJoin(left, right, "k", saltFactor = 8)
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(salted.toSeq === plain.toSeq)
+    assert(plain.count(_._1 == 1L) === 900)
+  }
+
+  test("ngramJaccardPairs maxDocFreq drops boilerplate-driven pairs") {
+    import spark.implicits._
+    // boilerplate shared by 4 docs; genuine near-dup pair shares
+    // shingles with doc-frequency 2, which survives the cap of 2
+    val boiler = "zzcommonboilerplatezz"
+    val docs = Seq(
+      (1L, boiler + " unique alpha text one"),
+      (2L, boiler + " totally different beta words"),
+      (5L, boiler + " entirely other epsilon stuff"),
+      (6L, boiler + " and more zeta padding rows"),
+      (3L, "near duplicate gamma content here"),
+      (4L, "near duplicate gamma content therے")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, n = 6, threshold = 0.2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(docs, n = 6, threshold = 0.2,
+        maxDocFreq = Some(2))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-2 are only similar through the shared boilerplate; 3-4 are
+    // genuinely similar in their capped (unique) shingles
+    assert(uncapped.contains((1L, 2L)))
+    assert(!capped.contains((1L, 2L)))
+    assert(capped.contains((3L, 4L)))
+  }
+}
