@@ -256,6 +256,45 @@ object SparkEntry {
         .orderBy("user_id", "start_us")
     }),
 
+    // As-of join: each event gets the latest prior order total of the
+    // same customer (custom distributed merge operator, AsOf.joinAsOf)
+    "q22_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = T(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("price"))
+      operators.AsOf
+        .joinAsOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("price"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("price"))
+        .orderBy("event_id")
+    }),
+
+    // Grouping sets: ROLLUP over the nation/region dims
+    "q23_rollup" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val n = broadcast(T(s, dir, "nation"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 2).as("sum_bal"))
+        .orderBy(asc_nulls_first("n_name"))
+    }),
+
+    // Semi + anti join (EXISTS / NOT EXISTS)
+    "q24_semi_anti" -> ((s, dir) => {
+      val bigOrders = T(s, dir, "orders").where(col("o_totalprice") > 200000.0)
+      val c = T(s, dir, "customer")
+      val semi = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"),
+          "leftsemi")
+        .select(col("c_custkey"), lit("has_big").as("tag"))
+      val anti = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"),
+          "leftanti")
+        .select(col("c_custkey"), lit("no_big").as("tag"))
+      semi.union(anti).orderBy("c_custkey")
+    }),
+
     // ---------------- rows-only checks (not SQL-expressible) ----------
 
     // Full iterative K-Means fit (reference pipeline end-to-end)
@@ -479,5 +518,28 @@ object SparkEntry {
         |FROM d)
         |SELECT user_id, epoch_us(min(ts)) AS start_us,
         |epoch_us(max(ts)) AS end_us, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q22_asof_join" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate,
+        |max(o_totalprice) AS price FROM orders GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.price
+        |FROM events e ASOF LEFT JOIN ord o
+        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q23_rollup" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name) ORDER BY n_name NULLS FIRST""".stripMargin,
+
+    "q24_semi_anti" ->
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+        |SELECT c_custkey, 'has_big' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_big' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
 }
