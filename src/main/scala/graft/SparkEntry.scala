@@ -295,6 +295,14 @@ object SparkEntry {
       semi.union(anti).orderBy("c_custkey")
     }),
 
+    // Language-ID argmax classifier vs the declared lang column
+    "q25_lang_detect" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy(TextAnalysis.detectLang(col("text")).as("detected"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("detected")
+    }),
+
     // ---------------- rows-only checks (not SQL-expressible) ----------
 
     // Full iterative K-Means fit (reference pipeline end-to-end)
@@ -345,6 +353,18 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).toArray
       Similarity.lshTopK(emb, q, 10, seed = 42L, nPlanes = 6)
+    }),
+
+    // ANN: IVF (K-Means coarse quantizer, deterministic injected init)
+    "q40_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val init = emb.orderBy("vec_id").limit(8)
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      Similarity.ivfTopK(emb, q, 10, nlist = 8, nprobe = 3,
+        initCentroids = Some(init))
     }),
 
     // Embedding cosine near-dup pairs
@@ -541,5 +561,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, 'no_big' AS tag FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q25_lang_detect" ->
+      s"""SELECT ${TextAnalysis.detectLangSql} AS detected,
+         |count(*) AS n_docs FROM documents
+         |GROUP BY 1 ORDER BY detected""".stripMargin)
 }

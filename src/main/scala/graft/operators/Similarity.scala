@@ -90,6 +90,45 @@ object Similarity {
       .limit(k)
   }
 
+  // ----------------------------------------------------------- IVF tier
+
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus with K-Means
+    * ([[graft.kmeans.KMeans]] as the quantizer — the engine's own
+    * clustering closing the loop), then search only the `nprobe`
+    * cells nearest the query, exact re-rank inside.
+    *
+    * At scale the cell assignment is a one-off narrow map (persisted /
+    * written bucketed by cell in a real deployment), and each query
+    * reads nprobe/nlist of the data. Deterministic given
+    * `initCentroids` or the seeded sampler. */
+  def ivfTopK(
+      df: DataFrame,
+      query: Array[Float],
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      quantizerIters: Int = 6,
+      initCentroids: Option[Array[Array[Float]]] = None,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import graft.kmeans.{KMeans, KMeansParams}
+    val model = KMeans.fit(
+      df.select(col(embCol).as("features")),
+      KMeansParams(k = nlist, threshold = 1e-4, maxLoop = quantizerIters + 1,
+        initCentroids = initCentroids))
+    val cents = model.centroids
+    val probed = cents.zipWithIndex
+      .sortBy { case (c, i) => (sqdist(query, c), i) }
+      .take(nprobe).map(_._2)
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(cents)
+    val cellU = udf((e: Seq[Float]) => argminCentroid(e.toArray, bc.value))
+    df.where(cellU(col(embCol)).isin(probed.map(Integer.valueOf): _*))
+      .select(col(idCol), dotWithQuery(col(embCol), query).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs exact cosine similarity above a threshold, for a bounded
     * id range (test/oracle path; the LSH variant is the scale path).
     *

@@ -59,6 +59,36 @@ object TextAnalysis {
   def langScore(text: Column, lang: String): Column =
     langMarkers(lang).map(w => wordOccurrences(text, w)).reduce(_ + _)
 
+  /** deterministic lang order for argmax tie-breaking (first wins) */
+  val langsOrdered: Seq[String] = langMarkers.keys.toSeq.sorted
+
+  /** Argmax language classifier: the first language (in [[langsOrdered]])
+    * whose marker score equals the max. Pure Column expression. */
+  def detectLang(text: Column): Column = {
+    val scores = langsOrdered.map(l => langScore(text, l))
+    val g = greatest(scores: _*)
+    langsOrdered.zip(scores).reverse
+      .foldLeft(lit("und")) { case (acc, (l, s)) =>
+        when(s === g, lit(l)).otherwise(acc)
+      }
+  }
+
+  /** DuckDB SQL equivalent of [[detectLang]] over column `text` —
+    * generated from the SAME marker map so the oracle can never drift
+    * from the implementation. */
+  def detectLangSql: String = {
+    def scoreSql(lang: String): String =
+      langMarkers(lang)
+        .map(w => s"len(regexp_extract_all(text, '\\b$w\\b', 0, 'i'))")
+        .mkString(" + ")
+    val scores = langsOrdered.map(l => s"(${scoreSql(l)})")
+    val g = s"greatest(${scores.mkString(", ")})"
+    val whens = langsOrdered.zip(scores)
+      .map { case (l, s) => s"WHEN $s = $g THEN '$l'" }
+      .mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
   /** Rolling polynomial fingerprint of the full text (deterministic
     * 64-bit document hash) — document-level fingerprinting primitive.
     * Uses Spark's xxhash64 (codegen'd, stable across runs/clusters). */

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+
+  test("ivfTopK scores agree with brute force and include the query vector") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 5).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val init = emb.orderBy("vec_id").limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val brute = Similarity.bruteForceTopK(emb, q, 1000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(emb, q, 10, nlist = 4, nprobe = 2,
+        initCentroids = Some(init))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.nonEmpty)
+    // exact re-rank inside probed cells: scores must match brute force
+    ivf.foreach { case (id, s) => assert(math.abs(brute(id) - s) < 1e-9) }
+    // the query's own vector lives in the cell nearest the query
+    assert(ivf.map(_._1).contains(5L))
+  }
+
+  test("ivfTopK with nprobe = nlist equals exact brute-force top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val init = emb.orderBy("vec_id").limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val brute = Similarity.bruteForceTopK(emb, q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Similarity.ivfTopK(emb, q, 10, nlist = 4, nprobe = 4,
+        initCentroids = Some(init))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf === brute)
+  }
+}
+
+class LangDetectSpec extends SparkSpec {
+  import TextAnalysis._
+
+  test("detectLang picks the dominant marker language; ties break to " +
+    "first in sorted order") {
+    import spark.implicits._
+    val rows = Seq(
+      "the cat and the dog is of the house",   // en
+      "der Hund und die Katze das ist gut",    // de
+      "le chat et la maison est les jours",    // fr
+      "xyzzy qwerty nothing matches at all")   // tie of zeros -> 'de'
+      .toDF("text")
+    val got = rows.select(detectLang(col("text"))).collect().map(_.getString(0))
+    assert(got(0) === "en")
+    assert(got(1) === "de")
+    assert(got(2) === "fr")
+    assert(got(3) === langsOrdered.head)
+  }
+
+  test("detectLangSql stays in sync with the marker map") {
+    // generated from the same map: every language literal must appear
+    langsOrdered.foreach(l => assert(detectLangSql.contains(s"'$l'")))
+    langMarkers.values.flatten.foreach(w =>
+      assert(detectLangSql.contains(s"\\b$w\\b")))
+  }
+}
