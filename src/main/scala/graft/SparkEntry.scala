@@ -386,6 +386,25 @@ object SparkEntry {
       EventWindows.hourlyPerUser(s, dir).orderBy("hour_epoch", "user_id")
     }),
 
+    // U1: typed VectorMeanAggregator (the Combiner/Reducer analog) as a
+    // first-class aggregation over per-cluster embedding means
+    "q41_vector_mean" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Similarity.hyperplanes(seed = 7L, nPlanes = 4, dim = 64)
+      val labeled = graft.kmeans.KMeansModel(cents, 0, converged = true)
+        .transform(T(s, dir, "embeddings"), featuresCol = "embedding")
+      val agg = new graft.kmeans.VectorMeanAggregator(64).toColumn
+      labeled
+        .select(col("cluster"),
+          col("embedding").cast("array<float>").as("features"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg)
+        .toDF("cluster", "mean_vec")
+        .orderBy("cluster")
+    }),
+
     // Text: document fingerprinting + BPE-ish token estimate
     "q39_fingerprint" -> ((s, dir) => {
       T(s, dir, "documents")
