@@ -46,6 +46,55 @@ object SparkEntry {
       s"abs(c_acctbal - $C0) <= abs(c_acctbal - $C2) THEN 0 " +
       s"WHEN abs(c_acctbal - $C1) <= abs(c_acctbal - $C2) THEN 1 ELSE 2 END"
 
+  // ---- fixed hyperplane centroids shared by q31/q32/q41 and their
+  // ---- generated DuckDB oracles (so Spark code and SQL cannot drift)
+
+  private val hpCents: Array[Array[Float]] =
+    Similarity.hyperplanes(seed = 7L, nPlanes = 4, dim = 64)
+
+  /** DuckDB float-array literal. Elements are rendered as the float's
+    * EXACT double value (shortest-roundtrip for DOUBLE) and routed
+    * decimal → DOUBLE → FLOAT: DuckDB's direct DECIMAL→FLOAT cast
+    * double-rounds and can land on the wrong float (observed: literal
+    * `-0.6505556` parsed one ulp off), while DECIMAL→DOUBLE→FLOAT is
+    * exact because the double is bit-exactly a float. */
+  private def sqlVec(v: Array[Float]): String =
+    v.map(x => java.lang.Double.toString(x.toDouble))
+      .mkString("[", ", ", "]::DOUBLE[]::FLOAT[]")
+
+  /** DuckDB squared-Euclidean distance `emb ↔ centroid` — the same
+    * left-to-right double fold as [[graft.functions.VecSqDist]] /
+    * `argminCentroid` (list_sum folds in index order; proven bit-equal
+    * by the green q16, which pairs list_sum with VecDot). */
+  private def sqlSqDist(emb: String, c: Array[Float]): String =
+    s"list_sum(list_transform(list_zip($emb, ${sqlVec(c)}), " +
+      "p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))" +
+      "*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))))"
+
+  /** CTE projecting per-row d0..d3 and the argmin cluster (lowest-index
+    * ties — the same CASE shape as `VectorFunctions.assignCol`). */
+  private def hpAssignSql(cols: String): String = {
+    val k = hpCents.length
+    val dDefs = hpCents.zipWithIndex
+      .map { case (c, i) => s"${sqlSqDist("embedding", c)} AS d$i" }
+      .mkString(", ")
+    val whens = (0 until k - 1).map { i =>
+      val conj = (i + 1 until k).map(j => s"d$i <= d$j").mkString(" AND ")
+      s"WHEN $conj THEN $i"
+    }.mkString(" ")
+    s"d_ AS (SELECT $cols, $dDefs FROM embeddings), " +
+      s"a_ AS (SELECT *, CASE $whens ELSE ${k - 1} END AS cluster FROM d_)"
+  }
+
+  /** DuckDB emulation of `VectorFunctions.meanRounded5` on a DOUBLE mean
+    * `m`: float mean, ×1e5 in f32, +0.5f, floor, /1e5f — Java
+    * `Math.round(mean*100000f)/100000.0f` bit-for-bit (DuckDB FLOAT
+    * arithmetic is true f32; verified over 6k samples incl. half-way
+    * boundaries). */
+  private def sqlMeanRounded5(m: String): String =
+    s"CAST(floor(CAST(CAST(CAST($m AS FLOAT)*CAST(100000 AS FLOAT) AS FLOAT)" +
+      "+CAST(0.5 AS FLOAT) AS DOUBLE)) AS FLOAT)/CAST(100000 AS FLOAT)"
+
   /** Flagship query on sf=0.001: full K-Means fit on the embeddings
     * table (the reference's entire pipeline, SURVEY §3.1) → centroids. */
   def entry(spark: SparkSession): DataFrame = {
@@ -303,9 +352,11 @@ object SparkEntry {
         .orderBy("detected")
     }),
 
-    // ---------------- rows-only checks (not SQL-expressible) ----------
+    // ------- iterative / generated-oracle checks ----------------------
 
-    // Full iterative K-Means fit (reference pipeline end-to-end)
+    // Full iterative K-Means fit (reference pipeline end-to-end).
+    // Array output flattened to (cluster, dim_idx, cent_val) rows so the
+    // harness can sort/hash scalars.
     "q30_kmeans_fit" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val init = emb.orderBy("vec_id").limit(8)
@@ -315,12 +366,14 @@ object SparkEntry {
           KMeansParams(k = 8, threshold = 1e-3, maxLoop = 20,
             initCentroids = Some(init)))
         .centroidsAsDF(s)
+        .select(col("cluster"),
+          posexplode(col("centroid")).as(Seq("dim_idx", "cent_val")))
+        .orderBy("cluster", "dim_idx")
     }),
 
     // Labeling (model.transform) + per-cluster counts, fixed centroids
     "q31_kmeans_label" -> ((s, dir) => {
-      val cents = Similarity.hyperplanes(seed = 7L, nPlanes = 4, dim = 64)
-      graft.kmeans.KMeansModel(cents, 0, converged = true)
+      graft.kmeans.KMeansModel(hpCents, 0, converged = true)
         .transform(T(s, dir, "embeddings"), featuresCol = "embedding")
         .groupBy("cluster").agg(count(lit(1)).as("n"))
         .orderBy("cluster")
@@ -329,10 +382,9 @@ object SparkEntry {
     // DBI evaluation query (SURVEY §3.2)
     "q32_dbi" -> ((s, dir) => {
       import s.implicits._
-      val cents = Similarity.hyperplanes(seed = 7L, nPlanes = 4, dim = 64)
-      val labeled = graft.kmeans.KMeansModel(cents, 0, converged = true)
+      val labeled = graft.kmeans.KMeansModel(hpCents, 0, converged = true)
         .transform(T(s, dir, "embeddings"), featuresCol = "embedding")
-      Seq(Dbi.compute(labeled, cents, featuresCol = "embedding")).toDF("dbi")
+      Seq(Dbi.compute(labeled, hpCents, featuresCol = "embedding")).toDF("dbi")
     }),
 
     // MinHash LSH dedup (scale path; q17 is its exact oracle)
@@ -367,31 +419,54 @@ object SparkEntry {
         initCentroids = Some(init))
     }),
 
-    // Embedding cosine near-dup pairs
+    // Embedding cosine near-dup pairs, exact on a bounded id range
+    // (threshold 0.45 is non-vacuous on the testdata: the synthetic
+    // embeddings have no planted duplicates and max pair cosine ≈ 0.51;
+    // the sub-quadratic scale path is q42's banded LSH).
     "q36_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(
-          T(s, dir, "embeddings").where(col("vec_id") < 2000), 0.95)
+          T(s, dir, "embeddings").where(col("vec_id") < 2000), 0.45)
         .orderBy("id_a", "id_b")
     }),
 
-    // Multimodal: stub decode via per-partition batches (mapPartitions)
+    // Embedding near-dup at scale: banded random-hyperplane LSH
+    // candidates + exact cosine verify, on the bounded set unioned with
+    // a deterministic f32-perturbed copy (planted near-dups, cos ≈ 1).
+    "q42_embed_neardup_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").where(col("vec_id") < 2000)
+        .select(col("vec_id"), col("embedding"))
+      val pert = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.0001f)).cast("float")).as("embedding"))
+      Dedup.lshNearDupPairs(emb.union(pert), threshold = 0.9,
+          nBands = 4, planesPerBand = 8, seed = 21L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal: stub decode via per-partition batches (mapPartitions);
+    // feature vector flattened to (media_id, feat_idx, feat_val) rows
     "q37_multimodal_decode" -> ((s, dir) => {
       Multimodal.extractFeatures(
           Multimodal.asMedia(T(s, dir, "documents")), dim = 8)
-        .orderBy("media_id")
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+        .orderBy("media_id", "feat_idx")
     }),
 
-    // Streaming: per-user hourly with watermark
+    // Streaming: per-user hourly with watermark (update output mode, so
+    // the watermark actually governs state retention)
     "q38_stream_user" -> ((s, dir) => {
       EventWindows.hourlyPerUser(s, dir).orderBy("hour_epoch", "user_id")
     }),
 
     // U1: typed VectorMeanAggregator (the Combiner/Reducer analog) as a
-    // first-class aggregation over per-cluster embedding means
+    // first-class aggregation over per-cluster embedding means; mean
+    // vector flattened to (cluster, dim_idx, mean_val) rows. The 5-dp
+    // float rounding makes the value stable under any partial-merge
+    // order, so the generated SQL oracle matches bit-for-bit.
     "q41_vector_mean" -> ((s, dir) => {
       import s.implicits._
-      val cents = Similarity.hyperplanes(seed = 7L, nPlanes = 4, dim = 64)
-      val labeled = graft.kmeans.KMeansModel(cents, 0, converged = true)
+      val labeled = graft.kmeans.KMeansModel(hpCents, 0, converged = true)
         .transform(T(s, dir, "embeddings"), featuresCol = "embedding")
       val agg = new graft.kmeans.VectorMeanAggregator(64).toColumn
       labeled
@@ -402,7 +477,9 @@ object SparkEntry {
         .mapValues(_._2)
         .agg(agg)
         .toDF("cluster", "mean_vec")
-        .orderBy("cluster")
+        .select(col("cluster"),
+          posexplode(col("mean_vec")).as(Seq("dim_idx", "mean_val")))
+        .orderBy("cluster", "dim_idx")
     }),
 
     // Text: document fingerprinting + BPE-ish token estimate
@@ -585,5 +662,125 @@ object SparkEntry {
     "q25_lang_detect" ->
       s"""SELECT ${TextAnalysis.detectLangSql} AS detected,
          |count(*) AS n_docs FROM documents
-         |GROUP BY 1 ORDER BY detected""".stripMargin)
+         |GROUP BY 1 ORDER BY detected""".stripMargin,
+
+    // generated from hpCents — argmin CASE chain identical in shape and
+    // arithmetic to VectorFunctions.assignCol (see hpAssignSql)
+    "q31_kmeans_label" ->
+      s"""WITH ${hpAssignSql("vec_id")}
+         |SELECT cluster, count(*) AS n FROM a_
+         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q32_dbi" -> {
+      val k = hpCents.length
+      // k×k centroid distances are constants of the fixture — inline
+      // them shortest-roundtrip so DuckDB recovers the exact doubles
+      val d = Array.tabulate(k, k) { (i, j) =>
+        graft.functions.VectorFunctions.euclidean(hpCents(i), hpCents(j))
+      }
+      val sigs = (0 until k)
+        .map(i => s"max(CASE WHEN cluster=$i THEN sig END) AS s$i")
+        .mkString(", ")
+      val maxes = (0 until k).map { i =>
+        val ratios = (0 until k).filter(_ != i)
+          .map(j => s"(s$i+s$j)/${d(i)(j)}")
+          .mkString(", ")
+        s"greatest($ratios)"
+      }.mkString(" + ")
+      s"""WITH ${hpAssignSql("vec_id")},
+         |sc AS (SELECT cluster, sqrt(least(d0, d1, d2, d3)) AS dist FROM a_),
+         |sg AS (SELECT cluster,
+         |CAST(sum(CAST(dist AS DECIMAL(28,6))) AS DOUBLE)/count(*) AS sig
+         |FROM sc GROUP BY cluster),
+         |p AS (SELECT $sigs FROM sg)
+         |SELECT ($maxes)/$k AS dbi FROM p""".stripMargin
+    },
+
+    // q33's LSH candidates verified with exact Jaccard: on this corpus
+    // every >0.35 pair sits at jac ≥ 0.92, where 16×4 banding recall is
+    // 1 − 3e-10 — so the exact-pair oracle (q17's SQL, unrestricted)
+    // is the correct expected output.
+    "q33_minhash_lsh" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
+        |range(1, length(text) - 6), i -> substr(text, CAST(i AS INT), 8))) AS sh
+        |FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |FROM s a, s b WHERE a.doc_id < b.doc_id
+        |AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |len(list_distinct(list_concat(a.sh, b.sh))) > 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q36_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |sqrt(list_sum(list_transform(embedding,
+        |x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |FROM embeddings WHERE vec_id < 2000)
+        |SELECT id_a, id_b, cos FROM (
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0 ELSE
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))/(a.nrm*b.nrm)
+        |END AS cos
+        |FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |WHERE cos > 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // same brute-force SQL over the unioned (original + f32-perturbed)
+    // set: the uniform positive scaling preserves direction exactly, so
+    // banded-LSH recall on the planted pairs is 1 by construction and
+    // the exact pair set is the correct expected output
+    "q42_embed_neardup_lsh" ->
+      """WITH u AS (
+        |SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+        |UNION ALL
+        |SELECT vec_id + 1000000 AS vec_id,
+        |list_transform(embedding, x -> x * CAST(1.0001 AS FLOAT)) AS embedding
+        |FROM embeddings WHERE vec_id < 2000),
+        |e AS (SELECT vec_id, embedding,
+        |sqrt(list_sum(list_transform(embedding,
+        |x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM u)
+        |SELECT id_a, id_b, cos FROM (
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0 ELSE
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))/(a.nrm*b.nrm)
+        |END AS cos
+        |FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |WHERE cos > 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    // stub decode oracle: byte at min(i*stride, len-1) of the utf-8
+    // payload, /255 in f32 (bytes via hex() because DuckDB has no direct
+    // blob indexing; f32 division parity verified for all 256 values)
+    "q37_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id, CAST(text AS BLOB) AS b
+        |FROM documents),
+        |h AS (SELECT media_id, hex(b) AS hx, octet_length(b) AS len FROM m)
+        |SELECT media_id, CAST(i AS INT) AS feat_idx,
+        |CASE WHEN len = 0 THEN CAST(0 AS FLOAT) ELSE
+        |CAST((strpos('0123456789ABCDEF',
+        |substr(hx, 2*least(i*greatest(len//8, 1), len-1)+1, 1))-1)*16
+        |+ (strpos('0123456789ABCDEF',
+        |substr(hx, 2*least(i*greatest(len//8, 1), len-1)+2, 1))-1) AS FLOAT)
+        |/CAST(255 AS FLOAT) END AS feat_val
+        |FROM h CROSS JOIN range(0, 8) r(i)
+        |ORDER BY media_id, feat_idx""".stripMargin,
+
+    "q38_stream_user" ->
+      """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT)
+        |AS hour_epoch, user_id, count(*) AS n_events
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
+    // with the exact meanRounded5 f32 rounding pipeline
+    "q41_vector_mean" -> {
+      s"""WITH ${hpAssignSql("embedding AS emb2")},
+         |ex AS (SELECT cluster, CAST(i AS INT) AS dim_idx,
+         |CAST(emb2[i+1] AS DOUBLE) AS v
+         |FROM a_ CROSS JOIN range(0, 64) r(i))
+         |SELECT cluster, dim_idx,
+         |${sqlMeanRounded5("sum(v)/count(*)")} AS mean_val
+         |FROM ex GROUP BY cluster, dim_idx
+         |ORDER BY cluster, dim_idx""".stripMargin
+    })
 }

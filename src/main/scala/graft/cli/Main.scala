@@ -28,7 +28,12 @@ import graft.sources.{CentroidWriter, PointReader}
 object Main {
 
   def main(args: Array[String]): Unit = {
-    val opts = parse(args)
+    val opts =
+      try parse(args)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(e.getMessage); sys.exit(2)
+      }
     val in = opts.getOrElse("in",
       { System.err.println(usage); sys.exit(2) })
     val out = opts.getOrElse("out",
@@ -51,15 +56,28 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val engine = opts.getOrElse("engine", "native")
     val t0 = System.currentTimeMillis()
     val points = PointReader.read(spark, in)
     val init = opts.get("init").map { f =>
       scala.io.Source.fromFile(f).getLines().filter(_.trim.nonEmpty)
         .map(_.split(",").map(_.trim.toFloat)).toArray
     }
-    val model = KMeans.fit(points,
-      KMeansParams(k = k, threshold = thresh, maxLoop = maxloop,
-        seed = seed, initCentroids = init))
+    // `--engine mllib` runs the sanctioned MLlib engine through the
+    // exact same CLI (SURVEY §7.1 PR 4) — the cross-check oracle path.
+    val model = engine match {
+      case "mllib" =>
+        val cents = graft.mllib.MLlibKMeansAdapter.fit(points, k = k,
+          maxIter = maxloop - 1, tol = thresh, seed = seed,
+          initCentroids = init)
+        graft.kmeans.KMeansModel(cents, maxloop - 1, converged = true)
+      case "native" =>
+        KMeans.fit(points,
+          KMeansParams(k = k, threshold = thresh, maxLoop = maxloop,
+            seed = seed, initCentroids = init))
+      case other =>
+        System.err.println(s"unknown engine '$other'\n$usage"); sys.exit(2)
+    }
 
     CentroidWriter.write(model.centroids,
       java.nio.file.Paths.get(out, result).toString)
@@ -80,9 +98,10 @@ object Main {
     var i = 0
     while (i < args.length) {
       val a = args(i)
-      if (a.startsWith("-D")) {
-        m += a.drop(2) -> args(i + 1); i += 2
-      } else if (a.startsWith("--")) {
+      if (a.startsWith("-D") || a.startsWith("--")) {
+        if (i + 1 >= args.length)
+          throw new IllegalArgumentException(
+            s"flag $a expects a value\n$usage")
         m += a.drop(2) -> args(i + 1); i += 2
       } else i += 1
     }
@@ -92,5 +111,5 @@ object Main {
   private val usage =
     "usage: -Din <file> -Dout <dir> [-Dlines n] [-Dresult f] [-Dk 3] " +
       "[-Dthresh 0.001] [-Dmaxloop 50] [-DNumReduceTask 1] " +
-      "[--seed 42] [--init <csv>]"
+      "[--seed 42] [--init <csv>] [--engine native|mllib]"
 }

@@ -113,4 +113,26 @@ object VectorFunctions {
     val n = normCol(a) * normCol(b)
     when(n === 0.0, 0.0).otherwise(d / n)
   }
+
+  /** Float-array literal column (`array<float>`). */
+  def vecLit(v: Array[Float]): Column = array(v.map(x => lit(x)): _*)
+
+  /** J1 argmin-over-centroids as a codegen'd CASE chain over [[VecSqDist]]
+    * distances, ties to the LOWEST index (strict `<` running min,
+    * KMapper.java:39). Bit-identical to [[argminCentroid]]: VecSqDist
+    * folds the same (aᵢ−bᵢ)² terms left-to-right in double.
+    *
+    * The chain is O(k²) comparisons (whole-stage codegen CSE evaluates
+    * each distance once); use for small k — broadcast assignment, IVF
+    * cells — and [[argminCentroid]] in a typed map for large k. */
+  def assignCol(features: Column, centroids: Array[Array[Float]]): Column = {
+    val ds = centroids.map(c => sqdistCol(features, vecLit(c)))
+    val k = ds.length
+    if (k == 1) lit(0)
+    else
+      (0 until k - 1).foldRight(lit(k - 1): Column) { (i, acc) =>
+        when((i + 1 until k).map(j => ds(i) <= ds(j)).reduce(_ && _), lit(i))
+          .otherwise(acc)
+      }
+  }
 }

@@ -2,6 +2,7 @@ package graft.kmeans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorFunctions._
 
@@ -30,19 +31,37 @@ object Dbi {
       clusterCol: String = "cluster"): Double = {
     val spark = labeled.sparkSession
     val k = centroids.length
-    val bc = spark.sparkContext.broadcast(centroids)
-    val distU = udf { (f: Seq[Float], cid: Int) =>
-      euclidean(f.toArray, bc.value(cid))
-    }
+    // Distance to the row's own centroid. Small k: a codegen'd
+    // coalesce-of-whens over the `VecSqDist` kernel (stays inside
+    // whole-stage codegen); large k: broadcast + UDF, same math.
+    val dCol =
+      if (k <= 16)
+        coalesce(centroids.zipWithIndex.map { case (c, i) =>
+          when(col(clusterCol).cast("int") === i,
+            euclideanCol(col(featuresCol), vecLit(c)))
+        }: _*)
+      else {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val distU = udf { (f: Seq[Float], cid: Int) =>
+          euclidean(f.toArray, bc.value(cid))
+        }
+        distU(col(featuresCol), col(clusterCol).cast("int"))
+      }
     // A5: scatter per cluster in one pass (reference loops k times over
-    // all points, Main.java:86-94).
+    // all points, Main.java:86-94). The distance sum goes through
+    // DECIMAL — exact and associative, so the result is bit-stable under
+    // any partition/merge order (a parallel double sum is not) and a SQL
+    // oracle can reproduce it. Scale 6, not finer: at scale ≥ 10 the
+    // decimal half-way boundary is below one double ulp of d×10^s, so
+    // engines that scale-in-double before rounding (DuckDB) disagree
+    // with exact decimal rounding ~0.2% of the time; at scale 6 the
+    // hazard is ~1e-9 per value.
     val rows = labeled
-      .select(col(clusterCol).cast("int").as("cluster"),
-        distU(col(featuresCol), col(clusterCol).cast("int")).as("d"))
+      .select(col(clusterCol).cast("int").as("cluster"), dCol.as("d"))
       .groupBy("cluster")
-      .agg(sum("d").as("sd"), count(lit(1)).as("cnt"))
+      .agg(sum(col("d").cast(DecimalType(28, 6))).cast("double").as("sd"),
+        count(lit(1)).as("cnt"))
       .collect()
-    bc.unpersist(blocking = false)
 
     val sumD = new Array[Double](k)
     val cnt = new Array[Long](k)

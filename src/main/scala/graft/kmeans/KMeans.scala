@@ -1,6 +1,6 @@
 package graft.kmeans
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -32,18 +32,24 @@ final case class KMeansModel(
     iterations: Int,
     converged: Boolean) {
 
-  /** Label every row with its nearest centroid — a pure broadcast map,
-    * no shuffle (reference does this driver-side over the whole dataset,
-    * Main.java:345-355; we stay distributed). */
+  /** Label every row with its nearest centroid — a pure narrow map, no
+    * shuffle (reference does this driver-side over the whole dataset,
+    * Main.java:345-355; we stay distributed). Small k plans as a
+    * codegen'd `VecSqDist` CASE chain (inside whole-stage codegen);
+    * large k falls back to a broadcast + UDF with identical semantics
+    * (same double fold, same lowest-index ties). */
   def transform(
       df: DataFrame,
       featuresCol: String = "features",
-      outputCol: String = "cluster"): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assignU = udf((f: Seq[Float]) => argminCentroid(f.toArray, bc.value))
-    df.withColumn(outputCol, assignU(col(featuresCol)))
-  }
+      outputCol: String = "cluster"): DataFrame =
+    if (centroids.length <= 16)
+      df.withColumn(outputCol, assignCol(col(featuresCol), centroids))
+    else {
+      val spark = df.sparkSession
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignU = udf((f: Seq[Float]) => argminCentroid(f.toArray, bc.value))
+      df.withColumn(outputCol, assignU(col(featuresCol)))
+    }
 
   def centroidsAsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -57,13 +63,30 @@ final case class KMeansModel(
 /** Spark-native Lloyd's K-Means — the reference's whole pipeline
   * (SURVEY §3.1) re-expressed:
   *
-  *   - per-iteration MapReduce job  →  one cached DataFrame + one
-  *     `groupBy("cluster")` aggregation (Catalyst's partial/final
-  *     HashAggregate replaces KCombiner/KReducer);
+  *   - per-iteration MapReduce job  →  one cached distributed dataset +
+  *     one narrow partial-aggregation pass per iteration;
   *   - centroids through Hadoop `Configuration` →  `sparkContext.broadcast`;
   *   - reducer-output file round-trip (Main.java:175-203)  →  `collect()`
-  *     of k tiny rows;
+  *     of per-partition partials, final merge on the driver;
   *   - input re-read per job (Main.java:318 in-loop)  →  `persist()` once.
+  *
+  * The iteration body is the combiner/reducer split made explicit
+  * (KCombiner.java:9-18 / KReducer.java:12-26): each partition folds its
+  * rows into k×(dim+1) partial (sum, count) cells — A2 — and the driver
+  * merges the k-sized partials and takes the rounded mean — A3. It runs
+  * as `mapPartitions` + `collect` rather than a per-iteration
+  * `groupBy().agg()` because an iterative loop re-plans a k×dim
+  * aggregate every pass (measured ~1.2 s/iteration of analysis/codegen/
+  * scheduling overhead at bench scale — the dominant cost for small
+  * inputs), whereas this loop reuses one cached RDD and ships only
+  * k×(dim+1)×numPartitions doubles to the driver per iteration; there is
+  * NO shuffle at all. The declarative `groupBy` form of the same
+  * aggregation remains the engine's single-step operator (q07) where
+  * Catalyst's partial/final HashAggregate split is asserted by PlanSpec.
+  *
+  * Determinism: partitions accumulate in row order and the driver merges
+  * partials in partition order, so the double-precision sums are
+  * bit-stable across runs (a parallel `sum()` over doubles is not).
   *
   * Parity-preserving semantics: f32 coordinates, mean computed in float
   * then rounded to 5 dp half-up at the final aggregate only
@@ -73,9 +96,11 @@ final case class KMeansModel(
   * iterations. Divergence (documented, SURVEY §7.4.3): an empty cluster
   * keeps its previous centroid instead of NPE-ing the driver.
   *
-  * At scale: the only shuffle per iteration carries k×(dim+1) partial
-  * sums per map partition (map-side partial agg), so a 1000-executor run
-  * shuffles kilobytes regardless of input size; assignment is narrow.
+  * At scale: assignment+partial-agg is one narrow pass over cached
+  * partitions; a 1000-executor run returns k×(dim+1) doubles per
+  * partition to the driver (tens of MB at 10k partitions — if k×dim×P
+  * outgrows the driver, swap the `collect` for a `treeReduce`; the
+  * per-partition fold is unchanged).
   */
 object KMeans {
 
@@ -98,42 +123,64 @@ object KMeans {
 
   def fit(df: DataFrame, params: KMeansParams): KMeansModel = {
     val spark = df.sparkSession
+    val k = params.k
+    // Parse rows to primitive float arrays ONCE and cache them: every
+    // iteration is then a single narrow job over deserialized vectors.
     val data = df
       .select(col(params.featuresCol).cast("array<float>").as("features"))
+      .rdd
+      .map(_.getSeq[Float](0).toArray)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var centroids = params.initCentroids
         .map { init =>
-          require(init.length == params.k, "init centroid count != k")
+          require(init.length == k, "init centroid count != k")
           init.map(_.clone())
         }
-        .getOrElse(initCentroids(data, "features", params.k, params.seed))
+        .getOrElse {
+          val rows =
+            data.takeSample(withReplacement = false, num = k, seed = params.seed)
+          require(rows.length == k, s"dataset has fewer than k=$k rows")
+          rows
+        }
       val dim = centroids(0).length
-
-      // Declarative per-cluster (count, element-wise sum) — Catalyst plans
-      // partial + final HashAggregate automatically (the combiner, A2/A3).
-      val sumCols: Seq[Column] = (0 until dim).map { i =>
-        sum(element_at(col("features"), i + 1).cast("double")).as(s"s$i")
-      }
 
       var loop = 1
       var converged = false
       while (loop < params.maxLoop && !converged) {
         val bc = spark.sparkContext.broadcast(centroids)
-        val assignU = udf((f: Seq[Float]) => argminCentroid(f.toArray, bc.value))
-        val rows = data
-          .withColumn("cluster", assignU(col("features")))
-          .groupBy("cluster")
-          .agg(count(lit(1)).as("cnt"), sumCols: _*)
-          .collect()
+        // A2 — the combiner: per-partition fold into k (sum, count) cells.
+        val partials = data.mapPartitions { it =>
+          val cents = bc.value
+          val sums = Array.ofDim[Double](cents.length, dim)
+          val cnts = new Array[Long](cents.length)
+          it.foreach { p =>
+            val c = argminCentroid(p, cents)
+            addInto(sums(c), p)
+            cnts(c) += 1
+          }
+          Iterator.single((sums, cnts))
+        }.collect() // partition-ordered -> deterministic merge below
 
+        // A3 — the reducer: merge partials in partition order, then the
+        // 5-dp rounded float mean (PointWritable.calcAverage).
+        val sums = Array.ofDim[Double](k, dim)
+        val cnts = new Array[Long](k)
+        partials.foreach { case (ps, pc) =>
+          var c = 0
+          while (c < k) {
+            var i = 0
+            while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+            cnts(c) += pc(c)
+            c += 1
+          }
+        }
         // Empty cluster -> keep previous centroid (documented divergence).
         val next = centroids.map(_.clone())
-        rows.foreach { r =>
-          val cid = r.getInt(0)
-          val cnt = r.getLong(1)
-          val sums = Array.tabulate(dim)(i => r.getDouble(2 + i))
-          next(cid) = meanRounded5(sums, cnt)
+        var c = 0
+        while (c < k) {
+          if (cnts(c) > 0) next(c) = meanRounded5(sums(c), cnts(c))
+          c += 1
         }
         converged =
           centroids.zip(next).forall { case (o, n) =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,21 +12,34 @@ import org.apache.spark.sql.types._
   * (theta-join on `rt <= lt` + per-left-row top-1) explodes to a range
   * join. This is the distributed merge algorithm instead:
   *
-  *   1. tag left/right rows and union them — one schema, one pass;
-  *   2. `repartition` by key (the ONLY shuffle) and
+  *   1. deterministically reduce the right side to one row per
+  *      (key, time) — ties take the greatest payload struct, so input
+  *      order can never change the answer;
+  *   2. tag left/right rows and union them — one schema, one pass;
+  *   3. `repartition` by key (the ONLY shuffle) and
   *      `sortWithinPartitions(key, time, tag)` — Spark's external sort,
   *      spill-safe at any partition size;
-  *   3. one `mapPartitions` sweep carrying the latest right payload per
+  *   4. one `mapPartitions` sweep carrying the latest right payload per
   *      key (right rows sort before left rows at equal time, so a tie
   *      means "state as of exactly t" is visible to the event at t).
   *
+  * Internal column names are generated to be collision-free against
+  * both inputs' schemas.
+  *
   * Cost at scale: one shuffle of left+right keyed rows, a per-partition
   * sort, O(1) state per key in the sweep. No broadcast, no n² ranges.
+  * A single hot key serializes into one partition; `saltBuckets > 1`
+  * splits each key's LEFT rows across that many sub-partitions and
+  * replicates the key's RIGHT rows to each (right side ×S cost), which
+  * bounds per-task skew at the price of duplicated state rows.
   */
 object AsOf {
 
-  /** @param rightCols right-side payload columns to attach (nulled when
-    *                   no right row precedes the left row). */
+  /** @param rightCols   right-side payload columns to attach (nulled when
+    *                    no right row precedes the left row).
+    * @param saltBuckets >1 enables skew salting: left rows scatter
+    *                    across S sub-keys (deterministic row-content
+    *                    hash), right rows replicate to all S. */
   def joinAsOf(
       left: DataFrame,
       right: DataFrame,
@@ -34,23 +47,56 @@ object AsOf {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String],
+      saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
     val leftFields = left.schema.fields.toSeq
     val rightPayloadFields =
       rightCols.map(c => right.schema(c).copy(nullable = true))
 
-    // unified row: key, time, tag (0 = right/state, 1 = left/event),
-    // left payload (nulls on right rows), right payload (nulls on left);
-    // NullType literals widen to the other side's types at union analysis.
-    // Rows tied on (key, time) within the RIGHT side are ambiguous — give
-    // this operator a right side unique per (key, time).
+    // internal names that cannot collide with either input's columns
+    val used = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String = {
+      var n = base
+      while (used(n)) n = "_" + n
+      n
+    }
+    val kC = fresh("_k"); val tC = fresh("_t")
+    val tagC = fresh("_tag"); val saltC = fresh("_salt")
+
+    // 1. deterministic right side: one row per (key, time) — among ties
+    // the greatest payload struct wins (orderable payload types; the
+    // operator's contract documents right-side (key, time) uniqueness,
+    // this reduction makes violations deterministic instead of
+    // order-dependent).
+    val pC = fresh("_p")
+    val rightUnique = right
+      .groupBy(col(rightKey), col(rightTime))
+      .agg(max(struct(rightCols.map(col): _*)).as(pC))
+      .select(col(rightKey) +: col(rightTime) +:
+        rightCols.map(c => col(pC).getField(c).as(c)): _*)
+
+    // 2. unified row: key, time, tag (0 = right/state, 1 = left/event),
+    // salt, left payload (nulls on right rows), right payload (nulls on
+    // left); NullType literals widen at union analysis.
     val nullRight = rightCols.map(_ => lit(null))
+    val leftSalt =
+      if (saltBuckets == 1) lit(0)
+      else pmod(xxhash64(leftFields.map(f => col(f.name)): _*),
+        lit(saltBuckets.toLong)).cast("int")
     val taggedLeft = left.select(
-      (Seq(col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_tag")) ++
+      (Seq(col(leftKey).as(kC), col(leftTime).as(tC), lit(1).as(tagC),
+        leftSalt.as(saltC)) ++
         leftFields.map(f => col(f.name)) ++ nullRight): _*)
     val nullLeft = leftFields.map(_ => lit(null))
-    val taggedRight = right.select(
-      (Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_tag")) ++
+    // salt column: 0 when unsalted, else one replica per bucket (explode
+    // inline in the select so the positional union layout is preserved)
+    val rightSalt: Column =
+      if (saltBuckets == 1) lit(0)
+      else explode(sequence(lit(0), lit(saltBuckets - 1)))
+    val taggedRight = rightUnique.select(
+      (Seq(col(rightKey).as(kC), col(rightTime).as(tC), lit(0).as(tagC),
+        rightSalt.as(saltC)) ++
         nullLeft ++ rightCols.map(col)): _*)
     // positional union: schemas are aligned by construction
     val unified = taggedLeft.union(taggedRight)
@@ -61,21 +107,25 @@ object AsOf {
       leftFields.map(_.copy(nullable = true)) ++ rightPayloadFields)
 
     val swept = unified
-      .repartition(col("_k"))
-      .sortWithinPartitions(col("_k"), col("_t"), col("_tag"))
+      .repartition(col(kC), col(saltC))
+      .sortWithinPartitions(col(kC), col(saltC), col(tC), col(tagC))
       .mapPartitions { it =>
         var curKey: Any = null
+        var curSalt: Int = Int.MinValue
         var lastRight: Array[Any] = null
         it.flatMap { row =>
           val k = row.get(0)
-          if (k != curKey) { curKey = k; lastRight = null }
+          val s = row.getInt(3)
+          if (k != curKey || s != curSalt) {
+            curKey = k; curSalt = s; lastRight = null
+          }
           if (row.getInt(2) == 0) { // right/state row
-            lastRight = Array.tabulate(nRight)(i => row.get(3 + nLeft + i))
+            lastRight = Array.tabulate(nRight)(i => row.get(4 + nLeft + i))
             None
           } else { // left/event row
             val out = new Array[Any](nLeft + nRight)
             var i = 0
-            while (i < nLeft) { out(i) = row.get(3 + i); i += 1 }
+            while (i < nLeft) { out(i) = row.get(4 + i); i += 1 }
             if (lastRight != null) {
               var j = 0
               while (j < nRight) { out(nLeft + j) = lastRight(j); j += 1 }

@@ -291,33 +291,69 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the fingerprint's high
-    * `prefixBits` bits (near-dups usually share the prefix for small
-    * Hamming radii), then exact Hamming filter within buckets. */
+  /** SimHash near-dup pairs via **pigeonhole banding**: the 64 bits are
+    * split into `maxHamming + 1` contiguous bands; two fingerprints
+    * within Hamming distance `maxHamming` differ in at most `maxHamming`
+    * bands, so at least one band matches exactly — candidate generation
+    * has **recall 1 by construction** (the old single-prefix bucketing
+    * missed any pair whose differing bits touched the prefix). Exact
+    * Hamming filter verifies candidates, so precision is exact too.
+    *
+    * Scale valve: band width is `64/(maxHamming+1)` bits, so the radius
+    * trades against bucket selectivity — radius 3 gives 16-bit bands
+    * (the classic web-dedup configuration); radius 12 gives ~5-bit
+    * bands, fine for corpus-local dedup, too coarse for web scale. The
+    * shuffle carries only (band, band-value, id, fp) — 28 bytes/row. */
   def simhashPairs(
       df: DataFrame,
       maxHamming: Int,
-      prefixBits: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(b => b * 64 / nBands)
+    val bandCols = (0 until nBands).map { b =>
+      val lo = bounds(b)
+      val w = bounds(b + 1) - lo
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("bv"))
+    }
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
-      .withColumn("bucket", shiftrightunsigned(col("fp"), 64 - prefixBits))
-    val a = fp.select(col("bucket").as("bk_a"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = fp.select(col("bucket").as("bk_b"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, a("bk_a") === b("bk_b") && a("id_a") < b("id_b"))
+    val banded = fp.select(col("id"), col("fp"),
+      explode(array(bandCols: _*)).as("bk"))
+    val a = banded.select(col("bk").as("bk_a"), col("id").as("id_a"),
+      col("fp").as("fp_a"))
+    val b = banded.select(col("bk").as("bk_b"), col("id").as("id_b"),
+      col("fp").as("fp_b"))
+    a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("fp_a"), col("fp_b")).as("dist"))
       .where(col("dist") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------- embedding cosine near-dup
 
-  /** Near-duplicate pairs by embedding cosine similarity (exact; the LSH
-    * scale path is [[Similarity.lshTopK]]'s bucketing applied pairwise). */
+  /** Near-duplicate pairs by embedding cosine similarity — exact
+    * all-pairs, for bounded sets and as the test oracle. The scale path
+    * is [[lshNearDupPairs]]. */
   def embeddingNearDupPairs(
       df: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame =
     Similarity.bruteForcePairs(df, threshold, idCol, embCol)
+
+  /** Sub-quadratic embedding near-dup: banded random-hyperplane LSH
+    * candidates + exact cosine verify ([[Similarity.lshNearDupPairs]]). */
+  def lshNearDupPairs(
+      df: DataFrame,
+      threshold: Double,
+      nBands: Int = 4,
+      planesPerBand: Int = 8,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    Similarity.lshNearDupPairs(df, threshold, nBands, planesPerBand, seed,
+      idCol, embCol)
 }

@@ -90,17 +90,106 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------ LSH pair tier
+
+  /** Banded LSH near-duplicate pairs — the sub-quadratic scale path for
+    * embedding near-dup (the brute [[bruteForcePairs]] is O(n²)):
+    *
+    *   1. `nBands` independent sign-bucketings of `planesPerBand`
+    *      hyperplanes each — a narrow codegen'd projection;
+    *   2. explode to (band, bucket) and self-join on it: candidate pairs
+    *      come from Σ bucket² within bands, not n²;
+    *   3. exact cosine verify of the distinct candidates — precision is
+    *      exact; recall = 1−(1−p^planes)^bands for p = 1−θ/π, ≈ 1 for
+    *      true near-dups (θ → 0) and tunable via bands/planes.
+    *
+    * Candidates carry only 8-byte ids through the join; embeddings are
+    * re-attached for the verify step. */
+  def lshNearDupPairs(
+      df: DataFrame,
+      threshold: Double,
+      nBands: Int = 4,
+      planesPerBand: Int = 8,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val bandCols = (0 until nBands).map { b =>
+      val planes = hyperplanes(seed + 0x9e3779b97f4a7c15L * b, planesPerBand, dim)
+      struct(lit(b).as("band"), lshBucket(col(embCol), planes).as("bv"))
+    }
+    val banded = df
+      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bk"))
+    val cand = banded.select(col("bk").as("bk_l"), col("id").as("id_a"))
+      .join(banded.select(col("bk").as("bk_r"), col("id").as("id_b")),
+        col("bk_l") === col("bk_r") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val withNorm = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      normCol(col(embCol)).as("nrm"))
+    cand
+      .join(withNorm.toDF("id_a", "emb_a", "nrm_a"), "id_a")
+      .join(withNorm.toDF("id_b", "emb_b", "nrm_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(col("nrm_a") === 0.0 || col("nrm_b") === 0.0, lit(0.0))
+          .otherwise(dotCol(col("emb_a"), col("emb_b")) /
+            (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .where(col("cos") > threshold)
+  }
+
   // ----------------------------------------------------------- IVF tier
 
-  /** IVF (inverted-file) ANN: coarse-quantize the corpus with K-Means
-    * ([[graft.kmeans.KMeans]] as the quantizer — the engine's own
-    * clustering closing the loop), then search only the `nprobe`
-    * cells nearest the query, exact re-rank inside.
-    *
-    * At scale the cell assignment is a one-off narrow map (persisted /
-    * written bucketed by cell in a real deployment), and each query
-    * reads nprobe/nlist of the data. Deterministic given
-    * `initCentroids` or the seeded sampler. */
+  /** A built IVF index: the fitted coarse quantizer plus the persisted
+    * cell assignment. Build once, probe many times — the assignment scan
+    * is cached (in a real deployment it is written out bucketed by
+    * `cell`, giving probes partition pruning instead of a filter). */
+  final case class IvfIndex(
+      centroids: Array[Array[Float]],
+      assigned: DataFrame,
+      idCol: String,
+      embCol: String) {
+
+    /** Search the `nprobe` cells nearest the query; exact re-rank inside. */
+    def probe(query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+      val probed = centroids.zipWithIndex
+        .sortBy { case (c, i) => (sqdist(query, c), i) }
+        .take(nprobe).map(_._2)
+      assigned
+        .where(col("cell").isin(probed.map(Integer.valueOf): _*))
+        .select(col(idCol), dotWithQuery(col(embCol), query).as("score"))
+        .orderBy(desc("score"), col(idCol))
+        .limit(k)
+    }
+
+    def unpersist(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** Build the IVF index: fit the coarse quantizer with the engine's own
+    * K-Means (SURVEY §3.1 closing the loop), assign every row to its
+    * cell via the codegen'd argmin CASE chain, and persist the result.
+    * Deterministic given `initCentroids` or the seeded sampler. */
+  def buildIvfIndex(
+      df: DataFrame,
+      nlist: Int = 16,
+      quantizerIters: Int = 6,
+      initCentroids: Option[Array[Array[Float]]] = None,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): IvfIndex = {
+    import graft.kmeans.{KMeans, KMeansParams}
+    val model = KMeans.fit(
+      df.select(col(embCol).as("features")),
+      KMeansParams(k = nlist, threshold = 1e-4, maxLoop = quantizerIters + 1,
+        initCentroids = initCentroids))
+    val assigned = df
+      .select(col(idCol), col(embCol))
+      .withColumn("cell", assignCol(col(embCol), model.centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(model.centroids, assigned, idCol, embCol)
+  }
+
+  /** One-shot IVF ANN (build + single probe). For repeated queries,
+    * [[buildIvfIndex]] once and [[IvfIndex.probe]] per query — the
+    * quantizer fit and assignment are NOT re-run per probe. */
   def ivfTopK(
       df: DataFrame,
       query: Array[Float],
@@ -111,22 +200,9 @@ object Similarity {
       initCentroids: Option[Array[Array[Float]]] = None,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    import graft.kmeans.{KMeans, KMeansParams}
-    val model = KMeans.fit(
-      df.select(col(embCol).as("features")),
-      KMeansParams(k = nlist, threshold = 1e-4, maxLoop = quantizerIters + 1,
-        initCentroids = initCentroids))
-    val cents = model.centroids
-    val probed = cents.zipWithIndex
-      .sortBy { case (c, i) => (sqdist(query, c), i) }
-      .take(nprobe).map(_._2)
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(cents)
-    val cellU = udf((e: Seq[Float]) => argminCentroid(e.toArray, bc.value))
-    df.where(cellU(col(embCol)).isin(probed.map(Integer.valueOf): _*))
-      .select(col(idCol), dotWithQuery(col(embCol), query).as("score"))
-      .orderBy(desc("score"), col(idCol))
-      .limit(k)
+    val index = buildIvfIndex(df, nlist, quantizerIters, initCentroids,
+      idCol, embCol)
+    index.probe(query, k, nprobe)
   }
 
   /** All-pairs exact cosine similarity above a threshold, for a bounded

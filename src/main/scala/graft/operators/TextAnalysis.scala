@@ -63,14 +63,17 @@ object TextAnalysis {
   val langsOrdered: Seq[String] = langMarkers.keys.toSeq.sorted
 
   /** Argmax language classifier: the first language (in [[langsOrdered]])
-    * whose marker score equals the max. Pure Column expression. */
+    * whose marker score equals the max. Pure Column expression, shaped
+    * as `array_max` over (score, −index, lang) structs so every score
+    * expression is evaluated exactly ONCE per row (the CASE-chain form
+    * embeds each score in `greatest` plus every branch); struct ordering
+    * is lexicographic, so the max is (highest score, lowest index) —
+    * identical first-wins tie semantics. */
   def detectLang(text: Column): Column = {
-    val scores = langsOrdered.map(l => langScore(text, l))
-    val g = greatest(scores: _*)
-    langsOrdered.zip(scores).reverse
-      .foldLeft(lit("und")) { case (acc, (l, s)) =>
-        when(s === g, lit(l)).otherwise(acc)
-      }
+    val entries = langsOrdered.zipWithIndex.map { case (l, i) =>
+      struct(langScore(text, l).as("s"), lit(-i).as("ni"), lit(l).as("lang"))
+    }
+    array_max(array(entries: _*)).getField("lang")
   }
 
   /** DuckDB SQL equivalent of [[detectLang]] over column `text` —

@@ -119,8 +119,17 @@ object EventWindows {
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
   }
 
-  /** Per-user hourly windowed counts with a watermark (the state-cleanup
-    * path an unbounded deployment needs). */
+  /** Per-user hourly windowed counts with a watermark — in **update**
+    * output mode, where the watermark actually governs state: windows
+    * older than (max event time − 2h) are finalized and their state
+    * evicted each trigger, which is the unbounded-deployment path
+    * (complete mode would silently ignore the watermark and retain all
+    * window state forever).
+    *
+    * The memory sink in update mode receives one row per window-key per
+    * trigger that changed it; the per-key count is monotonically
+    * non-decreasing, so `max` collapses the update log to each window's
+    * final value (a single-batch run emits each key exactly once). */
   def hourlyPerUser(spark: SparkSession, dir: String): DataFrame = {
     val stream = eventsStream(spark, dir)
     val agg = stream
@@ -129,14 +138,15 @@ object EventWindows {
       .agg(count(lit(1)).as("n_events"))
     val name = s"graft_events_user_${counter.incrementAndGet()}"
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .format("memory")
       .queryName(name)
       .start()
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
-      .select(unix_timestamp(col("w.start")).as("hour_epoch"),
-        col("user_id"), col("n_events"))
+      .groupBy(unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
   }
 }

@@ -31,4 +31,33 @@ class CliSpec extends SparkSpec {
     val m = Main.parse(Array("-Din", "/x", "-Dk", "7", "--seed", "9"))
     assert(m === Map("in" -> "/x", "k" -> "7", "seed" -> "9"))
   }
+
+  test("dangling flag raises a usage error instead of AIOOBE") {
+    val e = intercept[IllegalArgumentException] {
+      Main.parse(Array("-Din", "/x", "-Dk"))
+    }
+    assert(e.getMessage.contains("-Dk"))
+    assert(e.getMessage.contains("usage:"))
+  }
+
+  test("--engine mllib runs the MLlib adapter through the same CLI") {
+    val dir = java.nio.file.Files.createTempDirectory("cli-ml").toFile
+    val in = new java.io.File(dir, "points.txt")
+    java.nio.file.Files.writeString(in.toPath,
+      "0.0,0.0\n0.0,2.0\n10.0,0.0\n10.0,2.0\n")
+    val initF = new java.io.File(dir, "init.csv")
+    java.nio.file.Files.writeString(initF.toPath, "0.0,0.0\n10.0,2.0\n")
+    val out = new java.io.File(dir, "out")
+
+    Main.main(Array(
+      "-Din", in.getAbsolutePath, "-Dout", out.getAbsolutePath,
+      "-Dk", "2", "-Dthresh", "0.001", "-Dmaxloop", "20",
+      "-Dresult", "result.txt", "--init", initF.getAbsolutePath,
+      "--engine", "mllib"))
+
+    val result = java.nio.file.Files.readString(
+      new java.io.File(out, "result.txt").toPath)
+    // MLlib (f64, unrounded) lands on the same pair means here
+    assert(result.linesIterator.toSet === Set("0.0,1.0", "10.0,1.0"))
+  }
 }

@@ -41,4 +41,53 @@ class AsOfSpec extends SparkSpec {
       assert(r.getInt(3) === r.getLong(1).toInt * 2)
     }
   }
+
+  test("joinAsOf tolerates input columns named like its internals") {
+    import spark.implicits._
+    // the left schema squats on _k/_t/_tag/_salt — the operator must
+    // generate collision-free internal names
+    val events = Seq(
+      (1L, 100L, 5L, "x"), (2L, 100L, 30L, "y")
+    ).toDF("_k", "_t", "_tag", "_salt")
+    val state = Seq((100L, 10L, "a")).toDF("k", "t", "v")
+    val got = AsOf.joinAsOf(events, state, "_t", "k", "_tag", "t", Seq("v"))
+      .orderBy("_k")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(4)))
+      .toSeq
+    assert(got === Seq(1L -> None, 2L -> Some("a")))
+  }
+
+  test("right-side (key,time) duplicates resolve deterministically") {
+    import spark.implicits._
+    val events = Seq((1L, 100L, 50L)).toDF("event_id", "k", "t")
+    // two right rows tied on (key, time): greatest payload struct wins,
+    // independent of input order
+    val state1 = Seq((100L, 10L, "a"), (100L, 10L, "b")).toDF("k", "t", "v")
+    val state2 = Seq((100L, 10L, "b"), (100L, 10L, "a")).toDF("k", "t", "v")
+    Seq(state1, state2).foreach { st =>
+      val got = AsOf.joinAsOf(events, st, "k", "k", "t", "t", Seq("v"))
+        .collect().map(_.getString(3)).toSeq
+      assert(got === Seq("b"))
+    }
+  }
+
+  test("salted sweep equals unsalted on a skewed hot key") {
+    import spark.implicits._
+    // 1000 events on ONE key — the skew case salting is for
+    val events = (0 until 1000).map(i => (i.toLong, 7L, (i % 97).toLong))
+      .toDF("event_id", "k", "t")
+    val state = Seq((7L, 10L, "lo"), (7L, 50L, "hi")).toDF("k", "t", "v")
+    def run(s: Int) =
+      AsOf.joinAsOf(events, state, "k", "k", "t", "t", Seq("v"),
+          saltBuckets = s)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    val plain = run(1)
+    val salted = run(4)
+    assert(plain.size === 1000)
+    assert(salted === plain)
+    // spot-check semantics: t<10 -> none, 10<=t<50 -> lo, t>=50 -> hi
+    assert(plain(5L) === None && plain(20L) === Some("lo") &&
+      plain(60L) === Some("hi"))
+  }
 }

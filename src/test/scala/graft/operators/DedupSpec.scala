@@ -71,6 +71,53 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("simhash pigeonhole banding recall equals brute-force Hamming pairs") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxH = 12
+    val fp = df.select(col("doc_id").as("id"), simhash(col("text")).as("fp"))
+    val brute = fp.toDF("id_a", "fp_a")
+      .crossJoin(fp.toDF("id_b", "fp_b"))
+      .where(col("id_a") < col("id_b"))
+      .where(hamming(col("fp_a"), col("fp_b")) <= maxH)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = simhashPairs(df, maxHamming = maxH)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "corpus must contain pairs within the radius")
+    // pigeonhole banding: ≤ maxH differing bits cannot touch all
+    // maxH+1 bands, so candidate recall (and hence final recall after
+    // the exact Hamming filter) is 1 — not probabilistic
+    assert(banded === brute)
+  }
+
+  test("banded LSH near-dup equals brute force on planted near-dups") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") < 100)
+    // plant near-dups: per-element gaussian noise, deterministic seed
+    val rnd = new scala.util.Random(9)
+    val pert = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+        .map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+      (r.getLong(0) + 1000L, v)
+    }.toSeq.toDF("vec_id", "embedding")
+    val union = emb.union(pert)
+    val brute = Similarity.bruteForcePairs(union, 0.98)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = lshNearDupPairs(union, 0.98, nBands = 6, planesPerBand = 8,
+        seed = 33L)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 90, s"planted pairs should survive, got ${brute.size}")
+    // precision is exact by construction (post-verify); recall on
+    // near-parallel pairs is 1 - (1-p^8)^6 with p ≈ 1 - θ/π ≈ 0.99
+    assert(lsh === brute)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

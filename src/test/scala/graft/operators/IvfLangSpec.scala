@@ -24,6 +24,27 @@ class IvfSpec extends SparkSpec {
     assert(ivf.map(_._1).contains(5L))
   }
 
+  test("IVF index built once serves repeated probes without re-fitting") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = emb.orderBy("vec_id").limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val index = Similarity.buildIvfIndex(emb, nlist = 4,
+      initCentroids = Some(init))
+    try {
+      Seq(5L, 17L).foreach { qid =>
+        val q = emb.where(col("vec_id") === qid).select(col("embedding"))
+          .head().getSeq[Float](0).toArray
+        val viaIndex = index.probe(q, 10, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val oneShot = Similarity.ivfTopK(emb, q, 10, nlist = 4, nprobe = 2,
+            initCentroids = Some(init))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(viaIndex === oneShot, s"probe for query $qid diverged")
+      }
+    } finally index.unpersist()
+  }
+
   test("ivfTopK with nprobe = nlist equals exact brute-force top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select(col("embedding"))
