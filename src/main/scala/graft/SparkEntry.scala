@@ -95,6 +95,73 @@ object SparkEntry {
     s"CAST(floor(CAST(CAST(CAST($m AS FLOAT)*CAST(100000 AS FLOAT) AS FLOAT)" +
       "+CAST(0.5 AS FLOAT) AS DOUBLE)) AS FLOAT)/CAST(100000 AS FLOAT)"
 
+  private def sqlSqDistCols(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))" +
+      "*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))))"
+
+  /** Recursive-CTE DuckDB replica of `KMeans.fit` over the embeddings
+    * table with init = first `k` rows by vec_id (the exact fit the q30 /
+    * q40 Spark paths run). Produces a CTE named `iter` with columns
+    * (it, cluster, c FLOAT[dim], max_moved); the fit result is the rows
+    * at `it = max(it)`.
+    *
+    * Bit-parity argument, inductively per iteration: distances are the
+    * same double folds over identical f32 centroids (list_sum ≡ VecDot
+    * fold, proven by q16); the per-cluster-per-dim double sums differ
+    * between engines only in summation order (≤ ~1e-12 relative), which
+    * the f32 5-dp `meanRounded5` rounding absorbs — so each iteration's
+    * new centroids are bit-identical floats, and the recursion carries
+    * no drift. Convergence (`<= threshold` on Euclidean movement) and
+    * the maxLoop M−1 semantics (`it <= maxIter`) mirror Main.java:
+    * 205-220, 303-305. Empty cluster keeps its previous centroid
+    * (coalesce — the engine's documented divergence). */
+  private def sqlKMeansIterCte(
+      k: Int, dim: Int, maxIter: Int, threshold: Double): String = {
+    s"""iter AS (
+       |  SELECT 0 AS it,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+       |    embedding AS c, 1e18 AS max_moved
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT $k)
+       |  UNION ALL
+       |  SELECT nxt.it, nxt.cluster, nxt.c, max(nxt.moved) OVER () AS max_moved
+       |  FROM (
+       |    SELECT old.it + 1 AS it, old.cluster,
+       |           coalesce(nm.c, old.c) AS c,
+       |           CASE WHEN nm.c IS NULL THEN 0.0
+       |                ELSE sqrt(${sqlSqDistCols("old.c", "nm.c")}) END AS moved
+       |    FROM iter old
+       |    LEFT JOIN (
+       |      SELECT cluster,
+       |             list(${sqlMeanRounded5("sv/cnt")} ORDER BY i) AS c
+       |      FROM (
+       |        SELECT a.cluster, r.i,
+       |               sum(CAST(a.embedding[r.i+1] AS DOUBLE)) AS sv,
+       |               count(*) AS cnt
+       |        FROM (
+       |          SELECT p.embedding, d.cluster
+       |          FROM embeddings p
+       |          CROSS JOIN LATERAL (
+       |            SELECT w.cluster FROM iter w
+       |            ORDER BY ${sqlSqDistCols("p.embedding", "w.c")}, w.cluster
+       |            LIMIT 1
+       |          ) d
+       |        ) a CROSS JOIN range(0, $dim) r(i)
+       |        GROUP BY a.cluster, r.i
+       |      ) GROUP BY cluster
+       |    ) nm ON nm.cluster = old.cluster
+       |  ) nxt
+       |  WHERE nxt.it <= $maxIter
+       |    AND (SELECT max(max_moved) FROM iter) > $threshold
+       |)""".stripMargin
+  }
+
+  /** DuckDB dot product of two FLOAT[] expressions — VecDot's fold. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+
   /** Flagship query on sf=0.001: full K-Means fit on the embeddings
     * table (the reference's entire pipeline, SURVEY §3.1) → centroids. */
   def entry(spark: SparkSession): DataFrame = {
@@ -482,10 +549,15 @@ object SparkEntry {
         .orderBy("cluster", "dim_idx")
     }),
 
-    // Text: document fingerprinting + BPE-ish token estimate
+    // Text: document fingerprinting + BPE-ish token estimate. The query
+    // emits the md5 fingerprint twin because DuckDB has no xxhash64 to
+    // compare against; the production 8-byte xxhash64 form
+    // (TextAnalysis.fingerprint) is spec-verified for determinism and
+    // exercised by q09's dedup shuffle key.
     "q39_fingerprint" -> ((s, dir) => {
       T(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
           TextAnalysis.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")
     }))
@@ -664,6 +736,55 @@ object SparkEntry {
          |count(*) AS n_docs FROM documents
          |GROUP BY 1 ORDER BY detected""".stripMargin,
 
+    // the reference's entire pipeline (Main.java:301-343) as a DuckDB
+    // recursive CTE — 19-iteration Lloyd fixpoint, bit-exact (see
+    // sqlKMeansIterCte for the parity argument)
+    "q30_kmeans_fit" ->
+      s"""WITH RECURSIVE ${sqlKMeansIterCte(8, 64, 19, 1e-3)}
+         |SELECT cluster, CAST(r.i AS INT) AS dim_idx, c[r.i+1] AS cent_val
+         |FROM iter, range(0, 64) r(i)
+         |WHERE it = (SELECT max(it) FROM iter)
+         |ORDER BY cluster, dim_idx""".stripMargin,
+
+    // LSH bucket membership + exact re-rank, with the 6 hyperplanes
+    // inlined (generated from the same seed-derived planes the Spark
+    // path uses — dot-sign bucket arithmetic is identical)
+    "q35_ann_lsh" -> {
+      val planes = Similarity.hyperplanes(42L, 6, 64)
+      def bucketExpr(c: String): String =
+        planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN ${sqlDot(c, sqlVec(p))} >= 0.0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT e.vec_id, ${sqlDot("e.embedding", "q.qe")} AS score,
+         |${bucketExpr("e.embedding")} AS bkt
+         |FROM embeddings e, q),
+         |qb AS (SELECT ${bucketExpr("q.qe")} AS bkt FROM q)
+         |SELECT vec_id, score FROM b, qb WHERE b.bkt = qb.bkt
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // IVF: the same recursive-CTE quantizer fit (6 iterations, thresh
+    // 1e-4), then probe the 3 cells nearest the query and re-rank
+    "q40_ann_ivf" ->
+      s"""WITH RECURSIVE ${sqlKMeansIterCte(8, 64, 6, 1e-4)},
+         |cents AS (SELECT cluster, c FROM iter
+         |          WHERE it = (SELECT max(it) FROM iter)),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |probed AS (SELECT cents.cluster FROM cents, q
+         |  ORDER BY ${sqlSqDistCols("q.qe", "cents.c")}, cents.cluster
+         |  LIMIT 3),
+         |assigned AS (
+         |  SELECT p.vec_id, p.embedding, d.cluster
+         |  FROM embeddings p
+         |  CROSS JOIN LATERAL (
+         |    SELECT c2.cluster FROM cents c2
+         |    ORDER BY ${sqlSqDistCols("p.embedding", "c2.c")}, c2.cluster
+         |    LIMIT 1) d)
+         |SELECT a.vec_id, ${sqlDot("a.embedding", "q.qe")} AS score
+         |FROM assigned a JOIN probed USING (cluster), q
+         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+
     // generated from hpCents — argmin CASE chain identical in shape and
     // arithmetic to VectorFunctions.assignCol (see hpAssignSql)
     "q31_kmeans_label" ->
@@ -770,6 +891,12 @@ object SparkEntry {
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT)
         |AS hour_epoch, user_id, count(*) AS n_events
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q39_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |CAST(len(regexp_extract_all(text, '[^\s.,!?;:]+|[.,!?;:]', 0))
+        |AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline

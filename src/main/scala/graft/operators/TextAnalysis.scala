@@ -94,13 +94,22 @@ object TextAnalysis {
 
   /** Rolling polynomial fingerprint of the full text (deterministic
     * 64-bit document hash) — document-level fingerprinting primitive.
-    * Uses Spark's xxhash64 (codegen'd, stable across runs/clusters). */
+    * Uses Spark's xxhash64 (codegen'd, stable across runs/clusters) —
+    * the scale path: an 8-byte key through every downstream shuffle. */
   def fingerprint(text: Column): Column = xxhash64(text)
 
-  /** BPE-ish token estimate: splits on whitespace AND punctuation
-    * boundaries, approximating subword segmentation cheaply. */
+  /** Cross-engine-verifiable fingerprint twin: MD5 hex digest, identical
+    * in any engine (DuckDB `md5()` ≡ Spark `md5()`), at 32 bytes/key.
+    * Exists so the fingerprinting operator has a hash-exact oracle;
+    * [[fingerprint]] remains the production form. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** BPE-ish token estimate: a token is a maximal run of
+    * non-space/non-punctuation characters, or a single punctuation
+    * mark — approximating subword segmentation cheaply. Expressed as a
+    * match count (not a lookaround split) so it is portable to RE2
+    * engines (DuckDB oracle parity). */
   def tokenCountBpeIsh(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
-      .otherwise(
-        size(split(trim(text), "\\s+|(?=[.,!?;:])|(?<=[.,!?;:])")).cast("long"))
+    size(regexp_extract_all(text, lit("[^\\s.,!?;:]+|[.,!?;:]"), lit(0)))
+      .cast("long")
 }
