@@ -460,9 +460,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs
+    // SimHash near-dup pairs via pigeonhole banding (recall 1 at the
+    // chosen radius — DedupSpec proves it against brute force). Radius
+    // 6 ≈ 10% differing bits, the realistic near-dup band; banding
+    // cost scales with Σ bucket² so radius is the scale knob.
     "q34_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(T(s, dir, "documents"), maxHamming = 12)
+      Dedup.simhashPairs(T(s, dir, "documents"), maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
 

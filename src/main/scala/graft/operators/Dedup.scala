@@ -311,12 +311,15 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val nBands = maxHamming + 1
     val bounds = (0 to nBands).map(b => b * 64 / nBands)
+    // band id is folded into the bucket key's high bits so the join key
+    // is ONE flat 64-bit column (a struct key forces a slower
+    // non-codegen comparator through the exchange/join)
     val bandCols = (0 until nBands).map { b =>
       val lo = bounds(b)
       val w = bounds(b + 1) - lo
       val mask = if (w == 64) -1L else (1L << w) - 1L
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("bv"))
+      shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask))
+        .bitwiseOR(lit(b.toLong << 56))
     }
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val banded = fp.select(col("id"), col("fp"),
@@ -326,10 +329,13 @@ object Dedup {
     val b = banded.select(col("bk").as("bk_b"), col("id").as("id_b"),
       col("fp").as("fp_b"))
     a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+      .where(hamming(col("fp_a"), col("fp_b")) <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .join(fp.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(fp.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         hamming(col("fp_a"), col("fp_b")).as("dist"))
-      .where(col("dist") <= maxHamming)
-      .distinct()
   }
 
   // ------------------------------------------- embedding cosine near-dup
