@@ -187,6 +187,41 @@ object Similarity {
     IvfIndex(model.centroids, assigned, idCol, embCol)
   }
 
+  /** Persist an IVF index to disk: the assignment table is written as
+    * parquet **partitioned by cell**, so probes against the re-read
+    * index touch only the probed cells' files (partition pruning at the
+    * source — the 100 TB deployment shape, where nprobe/nlist of the
+    * corpus is read per query instead of a full scan + filter). The
+    * centroids ride along as a k-row parquet. */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/assigned")
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Re-open a persisted IVF index. Probes on the result prune to the
+    * probed cell partitions (assert-able via PartitionFilters in the
+    * scan node). */
+  def readIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cluster", "centroid")
+      .orderBy("cluster")
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    IvfIndex(cents, spark.read.parquet(s"$path/assigned"), idCol, embCol)
+  }
+
   /** One-shot IVF ANN (build + single probe). For repeated queries,
     * [[buildIvfIndex]] once and [[IvfIndex.probe]] per query — the
     * quantizer fit and assignment are NOT re-run per probe. */

@@ -37,23 +37,35 @@ object EventWindows {
 
   def hourlyByType(spark: SparkSession, dir: String): DataFrame = {
     val stream = eventsStream(spark, dir)
+    // update mode + watermark: window state older than (max event time −
+    // 2h) is evicted each trigger — the unbounded-deployment shape
+    // (complete mode would ignore the watermark and hold every window
+    // forever). The memory sink collects the update log; the row with
+    // the highest n_events per key is the LATEST update (the count is
+    // strictly increasing across updates), so the struct-max collapse
+    // returns each window's final (count, sum) pair — exact for any
+    // batch split, not just the single-batch verification run.
     val agg = stream
+      .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
     val name = s"graft_events_hourly_${counter.incrementAndGet()}"
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .format("memory")
       .queryName(name)
       .start()
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
-      .select(
-        unix_timestamp(col("w.start")).as("hour_epoch"),
-        col("event_type"), col("n_events"), col("sum_value"))
+      .groupBy(unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("event_type"))
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
+      .select(col("hour_epoch"), col("event_type"),
+        col("last.n_events").as("n_events"),
+        col("last.sum_value").as("sum_value"))
   }
 
   /** Stateful sessionization via `flatMapGroupsWithState`: split each

@@ -60,4 +60,23 @@ class PlanSpec extends SparkSpec {
     assert(exchangeIdx > 0, p)
     assert(p.contains("xxhash64"), p)
   }
+
+  test("q34: SimHash band candidates join as a hash join on a flat key, not BNLJ") {
+    val p = plan("q34_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
+  test("q42: banded-LSH candidate join avoids the all-pairs nested loop") {
+    val p = plan("q42_embed_neardup_lsh")
+    // the candidate generation must be an equi-join on (band, bucket);
+    // only the final verify re-attach may broadcast the small sides
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q31: small-k assignment is the codegen'd VecSqDist chain, no UDF") {
+    val p = plan("q31_kmeans_label")
+    assert(p.contains("vec_sqdist"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
 }

@@ -45,6 +45,37 @@ class IvfSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("persisted IVF index: probes match and prune to probed cell partitions") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = emb.orderBy("vec_id").limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val q = emb.where(col("vec_id") === 5).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val built = Similarity.buildIvfIndex(emb, nlist = 4,
+      initCentroids = Some(init))
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    try {
+      Similarity.writeIvfIndex(built, dir)
+      val reopened = Similarity.readIvfIndex(spark, dir)
+      assert(reopened.centroids.map(_.toSeq).toSeq ===
+        built.centroids.map(_.toSeq).toSeq)
+      val inMem = built.probe(q, 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromDisk = reopened.probe(q, 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fromDisk === inMem)
+      // the probe filter must reach the scan as a PARTITION filter —
+      // only the probed cells' files are read
+      val plan = reopened.probe(q, 10, nprobe = 2)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val partLine = plan.linesIterator
+        .find(_.contains("PartitionFilters")).getOrElse("")
+      assert(partLine.contains("cell"), plan)
+    } finally built.unpersist()
+  }
+
   test("ivfTopK with nprobe = nlist equals exact brute-force top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select(col("embedding"))
