@@ -552,6 +552,19 @@ object SparkEntry {
         .orderBy("cluster", "dim_idx")
     }),
 
+    // Skew-resistant salted equi-join (operators.Joins): the hot-key
+    // pattern AQE can't always fix — result must equal the plain join,
+    // which is exactly what the oracle checks
+    "q43_salted_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = T(s, dir, "orders").where(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      operators.Joins.saltedJoin(li, ord, "l_orderkey", saltFactor = 8)
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy("y")
+    }),
+
     // Text: document fingerprinting + BPE-ish token estimate. The query
     // emits the md5 fingerprint twin because DuckDB has no xxhash64 to
     // compare against; the production 8-byte xxhash64 form
@@ -894,6 +907,12 @@ object SparkEntry {
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT)
         |AS hour_epoch, user_id, count(*) AS n_events
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q43_salted_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n_lines,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 100000.0 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q39_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
