@@ -83,6 +83,12 @@ object Main {
       java.nio.file.Paths.get(out, result).toString)
 
     val labeled = model.transform(points)
+    // --labels <dir>: persist the labeled dataset (SURVEY §3.3 — the
+    // reference computes labels but never writes them)
+    opts.get("labels").foreach { dir =>
+      graft.sources.LabeledWriter.write(labeled, dir,
+        format = opts.getOrElse("labels-format", "parquet"))
+    }
     val dbi = Dbi.compute(labeled, model.centroids)
 
     // same observables as the reference driver (Main.java:362-364)
@@ -111,5 +117,6 @@ object Main {
   private val usage =
     "usage: -Din <file> -Dout <dir> [-Dlines n] [-Dresult f] [-Dk 3] " +
       "[-Dthresh 0.001] [-Dmaxloop 50] [-DNumReduceTask 1] " +
-      "[--seed 42] [--init <csv>] [--engine native|mllib]"
+      "[--seed 42] [--init <csv>] [--engine native|mllib] " +
+      "[--labels <dir>] [--labels-format parquet|csv]"
 }

@@ -81,6 +81,37 @@ object PointReader {
   }
 }
 
+/** SURVEY §3.3: labeled-output sink — the artifact the reference
+  * computes but never persists (labels live only in driver memory,
+  * Main.java:345-355, and are dropped after the DBI print). At scale
+  * this is THE product of a clustering run, so it gets a real
+  * distributed sink:
+  *
+  *   - `parquet` (default): written partitioned by `cluster`, so every
+  *     per-segment consumer prunes to its own cluster's files;
+  *   - `csv`: the reference's line format with the label appended
+  *     (`c1,c2,...,cluster`), distributed text write.
+  */
+object LabeledWriter {
+  def write(
+      labeled: DataFrame,
+      path: String,
+      format: String = "parquet",
+      featuresCol: String = "features",
+      clusterCol: String = "cluster"): Unit = format match {
+    case "parquet" =>
+      labeled.write.partitionBy(clusterCol).mode("overwrite").parquet(path)
+    case "csv" =>
+      labeled
+        .select(concat_ws(",",
+          concat(transform(col(featuresCol), _.cast("string")),
+            array(col(clusterCol).cast("string")))).as("value"))
+        .write.mode("overwrite").text(path)
+    case other =>
+      throw new IllegalArgumentException(s"unknown labeled format '$other'")
+  }
+}
+
 /** S7 (SURVEY §2.1): final-centroid sink in the reference's exact line
   * format — one `c1,c2,...` comma-joined float line per centroid
   * (`writeFinalResult`, Main.java:222-236; float rendering per

@@ -40,6 +40,28 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("usage:"))
   }
 
+  test("--labels writes the labeled dataset (csv reference line format)") {
+    val dir = java.nio.file.Files.createTempDirectory("cli-lbl").toFile
+    val in = new java.io.File(dir, "points.txt")
+    java.nio.file.Files.writeString(in.toPath,
+      "0.0,0.0\n0.0,2.0\n10.0,0.0\n10.0,2.0\n")
+    val initF = new java.io.File(dir, "init.csv")
+    java.nio.file.Files.writeString(initF.toPath, "0.0,0.0\n10.0,2.0\n")
+    val out = new java.io.File(dir, "out")
+    val lbl = new java.io.File(dir, "labels")
+
+    Main.main(Array(
+      "-Din", in.getAbsolutePath, "-Dout", out.getAbsolutePath,
+      "-Dk", "2", "-Dthresh", "0.001", "-Dmaxloop", "20",
+      "--init", initF.getAbsolutePath,
+      "--labels", lbl.getAbsolutePath, "--labels-format", "csv"))
+
+    val lines = lbl.listFiles().filter(_.getName.startsWith("part-"))
+      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).toArray)
+      .map(_.toString).toSet
+    assert(lines === Set("0.0,0.0,0", "0.0,2.0,0", "10.0,0.0,1", "10.0,2.0,1"))
+  }
+
   test("--engine mllib runs the MLlib adapter through the same CLI") {
     val dir = java.nio.file.Files.createTempDirectory("cli-ml").toFile
     val in = new java.io.File(dir, "points.txt")

@@ -72,6 +72,36 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("random as-of joins match a sequential oracle (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    (1 to 5).foreach { _ =>
+      val events = (0 until 200).map(i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(50).toLong))
+      val state = (0 until 30).map(_ =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(50).toLong, rnd.nextInt(100)))
+      // sequential oracle: latest state at/before t; (key,time) dupes
+      // resolve to the max payload (the operator's documented reduction)
+      def oracle(k: Long, t: Long): Option[Int] = {
+        val c = state.filter(s => s._1 == k && s._2 <= t)
+        if (c.isEmpty) None
+        else {
+          val tm = c.map(_._2).max
+          Some(c.filter(_._2 == tm).map(_._3).max)
+        }
+      }
+      val got = AsOf.joinAsOf(
+          events.toDF("event_id", "k", "t"), state.toDF("k", "t", "v"),
+          "k", "k", "t", "t", Seq("v"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getInt(3))))
+        .toMap
+      events.foreach { case (id, k, t) =>
+        assert(got(id) === oracle(k, t), s"event $id key $k t $t")
+      }
+    }
+  }
+
   test("salted sweep equals unsalted on a skewed hot key") {
     import spark.implicits._
     // 1000 events on ONE key — the skew case salting is for
