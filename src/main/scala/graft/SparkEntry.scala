@@ -552,6 +552,14 @@ object SparkEntry {
         .orderBy("cluster", "dim_idx")
     }),
 
+    // Streaming model scoring (SURVEY §7.5): label a streaming vector
+    // feed against broadcast centroids, running per-cluster counts.
+    // Same fixture as q31, so the oracle is the same generated CASE
+    // chain — batch and streaming labeling must agree exactly.
+    "q44_stream_assign" -> ((s, dir) => {
+      EventWindows.streamAssignCounts(s, dir, hpCents).orderBy("cluster")
+    }),
+
     // Skew-resistant salted equi-join (operators.Joins): the hot-key
     // pattern AQE can't always fix — result must equal the plain join,
     // which is exactly what the oracle checks
@@ -907,6 +915,11 @@ object SparkEntry {
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT)
         |AS hour_epoch, user_id, count(*) AS n_events
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q44_stream_assign" ->
+      s"""WITH ${hpAssignSql("vec_id")}
+         |SELECT cluster, count(*) AS n FROM a_
+         |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "q43_salted_join" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n_lines,

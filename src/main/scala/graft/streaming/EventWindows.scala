@@ -131,6 +131,41 @@ object EventWindows {
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
   }
 
+  /** Streaming model scoring (SURVEY §7.5: streaming J1 against a
+    * broadcast model): the embeddings table driven as a file stream,
+    * every arriving vector labeled with its nearest centroid via the
+    * codegen'd assignment chain — a pure narrow map on the stream, no
+    * state — then a running per-cluster count (update mode; the tiny
+    * k-row state needs no watermark to stay bounded). This is the
+    * deployment shape for scoring an unbounded feed against a fitted
+    * model: the model is a plan constant, re-deployed by restarting the
+    * query with new centroids. */
+  def streamAssignCounts(
+      spark: SparkSession,
+      dir: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val agg = stream
+      .select(graft.functions.VectorFunctions
+        .assignCol(col("embedding"), centroids).as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"graft_stream_assign_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy(col("cluster"))
+      .agg(max(col("n")).as("n")) // count is monotone; max = final value
+  }
+
   /** Per-user hourly windowed counts with a watermark — in **update**
     * output mode, where the watermark actually governs state: windows
     * older than (max event time − 2h) are finalized and their state
