@@ -560,6 +560,18 @@ object SparkEntry {
       EventWindows.streamAssignCounts(s, dir, hpCents).orderBy("cluster")
     }),
 
+    // Stream-static enrichment join (no stream state for the join —
+    // the static dim broadcasts per micro-batch)
+    "q45_stream_enrich" -> ((s, dir) => {
+      EventWindows.streamEnrichByNation(s, dir).orderBy("c_nationkey")
+    }),
+
+    // Streaming exact dedup at ingest: dropDuplicates on the 8-byte
+    // text fingerprint (the streaming analog of q09's dedup shuffle)
+    "q46_stream_dedup" -> ((s, dir) => {
+      EventWindows.streamDedupCount(s, dir).orderBy("shard")
+    }),
+
     // Skew-resistant salted equi-join (operators.Joins): the hot-key
     // pattern AQE can't always fix — result must equal the plain join,
     // which is exactly what the oracle checks
@@ -920,6 +932,17 @@ object SparkEntry {
       s"""WITH ${hpAssignSql("vec_id")}
          |SELECT cluster, count(*) AS n FROM a_
          |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q45_stream_enrich" ->
+      """SELECT c_nationkey, count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q46_stream_dedup" ->
+      """SELECT CAST(length(text) % 16 AS INT) AS shard,
+        |count(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q43_salted_join" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n_lines,

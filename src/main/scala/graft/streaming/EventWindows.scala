@@ -19,6 +19,36 @@ object EventWindows {
 
   private val counter = new AtomicInteger(0)
 
+  /** Run a streaming frame synchronously to a memory table and return
+    * it. The stateful-operator partition count is pinned to
+    * `statePartitions` for the query (shuffle-partitions conf at query
+    * start, restored after): every state partition is a state-store
+    * instance with per-trigger open/commit cost, so the count should
+    * track key cardinality and executor count — these verification
+    * queries aggregate 4–5000 keys, where the session default (32+)
+    * only buys store-init overhead. An unbounded deployment sizes it
+    * up; it is fixed at the first trigger either way, which is why it
+    * is an explicit knob here. */
+  private def runToMemory(
+      spark: SparkSession,
+      frame: DataFrame,
+      mode: String,
+      statePartitions: Int): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = frame.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    spark.table(name)
+  }
+
   /** Tumbling-window aggregate per event_type: row count and value sum.
     * Window = 1 hour aligned to the epoch (matches `date_trunc('hour')`).
     * Sum goes through decimal so it is exact/associative — deterministic
@@ -51,15 +81,7 @@ object EventWindows {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
-    val name = s"graft_events_hourly_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    runToMemory(spark, agg, "update", statePartitions = 8)
       .groupBy(unix_timestamp(col("w.start")).as("hour_epoch"),
         col("event_type"))
       .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
@@ -118,16 +140,9 @@ object EventWindows {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(splitSessions)
 
-    val name = s"graft_sessions_${counter.incrementAndGet()}"
-    val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    runToMemory(spark,
+        sessions.toDF("user_id", "start_us", "end_us", "n_events"),
+        "append", statePartitions = 16)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
   }
 
@@ -153,17 +168,57 @@ object EventWindows {
         .assignCol(col("embedding"), centroids).as("cluster"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"))
-    val name = s"graft_stream_assign_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    runToMemory(spark, agg, "update", statePartitions = 4)
       .groupBy(col("cluster"))
       .agg(max(col("n")).as("n")) // count is monotone; max = final value
+  }
+
+  /** Stream-static enrichment join: the events stream joined to the
+    * static customer dimension (Spark broadcasts the static side per
+    * micro-batch — no stream state at all for this join type), then a
+    * per-nation running aggregate. The deployment shape for enriching
+    * an unbounded feed with slowly-changing dimensions. */
+  def streamEnrichByNation(spark: SparkSession, dir: String): DataFrame = {
+    val customers = graft.sources.Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val stream = eventsStream(spark, dir)
+      .join(customers, col("user_id") === col("c_custkey"))
+    val agg = stream
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+    runToMemory(spark, agg, "update", statePartitions = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
+      .select(col("c_nationkey"),
+        col("last.n_events").as("n_events"),
+        col("last.sum_value").as("sum_value"))
+  }
+
+  /** Streaming exact dedup at ingest: `dropDuplicates` on the 64-bit
+    * text fingerprint over the documents feed — the state store keeps
+    * one 8-byte key per distinct document, the streaming analog of the
+    * batch exact-dedup shuffle (q09). Emits the surviving distinct
+    * count per fingerprint-shard so the result is order-independent
+    * (which rows survive is first-arrival nondeterminism; how many is
+    * exact). */
+  def streamDedupCount(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    // state key = 8-byte fingerprint; the reported shard is a
+    // text-derived bucket (length mod 16) so the oracle can recompute
+    // it engine-independently (DuckDB has no xxhash64)
+    val deduped = stream
+      .select(xxhash64(col("text")).as("fp"),
+        pmod(length(col("text")), lit(16)).as("shard"))
+      .dropDuplicates("fp")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_distinct"))
+    runToMemory(spark, deduped, "update", statePartitions = 8)
+      .groupBy(col("shard"))
+      .agg(max(col("n_distinct")).as("n_distinct"))
   }
 
   /** Per-user hourly windowed counts with a watermark — in **update**
@@ -183,15 +238,7 @@ object EventWindows {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    val name = s"graft_events_user_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    runToMemory(spark, agg, "update", statePartitions = 16)
       .groupBy(unix_timestamp(col("w.start")).as("hour_epoch"),
         col("user_id"))
       .agg(max(col("n_events")).as("n_events"))
