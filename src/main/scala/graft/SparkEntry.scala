@@ -560,6 +560,35 @@ object SparkEntry {
       EventWindows.streamAssignCounts(s, dir, hpCents).orderBy("cluster")
     }),
 
+    // Exact interpolated percentiles per group (linear interpolation —
+    // the same definition as SQL quantile_cont). Exact percentile is
+    // memory-bound by per-group distinct values; at 100 TB the same
+    // query shape runs approx_percentile (t-digest) — exact is used
+    // here because it is cross-engine checkable to the bit.
+    "q47_percentile" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Statistical aggregates (variance/stddev/correlation). Their
+    // streaming double accumulation is summation-order-dependent at
+    // ~1e-12 relative, so both engines round to 6 dp — the determinism
+    // device for non-decimal-summable aggregates.
+    "q48_stats" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+        .orderBy("l_returnflag")
+    }),
+
     // Stream-static enrichment join (no stream state for the join —
     // the static dim broadcasts per micro-batch)
     "q45_stream_enrich" -> ((s, dir) => {
@@ -932,6 +961,20 @@ object SparkEntry {
       s"""WITH ${hpAssignSql("vec_id")}
          |SELECT cluster, count(*) AS n FROM a_
          |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q47_percentile" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q48_stats" ->
+      """SELECT l_returnflag,
+        |round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |round(var_samp(l_discount), 6) AS var_disc,
+        |round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q45_stream_enrich" ->
       """SELECT c_nationkey, count(*) AS n_events,
