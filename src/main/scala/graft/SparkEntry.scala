@@ -464,6 +464,12 @@ object SparkEntry {
     // chosen radius — DedupSpec proves it against brute force). Radius
     // 6 ≈ 10% differing bits, the realistic near-dup band; banding
     // cost scales with Σ bucket² so radius is the scale knob.
+    // PERMANENTLY rows-only in the harness: the SimHash kernel needs
+    // 64-bit WRAPPING multiply/add (FNV/splitmix mixing) per character,
+    // which DuckDB cannot express — its BIGINT arithmetic errors on
+    // overflow and it has no unsigned-wrap primitive — so no SQL oracle
+    // can exist; DedupSpec's banding ≡ brute-force-Hamming proof is the
+    // hard check instead.
     "q34_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(T(s, dir, "documents"), maxHamming = 6)
         .orderBy("id_a", "id_b")
@@ -563,8 +569,9 @@ object SparkEntry {
     // Exact interpolated percentiles per group (linear interpolation —
     // the same definition as SQL quantile_cont). Exact percentile is
     // memory-bound by per-group distinct values; at 100 TB the same
-    // query shape runs approx_percentile (t-digest) — exact is used
-    // here because it is cross-engine checkable to the bit.
+    // query shape runs approx_percentile — exercised as a first-class
+    // query by q52 (sketch vs exact, error-bounded oracle) and by
+    // ApproxSpec's error-bound + partial/final-plan assertions.
     "q47_percentile" -> ((s, dir) => {
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -625,6 +632,66 @@ object SparkEntry {
           TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
           TextAnalysis.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // Watermarked stream-stream inner join (click→purchase attribution
+    // within 30 min) — the last streaming deployment shape: bounded
+    // join state on both sides via watermark + time-range condition.
+    // Collapsed to per-user pair counts; oracle = the batch time-range
+    // self-join.
+    "q49_stream_join" -> ((s, dir) => {
+      EventWindows.streamClickPurchase(s, dir, windowMinutes = 30)
+        .orderBy("user_id")
+    }),
+
+    // Grouping sets: CUBE over nation × market segment (all four
+    // grouping combinations in one pass — Catalyst plans Expand +
+    // one aggregation, not four scans)
+    "q50_cube" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val n = broadcast(T(s, dir, "nation"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 2).as("sum_bal"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    }),
+
+    // Approx sketch tier as a HARD harness row: HLL++ distinct-count
+    // sketch (the 100 TB cardinality operator) next to the exact count,
+    // emitting the exact value plus a flag asserting the sketch landed
+    // within 5% (rsd 0.02 → ~2.5σ). Sketch internals are engine-
+    // specific and can never hash-match an oracle — the error BOUND
+    // can, so that is what the row checks. Deterministic: HLL++ is
+    // hash-based, no RNG. ApproxSpec asserts the partial/final split.
+    "q51_approx_distinct" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          when(abs(col("n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05, lit(1)).otherwise(lit(0))
+            .as("within_5pct"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // approx_percentile twin of q47, same error-bound device: the
+    // sketch must land within max(5%, 1.0) of the exact interpolated
+    // median (approx returns an actual data value, exact interpolates —
+    // the 1.0 floor covers the interpolation gap on integer-valued
+    // quantities).
+    "q52_approx_percentile" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_approx"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          when(abs(col("p50_approx") - col("p50_exact")) <=
+            greatest(col("p50_exact") * 0.05, lit(1.0)), lit(1))
+            .otherwise(lit(0)).as("within_bound"))
+        .orderBy("l_returnflag")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -998,6 +1065,37 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[^\s.,!?;:]+|[.,!?;:]', 0))
         |AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // batch equivalent of the watermarked stream-stream join: the
+    // verification input is single-batch (no late data), so the
+    // streaming pair set equals the batch time-range self-join exactly
+    "q49_stream_join" ->
+      """SELECT c.user_id AS user_id, count(*) AS n_pairs
+        |FROM events c JOIN events p
+        |ON c.user_id = p.user_id
+        |AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTES
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q50_cube" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_cust,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    // the oracle recomputes the exact side and expects the sketch to
+    // have landed in-bound (flag 1); the sketch value itself is not
+    // cross-engine comparable, its error is
+    "q51_approx_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
+        |1 AS within_5pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q52_approx_percentile" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.5) AS p50_exact, 1 AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline

@@ -66,10 +66,22 @@ object Main {
     // `--engine mllib` runs the sanctioned MLlib engine through the
     // exact same CLI (SURVEY §7.1 PR 4) — the cross-check oracle path.
     val model = engine match {
+      // maxloop ≤ 1 means the reference runs 0 iterations and returns
+      // the init centroids (the convergence check precedes the job,
+      // Main.java:303-305); MLlib clamps to ≥ 1 iteration, so route the
+      // degenerate case through the native init-only path instead of
+      // letting the engines diverge.
+      case "mllib" if maxloop <= 1 =>
+        KMeans.fit(points,
+          KMeansParams(k = k, threshold = thresh, maxLoop = maxloop,
+            seed = seed, initCentroids = init))
       case "mllib" =>
         val cents = graft.mllib.MLlibKMeansAdapter.fit(points, k = k,
           maxIter = maxloop - 1, tol = thresh, seed = seed,
           initCentroids = init)
+        // iterations/converged are PLACEHOLDERS for this engine: the
+        // mllib API does not expose its actual trajectory, so the model
+        // records the request (maxloop−1) rather than what MLlib ran.
         graft.kmeans.KMeansModel(cents, maxloop - 1, converged = true)
       case "native" =>
         KMeans.fit(points,

@@ -309,6 +309,12 @@ object Dedup {
       maxHamming: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // Pathological radii must fail loudly: maxHamming ≥ 32 gives sub-
+    // 2-bit bands whose buckets hold large fractions of the corpus, and
+    // at ≥ 64 some bands are zero-width (mask 0) — every fingerprint in
+    // one bucket, i.e. a full cross join wearing a banding costume.
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32), got $maxHamming")
     val nBands = maxHamming + 1
     val bounds = (0 to nBands).map(b => b * 64 / nBands)
     // band id is folded into the bucket key's high bits so the join key
@@ -328,14 +334,15 @@ object Dedup {
       col("fp").as("fp_a"))
     val b = banded.select(col("bk").as("bk_b"), col("id").as("id_b"),
       col("fp").as("fp_b"))
+    // a pair matching in m bands appears m times from the candidate
+    // join; the distance is a function of the pair, so carrying it
+    // through the distinct (24 bytes/row) dedups for free — no
+    // re-join against the fingerprint table needed
     a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
-      .where(hamming(col("fp_a"), col("fp_b")) <= maxHamming)
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-      .join(fp.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
-      .join(fp.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         hamming(col("fp_a"), col("fp_b")).as("dist"))
+      .where(col("dist") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------- embedding cosine near-dup

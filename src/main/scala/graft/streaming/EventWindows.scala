@@ -19,34 +19,55 @@ object EventWindows {
 
   private val counter = new AtomicInteger(0)
 
-  /** Run a streaming frame synchronously to a memory table and return
-    * it. The stateful-operator partition count is pinned to
-    * `statePartitions` for the query (shuffle-partitions conf at query
-    * start, restored after): every state partition is a state-store
-    * instance with per-trigger open/commit cost, so the count should
-    * track key cardinality and executor count — these verification
-    * queries aggregate 4–5000 keys, where the session default (32+)
-    * only buys store-init overhead. An unbounded deployment sizes it
-    * up; it is fixed at the first trigger either way, which is why it
-    * is an explicit knob here. */
+  /** Run a streaming frame synchronously to a memory table, collapse
+    * the sink to a driver-local relation, and drop the sink table.
+    *
+    * The frame is built against an isolated session clone
+    * (`spark.newSession()`: shared SparkContext and cache, own SQLConf
+    * and temp-view catalog), for two reasons:
+    *   - pinning the stateful-operator partition count never mutates
+    *     the caller's shuffle-partitions conf (concurrent batch queries
+    *     on the shared session would otherwise be planned with it);
+    *   - the memory-sink table cannot leak: it lives in the clone's
+    *     catalog and is dropped here after collection. (Before this,
+    *     one never-dropped `graft_stream_N` table per streaming call
+    *     accumulated in a long-lived bench JVM — 18 tables/pass — and
+    *     contaminated every query timed after the streaming block.)
+    *
+    * `statePartitions` sizes the state-store count: every state
+    * partition is a store instance with per-trigger open/commit cost,
+    * so the count should track key cardinality and core count. An
+    * unbounded deployment sizes it up; it is fixed at the first
+    * trigger either way, which is why it is an explicit knob here.
+    *
+    * The returned local relation holds at most one row per changed key
+    * per trigger (the update log); callers collapse it with a batch
+    * aggregation. Set GRAFT_STREAM_DEBUG=1 to dump per-batch progress
+    * (trigger counts, state rows, durationMs) to stderr for tuning. */
   private def runToMemory(
       spark: SparkSession,
-      frame: DataFrame,
       mode: String,
-      statePartitions: Int): DataFrame = {
+      statePartitions: Int)(frame: SparkSession => DataFrame): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = frame.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
-    spark.table(name)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = frame(s).writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p =>
+          System.err.println(s"[stream $name] ${p.json}"))
+      q.stop()
+    }
+    val sunk = s.table(name)
+    val rows = sunk.collectAsList()
+    val schema = sunk.schema
+    s.catalog.dropTempView(name)
+    spark.createDataFrame(rows, schema)
   }
 
   /** Tumbling-window aggregate per event_type: row count and value sum.
@@ -66,22 +87,27 @@ object EventWindows {
   }
 
   def hourlyByType(spark: SparkSession, dir: String): DataFrame = {
-    val stream = eventsStream(spark, dir)
     // update mode + watermark: window state older than (max event time −
     // 2h) is evicted each trigger — the unbounded-deployment shape
     // (complete mode would ignore the watermark and hold every window
     // forever). The memory sink collects the update log; the row with
     // the highest n_events per key is the LATEST update (the count is
     // strictly increasing across updates), so the struct-max collapse
-    // returns each window's final (count, sum) pair — exact for any
-    // batch split, not just the single-batch verification run.
-    val agg = stream
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
-    runToMemory(spark, agg, "update", statePartitions = 8)
+    // returns each window's final (count, sum) pair for every row that
+    // was ingested. Equivalence with the batch DuckDB oracle
+    // additionally assumes ingestion drops nothing: under a multi-batch
+    // split, rows arriving >2h behind the observed max event time are
+    // discarded by the watermark (by design) and the batch oracle would
+    // still count them — exactness holds for single-batch or
+    // late-data-free input, which the verification run is.
+    runToMemory(spark, "update", statePartitions = 8) { s =>
+      eventsStream(s, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+    }
       .groupBy(unix_timestamp(col("w.start")).as("hour_epoch"),
         col("event_type"))
       .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
@@ -107,9 +133,6 @@ object EventWindows {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
-    val stream = eventsStream(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
-      .as[(Long, Long)]
 
     def splitSessions(
         userId: Long,
@@ -135,14 +158,15 @@ object EventWindows {
       }
     }
 
-    val sessions = stream
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(splitSessions)
-
-    runToMemory(spark,
-        sessions.toDF("user_id", "start_us", "end_us", "n_events"),
-        "append", statePartitions = 16)
+    runToMemory(spark, "append", statePartitions = 16) { s =>
+      eventsStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(splitSessions)
+        .toDF("user_id", "start_us", "end_us", "n_events")
+    }
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
   }
 
@@ -160,15 +184,15 @@ object EventWindows {
       dir: String,
       centroids: Array[Array[Float]]): DataFrame = {
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
-    val agg = stream
-      .select(graft.functions.VectorFunctions
-        .assignCol(col("embedding"), centroids).as("cluster"))
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n"))
-    runToMemory(spark, agg, "update", statePartitions = 4)
+    runToMemory(spark, "update", statePartitions = 4) { s =>
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .select(graft.functions.VectorFunctions
+          .assignCol(col("embedding"), centroids).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"))
+    }
       .groupBy(col("cluster"))
       .agg(max(col("n")).as("n")) // count is monotone; max = final value
   }
@@ -179,15 +203,15 @@ object EventWindows {
     * per-nation running aggregate. The deployment shape for enriching
     * an unbounded feed with slowly-changing dimensions. */
   def streamEnrichByNation(spark: SparkSession, dir: String): DataFrame = {
-    val customers = graft.sources.Tables(spark, dir, "customer")
-      .select(col("c_custkey"), col("c_nationkey"))
-    val stream = eventsStream(spark, dir)
-      .join(customers, col("user_id") === col("c_custkey"))
-    val agg = stream
-      .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
-    runToMemory(spark, agg, "update", statePartitions = 8)
+    runToMemory(spark, "update", statePartitions = 8) { s =>
+      val customers = graft.sources.Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      eventsStream(s, dir)
+        .join(customers, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+    }
       .groupBy(col("c_nationkey"))
       .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
       .select(col("c_nationkey"),
@@ -204,19 +228,24 @@ object EventWindows {
     * exact). */
   def streamDedupCount(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-    // state key = 8-byte fingerprint; the reported shard is a
-    // text-derived bucket (length mod 16) so the oracle can recompute
-    // it engine-independently (DuckDB has no xxhash64)
-    val deduped = stream
-      .select(xxhash64(col("text")).as("fp"),
-        pmod(length(col("text")), lit(16)).as("shard"))
-      .dropDuplicates("fp")
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_distinct"))
-    runToMemory(spark, deduped, "update", statePartitions = 8)
+    runToMemory(spark, "update", statePartitions = 8) { s =>
+      // state key = 8-byte fingerprint; the reported shard is a
+      // text-derived bucket (length mod 16) so the oracle can recompute
+      // it engine-independently (DuckDB has no xxhash64). The oracle
+      // counts DISTINCT text — matching rests on the standard 64-bit
+      // collision assumption (P ≈ n²/2⁶⁵; two distinct documents
+      // colliding would undercount a shard). That is the same trade the
+      // batch dedup shuffle (q09's keyed exchange) makes deliberately:
+      // 8-byte state keys instead of full documents.
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(xxhash64(col("text")).as("fp"),
+          pmod(length(col("text")), lit(16)).as("shard"))
+        .dropDuplicates("fp")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_distinct"))
+    }
       .groupBy(col("shard"))
       .agg(max(col("n_distinct")).as("n_distinct"))
   }
@@ -233,14 +262,54 @@ object EventWindows {
     * non-decreasing, so `max` collapses the update log to each window's
     * final value (a single-batch run emits each key exactly once). */
   def hourlyPerUser(spark: SparkSession, dir: String): DataFrame = {
-    val stream = eventsStream(spark, dir)
-    val agg = stream
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-    runToMemory(spark, agg, "update", statePartitions = 16)
+    runToMemory(spark, "update", statePartitions = 16) { s =>
+      eventsStream(s, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+    }
       .groupBy(unix_timestamp(col("w.start")).as("hour_epoch"),
         col("user_id"))
       .agg(max(col("n_events")).as("n_events"))
+  }
+
+  /** Watermarked stream-stream inner join — the attribution shape:
+    * every click event paired with the purchase events of the same
+    * user within the `windowMinutes` after it.
+    *
+    * Both sides carry event-time watermarks and the join condition
+    * bounds `p_ts` to a window of `c_ts`, so Spark derives a state
+    * eviction bound for each side (a buffered click is droppable once
+    * the purchase-side watermark passes `c_ts + window`; a buffered
+    * purchase once the click-side watermark passes `p_ts`) — join
+    * state is bounded on an unbounded feed, which is what makes this
+    * the deployment shape rather than a batch join in disguise.
+    * Append is the only output mode stream-stream joins support;
+    * inner-join matches are final on emission, so the memory sink
+    * holds each matched pair exactly once and the per-user count
+    * collapse is a plain batch aggregation over it. Oracle equivalence
+    * has the usual caveat: rows arriving later than the watermark
+    * bound would be dropped on ingest (single-batch verification input
+    * has none). */
+  def streamClickPurchase(
+      spark: SparkSession,
+      dir: String,
+      windowMinutes: Int): DataFrame = {
+    runToMemory(spark, "append", statePartitions = 8) { s =>
+      val clicks = eventsStream(s, dir)
+        .where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val purchases = eventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") < col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+    }
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
   }
 }

@@ -62,6 +62,12 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhashPairs rejects pathological radii loudly") {
+    val df = docs((1L, "alpha"), (2L, "beta"))
+    intercept[IllegalArgumentException](Dedup.simhashPairs(df, maxHamming = 32))
+    intercept[IllegalArgumentException](Dedup.simhashPairs(df, maxHamming = -1))
+  }
+
   test("embedding near-dup: parallel vectors above threshold") {
     import spark.implicits._
     val df = Seq(

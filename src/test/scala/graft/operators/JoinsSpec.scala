@@ -22,6 +22,33 @@ class JoinsSpec extends SparkSpec {
     assert(plain.count(_._1 == 1L) === 900)
   }
 
+  test("saltedJoinHotKeys equals the plain join and replicates only hot keys") {
+    import spark.implicits._
+    val left = ((1 to 900).map(i => (1L, s"l$i")) ++
+      (1 to 100).map(i => (i.toLong + 1, s"x$i"))).toDF("k", "lv")
+    val right = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+
+    val plain = left.join(right, "k")
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val salted = Joins
+      .saltedJoinHotKeys(left, right, "k", saltFactor = 8, hotThreshold = 100)
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(salted.toSeq === plain.toSeq)
+
+    // only key 1 exceeds the threshold → the replicated right side is
+    // |right| + (saltFactor-1) × |right rows on hot keys| = 50 + 7×1,
+    // not the whole-side 50×8 the uniform saltedJoin pays
+    val hot = left.groupBy("k").count().where($"count" > 100)
+      .select(col("k"), lit(true).as("_hot"))
+    val replicated = right.join(broadcast(hot), Seq("k"), "left")
+      .withColumn("_salt",
+        explode(when($"_hot", sequence(lit(0), lit(7)))
+          .otherwise(array(lit(0)))))
+    assert(replicated.count() === 50 + 7)
+  }
+
   test("ngramJaccardPairs maxDocFreq drops boilerplate-driven pairs") {
     import spark.implicits._
     // boilerplate shared by 4 docs; genuine near-dup pair shares
