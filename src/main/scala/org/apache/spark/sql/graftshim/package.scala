@@ -10,4 +10,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Unload every cached state-store provider (and close its files).
+    *
+    * Stopped streaming queries leave their providers — holding full
+    * in-memory copies of the state maps — in the executor's global
+    * registry until the background maintenance task gets around to
+    * them (default sweep: 60 s). In a JVM that runs many short
+    * verification streams back-to-back, those carcasses pile up and
+    * the periodic maintenance snapshot pass burns cores mid-benchmark.
+    * Only safe when no streaming query is running (a live query would
+    * transparently reload from its checkpoint, at a latency cost). */
+  def unloadAllStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }
