@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.kmeans.{Dbi, KMeans, KMeansParams}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bucketing, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.EventWindows
 
@@ -692,6 +692,83 @@ object SparkEntry {
             greatest(col("p50_exact") * 0.05, lit(1.0)), lit(1))
             .otherwise(lit(0)).as("within_bound"))
         .orderBy("l_returnflag")
+    }),
+
+    // Bucketed co-located join: both sides written bucketBy(custkey)
+    // once, then sort-merge joined with ZERO exchange on either side
+    // (BucketingSpec asserts the plan) — the write-once/join-many
+    // pattern for a 100 TB fact table. The timed query includes the
+    // two bucketed writes, i.e. the cost a real pipeline amortizes
+    // across every later join. Result ≡ the plain join (bucketing is
+    // pure physical layout), which is exactly what the oracle checks.
+    "q53_bucketed_join" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft_bucketed"
+      val c = Bucketing.writeBucketed(
+        T(s, dir, "customer"), "graft_bkt_customer", s"$base/customer",
+        "c_custkey", 8)
+      val o = Bucketing.writeBucketed(
+        T(s, dir, "orders"), "graft_bkt_orders", s"$base/orders",
+        "o_custkey", 8)
+      c.hint("merge").join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Reproducible stratified sampling + train/test split — hash-mod on
+    // the stable document key, NOT rand(): re-runs, task retries, and
+    // any repartitioning all select the exact same rows (rand()-based
+    // Bernoulli sampling is partition-order-dependent and
+    // irreproducible at 100 TB). Per-language rates stratify; a second
+    // independent multiplier hashes the 80/20 split. The Knuth
+    // multiplicative constants stay in BIGINT range for bounded ids;
+    // unbounded ids would route through the compiled splitmix kernel
+    // (Dedup.scala) with the same contract.
+    "q54_sample_split" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val strat = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      val rate = when(col("lang") === "en", lit(20L)).otherwise(lit(50L))
+      d.where(strat < rate)
+        .withColumn("split",
+          when(pmod(col("doc_id") * lit(1099087573L), lit(10L)) < 8,
+            lit("train")).otherwise(lit("test")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    }),
+
+    // Pivot (long → wide): one Expand + single aggregation pass, not
+    // one scan per pivoted value; values enumerated explicitly so the
+    // plan needs no driver-side distinct pre-pass.
+    "q55_pivot" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0)).as("n_f"),
+          coalesce(col("O"), lit(0)).as("n_o"),
+          coalesce(col("P"), lit(0)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Running window: lag + cumulative sum per customer over order
+    // history — the per-entity sequential-feature shape. One shuffle on
+    // the partition key; the cumulative sum goes through DECIMAL so the
+    // running values are exact (and the (date, orderkey) sort key is
+    // unique, so RANGE vs ROWS framing cannot diverge).
+    "q56_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .where(pmod(col("o_custkey"), lit(100L)) === 0)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("run_sum",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("prev_price"), col("run_sum"))
+        .orderBy("o_orderkey")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1096,6 +1173,42 @@ object SparkEntry {
       """SELECT l_returnflag,
         |quantile_cont(l_quantity, 0.5) AS p50_exact, 1 AS within_bound
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bucketing is pure physical layout — the oracle is the plain join
+    "q53_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the hash-mod sampling arithmetic is plain BIGINT — bit-identical
+    // across engines (the whole point of reproducible sampling)
+    "q54_sample_split" ->
+      """SELECT lang,
+        |CASE WHEN (doc_id * 1099087573) % 10 < 8
+        |THEN 'train' ELSE 'test' END AS split,
+        |count(*) AS n_docs
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |(CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q55_pivot" ->
+      """SELECT o_orderpriority,
+        |count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q56_window_running" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |lag(o_totalprice) OVER w AS prev_price,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |AS run_sum
+        |FROM orders WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline

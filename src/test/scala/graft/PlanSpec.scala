@@ -79,4 +79,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_sqdist"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
+
+  // formatted explain prints each node in the tree AND the details
+  // section; `(n) NodeName` appears exactly once per physical node
+  private def nodes(p: String, name: String): Int =
+    s"""\\(\\d+\\) $name""".r.findAllIn(p).size
+
+  test("q50: cube computes all grouping sets from ONE scan via Expand") {
+    val p = plan("q50_cube")
+    assert(p.contains("Expand"), p)
+    assert(nodes(p, "Scan parquet") == 2, p) // customer + nation, once each
+  }
+
+  test("q55: pivot is one scan + one aggregation, not a scan per value") {
+    val p = plan("q55_pivot")
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("pivotfirst"), p)
+  }
+
+  test("q56: running window shuffles once, on the partition key only") {
+    val p = plan("q56_window_running")
+    assert(p.contains("Window"), p)
+    // one exchange to co-locate each customer's history; the final
+    // orderBy adds a range repartition for output — nothing else
+    assert(nodes(p, "Exchange") <= 2, p)
+  }
 }
