@@ -769,6 +769,35 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("prev_price"), col("run_sum"))
         .orderBy("o_orderkey")
+    }),
+
+    // TF-IDF distinctive terms per language corpus — the curation op
+    // that surfaces what a sub-corpus is "about". Tokenize once,
+    // aggregate term frequency per language and document frequency
+    // across the corpus (distinct doc×term), score tf·ln(N/df), top-10
+    // per language by row_number over the ROUNDED score (6 dp — the
+    // cross-engine determinism device for ln(), cf. q48) with the term
+    // as tie-break. N comes from a parquet rowcount scan (metadata-
+    // cheap at any scale). Tokens stay case-sensitive: Spark 4's
+    // lower() pays a ~40 s one-time ICU init in this container.
+    "q57_tfidf_top_terms" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val nDocs = d.count().toDouble
+      val tok = d.select(col("lang"), col("doc_id"),
+          explode(split(col("text"), "[^A-Za-z]+")).as("term"))
+        .where(col("term") =!= "")
+      val tf = tok.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val docFreq = tok.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(docFreq, "term")
+        .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 6))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(desc("score"), asc("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .select(col("lang"), col("rn"), col("term"), col("score"))
+        .orderBy("lang", "rn")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1209,6 +1238,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q57_tfidf_top_terms" ->
+      """WITH tok AS (
+        |SELECT lang, doc_id,
+        |unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS term
+        |FROM documents),
+        |t AS (SELECT * FROM tok WHERE term <> ''),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY 1,2),
+        |df AS (SELECT term, count(*) AS df FROM
+        |(SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+        |scored AS (SELECT lang, tf.term AS term,
+        |round(tf * ln(n_docs / df), 6) AS score
+        |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT lang, CAST(rn AS INT) AS rn, term, score FROM (
+        |SELECT lang, term, score, row_number() OVER
+        |(PARTITION BY lang ORDER BY score DESC, term) AS rn FROM scored)
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline
