@@ -2,17 +2,24 @@
 """Local stand-in for the driver's t2 correctness gate: run each oracle
 SQL in DuckDB against the sfDir tables, load the Spark parquet dump,
 sort columns by name, and compare row-by-row (exact for ints/strings,
-bitwise for floats). Usage: compare_oracle.py <sfDir> <verifyOutDir>"""
+bitwise for floats).
+Usage: compare_oracle.py <sfDir> <verifyOutDir> [--skip q1,q2,...]
+(--skip for oracles that are O(n^2) in DuckDB at large SF: q17/q33)"""
 import sys, json, glob, math
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+skip = set()
+if len(sys.argv) > 4 and sys.argv[3] == "--skip":
+    skip = set(sys.argv[4].split(","))
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+for name in skip:
+    oracle.pop(name, None)
 fail = 0
 for name, sql in sorted(oracle.items()):
     try:
