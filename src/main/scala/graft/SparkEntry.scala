@@ -798,6 +798,31 @@ object SparkEntry {
         .where(col("rn") <= 10)
         .select(col("lang"), col("rn"), col("term"), col("score"))
         .orderBy("lang", "rn")
+    }),
+
+    // Small-files compaction: an over-parallel write (16 files) is
+    // compacted to ~4 evenly-sized files, then read back and
+    // aggregated — proving the rewrite is content-preserving (the
+    // oracle is the same aggregate over the original table).
+    // CompactionSpec asserts the file-count arithmetic; this row
+    // pins content identity end-to-end through the real sink+source.
+    "q58_compact_roundtrip" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft_compact_q58"
+      val docs = T(s, dir, "documents")
+      docs.repartition(16).write.mode("overwrite").parquet(s"$base/small")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/small"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      sources.Compaction.compactParquet(
+        s, s"$base/small", s"$base/compacted", math.max(1L, bytes / 4))
+      s.read.parquet(s"$base/compacted")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("lang")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1256,6 +1281,13 @@ object SparkEntry {
         |SELECT lang, term, score, row_number() OVER
         |(PARTITION BY lang ORDER BY score DESC, term) AS rn FROM scored)
         |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    // compaction is content-preserving — oracle aggregates the
+    // ORIGINAL table; the query aggregates the compacted copy
+    "q58_compact_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |sum(length(text)) AS sum_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline

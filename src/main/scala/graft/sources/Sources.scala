@@ -112,6 +112,40 @@ object LabeledWriter {
   }
 }
 
+/** Small-files repair: rewrite a parquet directory into files of
+  * roughly `targetBytes` each. A streaming ingest or over-parallel
+  * write leaves a 100 TB table as millions of KB-sized files whose
+  * per-file open/footer/driver-listing cost dominates every later
+  * scan; periodic compaction restores scan efficiency. The file count
+  * is ceil(compressed bytes / targetBytes); a round-robin
+  * `repartition(n)` (not `coalesce`) keeps output files evenly sized
+  * regardless of input partition skew, at the price of one shuffle —
+  * which is the point of a compaction job.
+  */
+object Compaction {
+  /** Compact `inPath` (parquet) into `outPath`; returns the file
+    * count written. */
+  def compactParquet(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs
+      .listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+}
+
 /** S7 (SURVEY §2.1): final-centroid sink in the reference's exact line
   * format — one `c1,c2,...` comma-joined float line per centroid
   * (`writeFinalResult`, Main.java:222-236; float rendering per
