@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The deployment path the memory-sink verification harness doesn't
+  * exercise: a checkpointed parquet file sink that stops, misses
+  * input, restarts, and resumes EXACTLY-ONCE — no loss, no
+  * duplicates — including stateful dedup whose state store must come
+  * back from the checkpoint. */
+class StreamingSinkSpec extends SparkSpec {
+
+  private def writeBatch(path: String, ids: Range): Unit = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"u${i % 10}")).toDF("id", "user")
+      .write.mode("append").parquet(path)
+  }
+
+  private def runOnce(transform: DataFrame => DataFrame,
+                      in: String, out: String, ckpt: String): Unit = {
+    val q = transform(
+      spark.readStream.schema("id LONG, user STRING").parquet(in))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshim.unloadAllStateStores()
+    }
+  }
+
+  test("file sink resumes exactly-once after input arrives while down") {
+    val base = Files.createTempDirectory("graft_sink_").toString
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    writeBatch(in, 1 to 100)
+    runOnce(identity, in, out, ckpt)
+    assert(spark.read.parquet(out).count() == 100)
+
+    // input lands while no query is running; the restarted query must
+    // pick up exactly the unprocessed files from the checkpoint log
+    writeBatch(in, 101 to 150)
+    runOnce(identity, in, out, ckpt)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 150)
+    assert(rows.select("id").distinct().count() == 150)
+  }
+
+  test("dedup state survives restart: re-sent ids are not re-emitted") {
+    val base = Files.createTempDirectory("graft_sink_dedup_").toString
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    writeBatch(in, 1 to 100)
+    runOnce(_.dropDuplicates("id"), in, out, ckpt)
+    assert(spark.read.parquet(out).count() == 100)
+
+    // 51-100 are duplicates only the RESTORED state store can know
+    writeBatch(in, 51 to 150)
+    runOnce(_.dropDuplicates("id"), in, out, ckpt)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 150, "restored dedup state must drop re-sent ids")
+    assert(rows.select("id").distinct().count() == 150)
+  }
+}
