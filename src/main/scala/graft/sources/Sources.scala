@@ -133,10 +133,17 @@ object Compaction {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(inPath), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs
-      .listStatus(new org.apache.hadoop.fs.Path(inPath))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // recursive: partitioned layouts keep their data in subdirectories
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(inPath), true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        totalBytes += st.getLen
+    }
+    require(totalBytes > 0,
+      s"no parquet data files under $inPath — refusing to compact " +
+        "(a wrong path would silently rewrite nothing)")
     val nFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inPath)

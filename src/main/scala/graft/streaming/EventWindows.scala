@@ -74,17 +74,24 @@ object EventWindows {
       if (sys.env.contains("GRAFT_STREAM_DEBUG"))
         q.recentProgress.foreach(p =>
           System.err.println(s"[stream $name] ${p.json}"))
-      q.stop()
-      // evict this query's state-store providers from the JVM-global
-      // cache NOW (no stream is running — these synchronous runs never
-      // overlap) instead of leaving ~MBs of state maps per query for
-      // the 60s maintenance sweep to snapshot mid-benchmark
-      org.apache.spark.sql.graftshim.unloadAllStateStores()
-      ckpt.foreach { p =>
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
+      // stop() can throw (e.g. the stream already died) — provider
+      // eviction and the tmpfs delete must still run, or state maps
+      // and /dev/shm checkpoints (RAM!) accumulate across a long JVM
+      try q.stop()
+      finally {
+        // evict this query's state-store providers from the JVM-global
+        // cache NOW (no stream is running — these synchronous runs
+        // never overlap) instead of leaving ~MBs of state maps per
+        // query for the 60s maintenance sweep to snapshot mid-benchmark
+        org.apache.spark.sql.graftshim.unloadAllStateStores()
+        ckpt.foreach { p =>
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          val walk = Files.walk(p)
+          try walk.sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
       }
     }
     val sunk = s.table(name)

@@ -61,6 +61,11 @@ class ApproxSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  // `(n) NodeName` appears exactly once per physical node in formatted
+  // explain (tree lines would double-count)
+  private def nodes(p: String, name: String): Int =
+    s"""\\(\\d+\\) $name""".r.findAllIn(p).size
+
   test("HLL sketch aggregation keeps the partial/final split") {
     val p = sources.Tables(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
@@ -70,8 +75,8 @@ class ApproxSpec extends SparkSpec {
     // map-side (fixed-width HLL register buffer), only k registers
     // cross the shuffle — the property that makes it the 100 TB
     // cardinality operator
-    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
-    assert(p.contains("Exchange"), p)
+    assert(nodes(p, "HashAggregate") == 2, p)
+    assert(nodes(p, "Exchange") == 1, p)
   }
 
   test("approx_percentile keeps the partial/final split (ObjectHashAggregate)") {
@@ -79,7 +84,7 @@ class ApproxSpec extends SparkSpec {
       .groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_quantity, 0.5, 10000)"))
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
-    assert(p.contains("Exchange"), p)
+    assert(nodes(p, "ObjectHashAggregate") == 2, p)
+    assert(nodes(p, "Exchange") == 1, p)
   }
 }

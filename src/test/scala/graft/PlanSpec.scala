@@ -104,4 +104,12 @@ class PlanSpec extends SparkSpec {
     // orderBy adds a range repartition for output — nothing else
     assert(nodes(p, "Exchange") <= 2, p)
   }
+
+  test("q57: the corpus is tokenized exactly once (no self-join re-scan)") {
+    val p = plan("q57_tfidf_top_terms")
+    // df comes from a window sum over the (lang, term) rollup, not a
+    // second aggregation branch — one scan, one explode
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(nodes(p, "Generate") == 1, p)
+  }
 }

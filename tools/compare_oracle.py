@@ -10,16 +10,23 @@ import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 skip = set()
-if len(sys.argv) > 4 and sys.argv[3] == "--skip":
-    skip = set(sys.argv[4].split(","))
+extra = sys.argv[3:]
+if extra:
+    if extra[0] != "--skip" or len(extra) != 2:
+        sys.exit(f"usage: compare_oracle.py <sfDir> <outDir> "
+                 f"[--skip q1,q2,...]; got extra args {extra}")
+    skip = set(extra[1].split(","))
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+unknown = skip - oracle.keys()
+if unknown:
+    sys.exit(f"--skip names not in the oracle set: {sorted(unknown)}")
 for name in skip:
-    oracle.pop(name, None)
+    del oracle[name]
 fail = 0
 for name, sql in sorted(oracle.items()):
     try:
