@@ -838,6 +838,73 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text"))).as("sum_len"))
         .orderBy("lang")
+    }),
+
+    // Hot-key-only salting (operators.Joins.saltedJoinHotKeys): the
+    // 100 TB form of q43 — an exact count over the left keys finds the
+    // stragglers, and ONLY their right-side rows replicate ×saltFactor;
+    // the long tail joins unsalted. Extra shuffle volume is
+    // (S−1)×|right on hot keys| instead of (S−1)×|right|. Threshold 4
+    // splits this corpus's 1–7-lines-per-order distribution so both the
+    // salted and unsalted paths carry real rows. Oracle = the plain
+    // join (hot-key salting is pure physical rebalancing).
+    "q59_hotkey_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = T(s, dir, "orders").where(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      operators.Joins.saltedJoinHotKeys(li, ord, "l_orderkey",
+        saltFactor = 8, hotThreshold = 4)
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy("y")
+    }),
+
+    // Global total-order sort: ORDER BY over the whole table plans as a
+    // range-partitioned exchange (sampled split points) + per-partition
+    // sort — every task sorts its slice and the slices concatenate into
+    // the total order, vs. the single-task sort a naive engine runs.
+    // PlanSpec asserts the rangepartitioning exchange; the oracle pins
+    // content, and the (price DESC, key) sort key is unique so the
+    // order itself is deterministic.
+    "q60_global_sort" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    }),
+
+    // Latest-row-per-key compaction (the CDC/upsert snapshot shape):
+    // ONE partial/final max(struct) aggregation — no window sort, no
+    // row_number, map-side combine does most of the work. The struct
+    // compares (ts, event_id) lexicographically; event_id is unique so
+    // the pick is deterministic under any merge order. At 100 TB this
+    // is the nightly "current state" materialization over an append log.
+    "q61_latest_event" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"))
+        .select(col("user_id"),
+          unix_micros(col("last.ts")).as("ts_us"),
+          col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"),
+          col("last.value").as("value"))
+        .orderBy("user_id")
+    }),
+
+    // Semi-structured extraction: pull a typed field out of the JSON
+    // props column and aggregate it — the log-ingest shape. A single
+    // key uses get_json_object (codegen'd path); a production pipeline
+    // extracting many keys would from_json(schema) once and expand, so
+    // the document parses once per row either way. sum stays BIGINT
+    // end-to-end (exact, associative).
+    "q62_json_extract" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1299,10 +1366,39 @@ object SparkEntry {
 
     // compaction is content-preserving — oracle aggregates the
     // ORIGINAL table; the query aggregates the compacted copy
+    // sums CAST to BIGINT: DuckDB's sum over INTEGER is HUGEINT, which
+    // the harness hashes differently than Spark's int64 even when the
+    // values are identical (r4: rows+schema matched, hash didn't)
     "q58_compact_roundtrip" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-        |sum(length(text)) AS sum_len
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |CAST(sum(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // hot-key salting is pure physical rebalancing — same plain join
+    // as the q43 oracle
+    "q59_hotkey_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n_lines,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 100000.0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q60_global_sort" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q61_latest_event" ->
+      """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |event_id, event_type, value FROM (
+        |SELECT *, row_number() OVER
+        |(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q62_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline

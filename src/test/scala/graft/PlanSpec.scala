@@ -105,6 +105,21 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Exchange") <= 2, p)
   }
 
+  test("q60: global sort is a range-partitioned exchange, not one task") {
+    val p = plan("q60_global_sort")
+    // sampled range split points → every task sorts one slice of the
+    // total order; a single-partition sort would serialize the table
+    assert(p.contains("rangepartitioning"), p)
+    assert(nodes(p, "Sort") >= 1, p)
+  }
+
+  test("q61: latest-per-key is one partial/final aggregate, no window sort") {
+    val p = plan("q61_latest_event")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q57: the corpus is tokenized exactly once (no self-join re-scan)") {
     val p = plan("q57_tfidf_top_terms")
     // df comes from a window sum over the (lang, term) rollup, not a
