@@ -39,7 +39,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // 1-minute load average — diagnoses a contended host in the record
+    // itself (co-scheduled harness work inflates micro-batch streaming
+    // and big-shuffle lines far more than simple scans)
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val load0 = loadAvg()
     // untimed warmup pass at the target SF (codegen/JIT/ICU/reader init)
     names.foreach(force(_, sfDir))
     // per-query time = min of 2 measured runs: single runs showed up to
@@ -52,12 +61,17 @@ object Bench {
     cleanup()
     val pass1 = names.map(n => n -> force(n, sfDir)).toMap
     cleanup()
-    val results = names.map(n => n -> math.min(pass1(n), force(n, sfDir)))
+    val pass2 = names.map(n => n -> force(n, sfDir)).toMap
+    val load1 = loadAvg()
+    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val p1 = pass1.values.sum; val p2 = pass2.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        f""""pass_totals":[$p1%.1f,$p2%.1f],"load_avg":[$load0%.1f,$load1%.1f],""" +
+        s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
