@@ -905,6 +905,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_k"),
           sum(col("k")).as("sum_k"))
         .orderBy("event_type")
+    }),
+
+    // Curation-pipeline capstone: the composed shape a training-data
+    // run actually executes — length/quality gate → language keep-list
+    // → exact dedup (hash-keyed shuffle keeping the lowest id per
+    // distinct text; the sf0.1 corpus has real duplicate texts) →
+    // reproducible hash-mod sample (q54's device) → per-language token
+    // accounting. Each stage is an operator proven alone elsewhere;
+    // this row pins their composition. Filters sit before the dedup
+    // shuffle, so the exchange carries only gated rows — at 100 TB the
+    // gate typically drops most of the corpus before any shuffle.
+    "q63_curation_pipeline" -> ((s, dir) => {
+      val gated = T(s, dir, "documents")
+        .where(col("lang").isin("en", "de", "fr"))
+        .where(col("n_chars").between(60, 400))
+      val keep = Dedup.exactKeepers(gated)
+        .select(col("keep_id").as("doc_id"))
+      gated.join(keep, Seq("doc_id"))
+        .where(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 70)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy("lang")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1399,6 +1422,21 @@ object SparkEntry {
         |count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dedup keyed on text (not the engine's xxhash64 — DuckDB lacks it);
+    // identical keepers under the standard 64-bit no-collision assumption
+    "q63_curation_pipeline" ->
+      """WITH kept AS (
+        |SELECT min(doc_id) AS doc_id FROM documents
+        |WHERE lang IN ('en','de','fr') AND n_chars BETWEEN 60 AND 400
+        |GROUP BY text),
+        |s AS (SELECT d.lang, d.text FROM documents d JOIN kept USING (doc_id)
+        |WHERE (doc_id * 2654435761) % 100 < 70)
+        |SELECT lang, count(*) AS n_docs,
+        |CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |AS sum_tokens
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline

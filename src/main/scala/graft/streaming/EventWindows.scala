@@ -116,17 +116,30 @@ object EventWindows {
     * under any merge order of streaming state. */
   /** File-stream source over the events table: the sf dir is the stream
     * directory (FileStreamSource requires a directory, not a file) with a
-    * glob filter selecting the events parquet. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir),
-      Seq("ts"))
+    * glob filter selecting the events parquet. `maxFilesPerTrigger > 0`
+    * caps files per micro-batch — the lever multi-batch tests use to
+    * force incremental ingestion over a bounded directory. */
+  private def eventsStream(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val schema =
+      spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    val limited =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    graft.sources.Tables.normalizeTs(limited.parquet(dir), Seq("ts"))
   }
 
-  def hourlyByType(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyByType(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     // update mode + watermark: window state older than (max event time −
     // 2h) is evicted each trigger — the unbounded-deployment shape
     // (complete mode would ignore the watermark and hold every window
@@ -134,14 +147,18 @@ object EventWindows {
     // the highest n_events per key is the LATEST update (the count is
     // strictly increasing across updates), so the struct-max collapse
     // returns each window's final (count, sum) pair for every row that
-    // was ingested. Equivalence with the batch DuckDB oracle
-    // additionally assumes ingestion drops nothing: under a multi-batch
-    // split, rows arriving >2h behind the observed max event time are
-    // discarded by the watermark (by design) and the batch oracle would
-    // still count them — exactness holds for single-batch or
-    // late-data-free input, which the verification run is.
+    // was ingested — under ANY batch split (EventWindowsMultiBatchSpec
+    // proves collapse ≡ batch across forced multi-batch ingestion).
+    // Equivalence with the batch DuckDB oracle additionally assumes
+    // ingestion drops nothing: a row whose WINDOW END the previous
+    // trigger's watermark has passed is discarded on ingest (by
+    // design — the same spec proves the drop; note Spark 3.4+ filters
+    // late events with the previous trigger's watermark and evicts
+    // state with the current one), and the batch oracle would still
+    // count it — exactness holds for in-order or late-data-free
+    // input, which the verification run's single batch is.
     runToMemory(spark, "update", statePartitions = 8) { s =>
-      eventsStream(s, dir)
+      eventsStream(s, dir, glob, maxFilesPerTrigger)
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(
