@@ -113,10 +113,17 @@ object Similarity {
       seed: Long = 42L,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    require(planesPerBand <= 32 && nBands <= 128,
+      s"band key packs (band, bucket) into one long: planesPerBand <= 32" +
+        s" and nBands <= 128 required, got ($nBands, $planesPerBand)")
     val dim = df.select(size(col(embCol))).head().getInt(0)
+    // band id folded into the bucket key's high bits: ONE flat 64-bit
+    // join key instead of a struct — struct keys force a slower
+    // non-codegen comparator through the exchange and join (same trick
+    // as Dedup.simhashPairs, measured there)
     val bandCols = (0 until nBands).map { b =>
       val planes = hyperplanes(seed + 0x9e3779b97f4a7c15L * b, planesPerBand, dim)
-      struct(lit(b).as("band"), lshBucket(col(embCol), planes).as("bv"))
+      lshBucket(col(embCol), planes).bitwiseOR(lit(b.toLong << 33))
     }
     val banded = df
       .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bk"))
