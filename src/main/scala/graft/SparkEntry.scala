@@ -847,7 +847,11 @@ object SparkEntry {
     // (S−1)×|right on hot keys| instead of (S−1)×|right|. Threshold 4
     // splits this corpus's 1–7-lines-per-order distribution so both the
     // salted and unsalted paths carry real rows. Oracle = the plain
-    // join (hot-key salting is pure physical rebalancing).
+    // join (hot-key salting is pure physical rebalancing). Honest
+    // bench note: at sf0.1 the key-count pre-pass costs about what the
+    // avoided ×8 replication saves (both ≈ 1.5–2 s); the win is at
+    // scale, where (S−1)×|right| is shuffle volume and the pre-pass is
+    // a map-side-combined count of 8-byte keys.
     "q59_hotkey_join" -> ((s, dir) => {
       val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
       val ord = T(s, dir, "orders").where(col("o_totalprice") > 100000.0)
@@ -905,6 +909,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_k"),
           sum(col("k")).as("sum_k"))
         .orderBy("event_type")
+    }),
+
+    // Grouped list aggregation (LISTAGG/string_agg) done the way that
+    // survives scale: row_number caps each group to its 5 smallest ids
+    // BEFORE collect_list, so aggregation state is bounded at 5 longs
+    // per group (a naive collect_list gathers the whole group — on a
+    // 100 TB table that is an OOM, not an operator). Both windows share
+    // the lang partition, so the query is one shuffle + a tiny agg.
+    "q64_string_agg" -> ((s, dir) => {
+      val byLang = Window.partitionBy(col("lang"))
+      val w = byLang.orderBy(col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("lang"), col("doc_id"))
+        .withColumn("n_docs", count(lit(1)).over(byLang))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .groupBy(col("lang"), col("n_docs"))
+        .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("first_ids"))
+        .select(col("lang"), col("n_docs"), col("first_ids"))
+        .orderBy("lang")
     }),
 
     // Curation-pipeline capstone: the composed shape a training-data
@@ -1422,6 +1447,12 @@ object SparkEntry {
         |count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q64_string_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        |array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',')
+        |AS first_ids
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // dedup keyed on text (not the engine's xxhash64 — DuckDB lacks it);
     // identical keepers under the standard 64-bit no-collision assumption

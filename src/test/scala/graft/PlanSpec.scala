@@ -111,6 +111,14 @@ class PlanSpec extends SparkSpec {
     // total order; a single-partition sort would serialize the table
     assert(p.contains("rangepartitioning"), p)
     assert(nodes(p, "Sort") >= 1, p)
+    // the oracle hash is row-order-insensitive, so assert the actual
+    // total order here: collected rows are (price DESC, key ASC)
+    val rows = SparkEntry.queries("q60_global_sort")(spark, dir).collect()
+      .map(r => (r.getDouble(2), r.getLong(0)))
+    assert(rows.length > 1000)
+    rows.sliding(2).foreach { case Array((p1, k1), (p2, k2)) =>
+      assert(p1 > p2 || (p1 == p2 && k1 < k2), s"($p1,$k1) !>= ($p2,$k2)")
+    }
   }
 
   test("q61: latest-per-key is one partial/final aggregate, no window sort") {
