@@ -911,6 +911,26 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Hive-style partitioned layout end-to-end through a real
+    // sink+source: events written partitionBy(event_type), read back
+    // with a partition-key filter — the scan lists ONE directory of
+    // five (PartitionFilters, PlanSpec-asserted) instead of reading
+    // everything and filtering. At 100 TB this is the first-line
+    // pruning lever for every time/category-partitioned fact table.
+    // Oracle = the same filtered aggregate over the original table
+    // (layout is physical only).
+    "q65_partitioned_write" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_part_q65_${ProcessHandle.current().pid()}"
+      T(s, dir, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(base)
+      s.read.parquet(base)
+        .where(col("event_type") === "purchase")
+        .groupBy(pmod(col("user_id"), lit(10L)).as("user_bucket"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
+        .orderBy("user_bucket")
+    }),
+
     // Grouped list aggregation (LISTAGG/string_agg) done the way that
     // survives scale: row_number caps each group to its 5 smallest ids
     // BEFORE collect_list, so aggregation state is bounded at 5 longs
@@ -1453,6 +1473,13 @@ object SparkEntry {
         |array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',')
         |AS first_ids
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q65_partitioned_write" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+        |count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // dedup keyed on text (not the engine's xxhash64 — DuckDB lacks it);
     // identical keepers under the standard 64-bit no-collision assumption

@@ -128,6 +128,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q65: partition-key filter prunes directories, not rows") {
+    val p = plan("q65_partitioned_write")
+    // the filter must land in PartitionFilters (directory pruning at
+    // listing time), NOT PushedFilters/post-scan Filter (row pruning
+    // after reading everything)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("event_type"), pf)
+  }
+
   test("q57: the corpus is tokenized exactly once (no self-join re-scan)") {
     val p = plan("q57_tfidf_top_terms")
     // df comes from a window sum over the (lang, term) rollup, not a
