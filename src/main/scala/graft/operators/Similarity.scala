@@ -114,8 +114,8 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     require(planesPerBand <= 32 && nBands <= 128,
-      s"band key packs (band, bucket) into one long: planesPerBand <= 32" +
-        s" and nBands <= 128 required, got ($nBands, $planesPerBand)")
+      "band key packs (band, bucket) into one long: need nBands <= 128 " +
+        s"(got $nBands) and planesPerBand <= 32 (got $planesPerBand)")
     val dim = df.select(size(col(embCol))).head().getInt(0)
     // band id folded into the bucket key's high bits: ONE flat 64-bit
     // join key instead of a struct — struct keys force a slower

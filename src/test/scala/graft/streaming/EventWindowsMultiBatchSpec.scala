@@ -111,4 +111,51 @@ class EventWindowsMultiBatchSpec extends SparkSpec {
     // the collapse picked the cross-batch final, not a single batch's
     assert(streamed.count(t => t._2 == "click" && t._3 == 9L) == 1)
   }
+
+  test("Trigger.AvailableNow backfill self-terminates and matches the batch aggregate") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_an_").toString
+    val f1 = (0 until 10).map(i => (ts(i * 6), "view", 1.5))
+    val f2 = (0 until 5).map(i => (ts(60 + i * 6), "click", 2.25))
+    writeFile(dir, "f1.parquet", 1, f1)
+    writeFile(dir, "f2.parquet", 2, f2)
+
+    // the deployment backfill shape: AvailableNow snapshots the file
+    // listing at start, drains it in rate-limited batches
+    // (maxFilesPerTrigger honored), and STOPS — unlike the default
+    // trigger, which runs until told to stop. processAllAvailable is
+    // the verification-harness device; this is what a scheduled
+    // catch-up job actually runs.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = s.read.option("pathGlobFilter", "f*.parquet").parquet(dir).schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "f*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_an").trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "AvailableNow did not self-terminate")
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshim.unloadAllStateStores()
+    }
+    val got = s.table("graft_an")
+      .groupBy(unix_timestamp(col("w.start")).as("hp"), col("event_type"))
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
+      .select(col("hp"), col("event_type"),
+        col("last.n_events"), col("last.sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    s.catalog.dropTempView("graft_an")
+    import spark.implicits._
+    assert(got.toSeq ==
+      batchAgg((f1 ++ f2).toDF("ts", "event_type", "value")).toSeq)
+  }
 }
