@@ -973,6 +973,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
         .orderBy("lang")
+    }),
+
+    // Connected components over the near-dup pair graph — duplicate
+    // PAIRS are not duplicate CLUSTERS (A≈B, B≈C chains must collapse
+    // to one group even when A≉C). Min-label propagation + pointer
+    // jumping (Components.connectedComponents): O(log diameter) rounds
+    // of constant-shuffle work over 16-byte (id,label) rows, labels
+    // persisted per round so lineage stays O(1). The oracle computes
+    // the same fixpoint as a recursive transitive-closure CTE over the
+    // identical pair SQL (q17's), so chain-collapse itself is what is
+    // hash-checked.
+    "q66_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        T(s, dir, "documents").where(col("doc_id") < 500), n = 8,
+        threshold = 0.35)
+      operators.Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // Range join without a nested loop: each event counts the events in
+    // its strictly-preceding 5 minutes (burst detection / rate features).
+    // A raw `b.ts ∈ [a.ts−5min, a.ts)` predicate plans as BNLJ — a
+    // single-task O(n²) at scale; Joins.rangeJoin quantizes time into
+    // 5-minute bins, explodes each interval onto the ≤2 bins it
+    // overlaps, equi-joins on the bin (one ordinary shuffle, codegen'd,
+    // AQE-splittable) and filters exact containment. Micros-precision
+    // epochs keep both engines' comparisons integer-exact. The left
+    // join back to events keeps the zero-match rows the inner
+    // candidate join drops.
+    "q67_range_join" -> ((s, dir) => {
+      val fiveMinUs = 300000000L
+      val ev = T(s, dir, "events")
+      val intervals = ev.select(col("event_id").as("iv_id"),
+        (unix_micros(col("ts")) - fiveMinUs).as("lo"),
+        unix_micros(col("ts")).as("hi"))
+      val points = ev.select(unix_micros(col("ts")).as("pt"))
+      val counts = operators.Joins
+        .rangeJoin(points, "pt", intervals, "lo", "hi", binWidth = fiveMinUs)
+        .groupBy(col("iv_id")).agg(count(lit(1)).as("n"))
+      ev.select(col("event_id"))
+        .join(counts, col("event_id") === col("iv_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n"), lit(0L)).as("n_prior_5min"))
+        .orderBy("event_id")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1495,6 +1540,41 @@ object SparkEntry {
         |ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
         |AS sum_tokens
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same pair graph as q17 (string shingles — counts equal the
+    // engine's hashed ones absent 64-bit collisions), then components
+    // as a recursive transitive-closure fixpoint: reach(id, r) = "r
+    // reaches id"; the component label is min(reachable id), exactly
+    // the min-label fixpoint the distributed loop converges to.
+    // MATERIALIZED: inside WITH RECURSIVE, DuckDB inlines multiply-
+    // referenced CTEs, and `pairs` (the O(n²) shingle join) is
+    // referenced twice by `edges` — without the hint the quadratic
+    // work runs twice
+    "q66_dedup_components" ->
+      """WITH RECURSIVE s AS MATERIALIZED (SELECT doc_id,
+        |list_distinct(list_transform(
+        |range(1, length(text) - 6), i -> substr(text, CAST(i AS INT), 8))) AS sh
+        |FROM documents WHERE doc_id < 500),
+        |pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM s a, s b WHERE a.doc_id < b.doc_id
+        |AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |len(list_distinct(list_concat(a.sh, b.sh))) > 0.35),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT src AS id, src AS r FROM edges
+        |UNION
+        |SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS component FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // integer-exact micros arithmetic; LEFT JOIN + count(b) keeps the
+    // zero-match events the engine's left join back preserves
+    "q67_range_join" ->
+      """SELECT a.event_id, count(b.event_id) AS n_prior_5min
+        |FROM events a LEFT JOIN events b
+        |ON epoch_us(b.ts) >= epoch_us(a.ts) - 300000000
+        |AND epoch_us(b.ts) < epoch_us(a.ts)
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline

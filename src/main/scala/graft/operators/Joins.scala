@@ -73,4 +73,55 @@ object Joins {
       .drop("_hot")
     saltedL.join(replicatedR, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Range (interval-containment) join without a nested loop: match
+    * each `points` row whose `ptCol` value falls in a `intervals` row's
+    * half-open [`loCol`, `hiCol`) — the time-window / IP-block / value-
+    * band join shape. Spark plans a raw `p >= lo AND p < hi` predicate
+    * as BroadcastNestedLoopJoin (or a Cartesian product when neither
+    * side fits in memory): O(|points|·|intervals|) comparisons and a
+    * single-task bottleneck at scale.
+    *
+    * This operator turns it into an equi-join by quantizing the value
+    * axis into fixed `binWidth` bins: every interval is exploded onto
+    * each bin it overlaps, every point carries its one containing bin,
+    * the join key is the bin, and the exact containment predicate
+    * filters bin-mates. Each (interval, point) match is found in
+    * exactly the point's bin, so the output needs no dedup.
+    *
+    * Cost model: the interval side replicates ×⌈len/binWidth⌉+1 and a
+    * bin with many intervals × many points multiplies — pick binWidth
+    * near the typical interval length so replication stays ~2× and
+    * bins stay balanced. Both inputs shuffle once on the bin key;
+    * everything (sequence/explode/floor) is codegen'd, no UDF.
+    *
+    * All range columns must be integral (epoch micros, IP as long,
+    * cents); callers convert timestamps with `unix_micros`.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      ptCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("_graft_bin",
+      floor(col(ptCol).cast("long") / binWidth))
+    // Half-open interval: the last covered bin is the one holding hi−1.
+    // Empty/inverted intervals ([lo, hi) with hi <= lo) match nothing
+    // and are dropped before `sequence` (whose step sign must match
+    // the direction) can choke on them.
+    val iv = intervals
+      .where(col(loCol) < col(hiCol))
+      .withColumn("_graft_bin",
+        explode(sequence(
+          floor(col(loCol).cast("long") / binWidth),
+          floor((col(hiCol).cast("long") - 1) / binWidth),
+          lit(1L))))
+    p.join(iv,
+        p("_graft_bin") === iv("_graft_bin") &&
+          p(ptCol) >= iv(loCol) && p(ptCol) < iv(hiCol))
+      .drop("_graft_bin")
+  }
 }

@@ -144,4 +144,12 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Scan parquet") == 1, p)
     assert(nodes(p, "Generate") == 1, p)
   }
+
+  test("q67: range join is a binned equi-join, never a nested loop") {
+    val p = plan("q67_range_join")
+    // the raw theta predicate would plan as BNLJ (or Cartesian for two
+    // big sides); binning must reduce it to a hash-joinable equi key
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

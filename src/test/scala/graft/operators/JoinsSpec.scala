@@ -74,4 +74,42 @@ class JoinsSpec extends SparkSpec {
     assert(!capped.contains((1L, 2L)))
     assert(capped.contains((3L, 4L)))
   }
+
+  test("rangeJoin matches the naive theta-join, half-open bounds exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = Seq.fill(300)(rnd.nextInt(1000).toLong).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pt_id", "pt")
+    val intervals = Seq.fill(40)((rnd.nextInt(950).toLong, rnd.nextInt(120) + 1))
+      .zipWithIndex
+      .map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      .toDF("iv_id", "lo", "hi")
+
+    val naive = points.join(intervals,
+        $"pt" >= $"lo" && $"pt" < $"hi")
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // binWidth far below, near, and far above typical interval length
+    for (w <- Seq(7L, 64L, 500L)) {
+      val got = Joins.rangeJoin(points, "pt", intervals, "lo", "hi", w)
+        .select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === naive, s"binWidth=$w")
+    }
+  }
+
+  test("rangeJoin drops empty and inverted intervals, boundary points land once") {
+    import spark.implicits._
+    val points = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 9L))
+      .toDF("pt_id", "pt")
+    val intervals = Seq(
+      (100L, 10L, 20L),  // matches pt=10 (closed lo) and 19, not 20 (open hi)
+      (101L, 30L, 30L),  // empty
+      (102L, 50L, 40L))  // inverted
+      .toDF("iv_id", "lo", "hi")
+    val got = Joins.rangeJoin(points, "pt", intervals, "lo", "hi", 10L)
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (2L, 100L)))
+  }
 }
