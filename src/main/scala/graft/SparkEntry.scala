@@ -1018,6 +1018,32 @@ object SparkEntry {
         .select(col("event_id"),
           coalesce(col("n"), lit(0L)).as("n_prior_5min"))
         .orderBy("event_id")
+    }),
+
+    // Batched exact KNN: 10 query vectors against the corpus in ONE
+    // pass — broadcast the tiny query set, score with the codegen'd
+    // VecSqDist kernel, then keep each query's 3 nearest via the
+    // bounded TopK aggregator (k-capped state → map-side partial
+    // top-k; the exchange carries ≤ partitions·k rows per query
+    // instead of the whole scored cross product the window-rank form
+    // ships and sorts). Deterministic (dist, id) ordering both engines.
+    "q68_knn_batch" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = emb.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.VectorFunctions
+            .sqdistCol(col("ce"), col("qe")).as("dist"))
+        .groupBy(col("query_id"))
+        .agg(operators.TopK.smallestK(3)(col("dist"), col("neighbor_id"))
+          .as("nb"))
+        .select(col("query_id"), posexplode(col("nb")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("nb_rank"),
+          col("col.id").as("neighbor_id"), col("col.ord").as("dist"))
+        .orderBy("query_id", "nb_rank")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1566,6 +1592,26 @@ object SparkEntry {
         |SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
         |SELECT id AS doc_id, min(r) AS component FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // same left-to-right double fold as VecSqDist (the q16/q08 proven
+    // device, here with both vectors as columns); row_number with the
+    // (dist, id) tiebreak mirrors the aggregator's ordering exactly
+    "q68_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, embedding AS ce
+        |FROM embeddings WHERE vec_id >= 10),
+        |d AS (SELECT query_id, cand_id,
+        |list_sum(list_transform(list_zip(ce, qe),
+        |p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+        |(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |FROM c, q),
+        |r AS (SELECT query_id, cand_id, dist,
+        |row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rn
+        |FROM d)
+        |SELECT query_id, CAST(rn AS BIGINT) AS nb_rank,
+        |cand_id AS neighbor_id, dist
+        |FROM r WHERE rn <= 3 ORDER BY query_id, nb_rank""".stripMargin,
 
     // integer-exact micros arithmetic; LEFT JOIN + count(b) keeps the
     // zero-match events the engine's left join back preserves

@@ -152,4 +152,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q68: per-key top-k is a partial/final aggregate, not a window sort") {
+    val p = plan("q68_knn_batch")
+    // k-capped typed aggregator → ObjectHashAggregate partial upstream
+    // of the exchange and final below it; the window-rank form would
+    // show a Window + full per-key sort of the scored cross product
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("runtime bloom filter reduces the fact scan under a selective dim join") {
+    // The 100 TB semi-join-reduction lever: a shuffled fact⋈dim join
+    // where the dim side carries a selective predicate gets a bloom
+    // filter built on the dim keys and injected into the fact side, so
+    // most fact rows die at the scan instead of crossing the exchange.
+    // Spark gates injection on production-sized thresholds (fact scan
+    // > 10 GB), so the test pins them down to prove the plan shape the
+    // cluster would get; defaults are restored either way.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")        // testdata ≪ the 10GB default
+      spark.conf.set(keys(2), "-1")       // force the shuffled join shape
+      val li = graft.sources.Tables(spark, dir, "lineitem")
+      val pt = graft.sources.Tables(spark, dir, "part")
+        .where(org.apache.spark.sql.functions.col("p_size") === 1)
+      val j = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), opt)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
