@@ -11,6 +11,16 @@ package object graftshim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Apply a `SparkSessionExtensions`' function injections to an
+    * already-running session's `private[sql]` registry — the hook
+    * [[graft.functions.GraftExtensions]] uses for live sessions
+    * (builder-time `withExtensions` / `spark.sql.extensions` only
+    * reach sessions created after configuration). */
+  def applyFunctionInjections(
+      spark: SparkSession, ext: SparkSessionExtensions): Unit =
+    ext.registerFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
+
   /** Unload every cached state-store provider (and close its files).
     *
     * Stopped streaming queries leave their providers — holding full
