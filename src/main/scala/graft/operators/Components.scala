@@ -75,47 +75,63 @@ object Components {
     val und = edges.select(src, dst)
       .unionAll(edges.select(dst.as("_g_src"), src.as("_g_dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // eager localCheckpoint: materializes AND truncates lineage (see
-    // the scale note above — persist alone leaves the logical plan
-    // growing ~4× per round)
-    var labels = und.select(col("_g_src").as("id"))
-      .distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(eager = true)
-
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      // (1) offer labels across edges, keep the per-node min
-      val offers = und
-        .join(labels.hint("shuffle_hash"), und("_g_src") === labels("id"))
-        .select(col("_g_dst").as("id"), col("lbl"))
-      val merged = labels.select("id", "lbl").unionAll(offers)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-      // (2) pointer jump: lbl ← label(lbl). Every label is a node id
-      // (min over ids), so the inner self-join matches every row.
-      val parents = merged.select(col("id").as("p_id"), col("lbl").as("p_lbl"))
-      val jumped = merged
-        .join(parents, merged("lbl") === parents("p_id"))
-        .select(col("id"), col("p_lbl").as("lbl"))
+    try {
+      // eager localCheckpoint: materializes AND truncates lineage (see
+      // the scale note above — persist alone leaves the logical plan
+      // growing ~4× per round)
+      var labels = und.select(col("_g_src").as("id"))
+        .distinct()
+        .withColumn("lbl", col("id"))
         .localCheckpoint(eager = true)
-      // (3) converged iff no label moved. Labels only ever decrease,
-      // so "changed" is exactly "new < old".
-      val changed = jumped.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.lbl") < col("o.lbl"))
-        .limit(1).count()
-      labels = jumped
-      converged = changed == 0L
-      round += 1
-    }
-    und.unpersist(blocking = false)
-    require(converged,
-      s"connectedComponents did not converge in $maxRounds rounds — " +
-        "the input is pathologically deep for a near-dup graph")
-    labels.select(col("id"), col("lbl").as("component"))
+
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        // (1) offer labels across edges, keep the per-node min
+        val offers = und
+          .join(labels.hint("shuffle_hash"), und("_g_src") === labels("id"))
+          .select(col("_g_dst").as("id"), col("lbl"))
+        val merged = labels.select("id", "lbl").unionAll(offers)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+        // (2) pointer jump: lbl ← label(lbl). Every label is a node id
+        // (min over ids), so the inner self-join matches every row.
+        val parents = merged.select(col("id").as("p_id"), col("lbl").as("p_lbl"))
+        val jumped = merged
+          .join(parents, merged("lbl") === parents("p_id"))
+          .select(col("id"), col("p_lbl").as("lbl"))
+          .localCheckpoint(eager = true)
+        // (3) converged iff no label moved. Labels only ever decrease,
+        // so "changed" is exactly "new < old".
+        val changed = jumped.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .where(col("n.lbl") < col("o.lbl"))
+          .limit(1).count()
+        // the previous round's checkpoint blocks are dead once the
+        // convergence diff has run — drop them now, or peak storage is
+        // rounds × label-table size instead of 2× (jumped is already
+        // materialized, so it never recomputes through this parent)
+        releaseCheckpoint(labels)
+        labels = jumped
+        converged = changed == 0L
+        round += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "the input is pathologically deep for a near-dup graph")
+      labels.select(col("id"), col("lbl").as("component"))
+    } finally und.unpersist(blocking = false)
   }
+
+  /** Unpersist the cached RDD behind an eager `localCheckpoint`ed
+    * frame (Dataset.unpersist only reaches CacheManager entries, not
+    * checkpoint blocks). Only safe once nothing will read the frame
+    * again — a local checkpoint has no lineage to recompute from. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Duplicate clusters straight from a pair list (`idA`, `idB` — the
     * shape every [[Dedup]] pair emitter returns): each doc that occurs

@@ -307,6 +307,39 @@ object EventWindows {
       .agg(max(col("n_distinct")).as("n_distinct"))
   }
 
+  /** Bounded-state streaming dedup — the deployment counterpart of
+    * [[streamDedupCount]], whose global `dropDuplicates` state grows
+    * with key cardinality FOREVER (at 100 TB of documents that state
+    * is itself the corpus's fingerprint set: an OOM, not an operator).
+    * `dropDuplicatesWithinWatermark` keeps a key's state only while
+    * the watermark says a duplicate could still arrive; once the
+    * watermark passes (event time + delay) the key is evicted and its
+    * state reclaimed — steady-state size is the key count of one
+    * watermark horizon, not of the stream's lifetime.
+    *
+    * The trade is horizon-scoped dedup: a duplicate arriving after its
+    * key's eviction is re-emitted (EventWindowsMultiBatchSpec proves
+    * both directions — within-horizon duplicates dropped, post-
+    * eviction re-emit — under forced multi-batch ingestion). That is
+    * the correct production contract for append-only ingest pipelines,
+    * where duplicates come from retries/replays that cluster within
+    * minutes, not from genuinely re-sent year-old rows.
+    *
+    * Append mode: each kept row is emitted exactly once, so the
+    * returned frame needs no update-log collapse. */
+  def dedupWithinWatermark(
+      spark: SparkSession,
+      dir: String,
+      keyCols: Seq[String],
+      delay: String = "1 hour",
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    runToMemory(spark, "append", statePartitions = 4) { s =>
+      eventsStream(s, dir, glob, maxFilesPerTrigger)
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    }
+
   /** Per-user hourly windowed counts with a watermark — in **update**
     * output mode, where the watermark actually governs state: windows
     * older than (max event time − 2h) are finalized and their state

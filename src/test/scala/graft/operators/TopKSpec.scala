@@ -48,17 +48,45 @@ class TopKSpec extends SparkSpec {
       (2L, 1, 20L, 5.0)))
   }
 
+  test("NaN ords sort last and cannot corrupt the buffer invariant") {
+    val agg = new TopK.SmallestK(2)
+    // NaN arrives first: raw </== comparisons would wedge it at the
+    // head and then reject better values against a NaN sentinel
+    val b = Seq(Double.NaN -> 1L, 1.0 -> 2L, 2.0 -> 3L, Double.NaN -> 4L)
+      .foldLeft(agg.zero) { case (b, (o, i)) => agg.reduce(b, TopK.In(o, i)) }
+    assert(agg.finish(b).map(n => (n.ord, n.id)).toSeq ===
+      Seq((1.0, 2L), (2.0, 3L)))
+    // fewer real values than k: NaN fills the tail (Spark sorts NaN
+    // last), ties between NaNs break by id
+    val b2 = Seq(Double.NaN -> 9L, 5.0 -> 1L, Double.NaN -> 3L)
+      .foldLeft(agg.zero) { case (b, (o, i)) => agg.reduce(b, TopK.In(o, i)) }
+    val f2 = agg.finish(b2)
+    assert(f2.map(_.id).toSeq === Seq(1L, 3L))
+    assert(f2(1).ord.isNaN)
+  }
+
+  test("-0.0 and 0.0 compare equal, falling through to the id tiebreak") {
+    val agg = new TopK.SmallestK(2)
+    val b = Seq(0.0 -> 7L, -0.0 -> 5L, 1.0 -> 1L)
+      .foldLeft(agg.zero) { case (b, (o, i)) => agg.reduce(b, TopK.In(o, i)) }
+    assert(agg.finish(b).map(_.id).toSeq === Seq(5L, 7L))
+  }
+
   test("merge keeps exactly the k global smallest across partials") {
     val agg = new TopK.SmallestK(3)
-    val b1 = Seq(1.0 -> 1L, 5.0 -> 5L, 9.0 -> 9L)
-      .foldLeft(agg.zero) { case (b, (o, i)) => agg.reduce(b, TopK.In(o, i)) }
-    val b2 = Seq(2.0 -> 2L, 3.0 -> 3L, 9.0 -> 8L)
-      .foldLeft(agg.zero) { case (b, (o, i)) => agg.reduce(b, TopK.In(o, i)) }
-    val m = agg.finish(agg.merge(b1, b2))
+    // merge mutates its first buffer in place (the aggregator
+    // contract), so build fresh partials per merge
+    def partial(xs: (Double, Long)*): TopK.Buf =
+      xs.foldLeft(agg.zero) { case (b, (o, i)) => agg.reduce(b, TopK.In(o, i)) }
+    val m = agg.finish(agg.merge(
+      partial(1.0 -> 1L, 5.0 -> 5L, 9.0 -> 9L),
+      partial(2.0 -> 2L, 3.0 -> 3L, 9.0 -> 8L)))
     assert(m.map(n => (n.ord, n.id)).toSeq === Seq((1.0, 1L), (2.0, 2L),
       (3.0, 3L)))
-    // equal ord ties break to the lower id
-    val t = agg.finish(agg.merge(b2, b1))
+    // merge order must not matter
+    val t = agg.finish(agg.merge(
+      partial(2.0 -> 2L, 3.0 -> 3L, 9.0 -> 8L),
+      partial(1.0 -> 1L, 5.0 -> 5L, 9.0 -> 9L)))
     assert(t.map(_.id).toSeq === Seq(1L, 2L, 3L))
   }
 }

@@ -112,6 +112,42 @@ class EventWindowsMultiBatchSpec extends SparkSpec {
     assert(streamed.count(t => t._2 == "click" && t._3 == 9L) == 1)
   }
 
+  test("dropDuplicatesWithinWatermark: horizon duplicates dropped, post-eviction re-emit") {
+    val dir = Files.createTempDirectory("graft_dw_").toString
+    // watermark delay 1h; dedup key = event_type
+    // f1: k1 and k2 arrive
+    writeFile(dir, "f1.parquet", 1,
+      Seq((ts(0), "k1", 1.0), (ts(6), "k2", 1.0)))
+    // f2: duplicate k1 INSIDE the horizon (dropped), plus an advancing
+    // row that pushes the watermark to 2:00 — past k1's expiry
+    // (0:00 + 1h)
+    writeFile(dir, "f2.parquet", 2,
+      Seq((ts(30), "k1", 2.0), (ts(180), "adv", 1.0)))
+    // f3: spacer trigger. Eviction runs with the PREVIOUS trigger's
+    // watermark (same semantics the hourly spec pins down), so k1's
+    // state survives the batch that ADVANCED the watermark and is
+    // reclaimed only while this batch runs with wm = 2:00
+    writeFile(dir, "f3.parquet", 3,
+      Seq((ts(185), "spacer", 1.0)))
+    // f4: k1 again with a NEW event time, after eviction → re-emitted
+    // (the documented bounded-state trade)
+    writeFile(dir, "f4.parquet", 4,
+      Seq((ts(190), "k1", 3.0)))
+
+    val got = EventWindows.dedupWithinWatermark(spark, dir,
+        keyCols = Seq("event_type"), delay = "1 hour",
+        glob = "f*.parquet", maxFilesPerTrigger = 1)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sorted.toSeq
+
+    // k1 twice (original + post-eviction), the in-horizon duplicate
+    // (value 2.0) gone; a GLOBAL dropDuplicates would keep k1 once —
+    // the state-size-vs-horizon trade, asserted not just documented
+    assert(got === Seq(("adv", 1.0), ("k1", 1.0), ("k1", 3.0),
+      ("k2", 1.0), ("spacer", 1.0)))
+  }
+
   test("Trigger.AvailableNow backfill self-terminates and matches the batch aggregate") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("graft_an_").toString
