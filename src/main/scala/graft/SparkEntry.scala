@@ -1044,6 +1044,23 @@ object SparkEntry {
         .select(col("query_id"), (col("pos") + 1).cast("long").as("nb_rank"),
           col("col.id").as("neighbor_id"), col("col.ord").as("dist"))
         .orderBy("query_id", "nb_rank")
+    }),
+
+    // Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    // state holds one watermark horizon of keys, not the stream's
+    // lifetime — the deployment counterpart of q46's global
+    // dropDuplicates. Under the gate's single-batch ingestion no state
+    // is evicted mid-batch, so the kept set equals a global first-per-
+    // key dedup and the batch oracle holds exactly; the horizon
+    // semantics (within-horizon drop, post-eviction re-emit) are
+    // proven under forced multi-batch ingestion in
+    // EventWindowsMultiBatchSpec.
+    "q69_stream_dedup_bounded" -> ((s, dir) => {
+      EventWindows.dedupWithinWatermark(s, dir,
+          keyCols = Seq("user_id"), delay = "2 hours")
+        .groupBy(pmod(col("user_id"), lit(16L)).as("shard"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("shard")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1612,6 +1629,13 @@ object SparkEntry {
         |SELECT query_id, CAST(rn AS BIGINT) AS nb_rank,
         |cand_id AS neighbor_id, dist
         |FROM r WHERE rn <= 3 ORDER BY query_id, nb_rank""".stripMargin,
+
+    // one row kept per user (single-batch ≡ global dedup) → the shard
+    // histogram is a COUNT(DISTINCT user_id) per shard
+    "q69_stream_dedup_bounded" ->
+      """SELECT CAST(user_id % 16 AS BIGINT) AS shard,
+        |count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // integer-exact micros arithmetic; LEFT JOIN + count(b) keeps the
     // zero-match events the engine's left join back preserves
