@@ -31,6 +31,37 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  // ---- near-dup pair graph shared by q17 (pairs) and q66 (components):
+  // ---- ONE Scala builder and ONE oracle CTE so the two queries cannot
+  // ---- silently drift apart when the shingle/threshold tuning changes
+
+  private val pairShingleN = 8
+  private val pairThreshold = 0.35
+
+  /** exact n-gram Jaccard pairs (id_a, id_b, jac) over docs 0..499 */
+  private def jaccardPairGraph(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      T(s, dir, "documents").where(col("doc_id") < 500),
+      n = pairShingleN, threshold = pairThreshold)
+
+  /** The same pair graph as DuckDB CTEs (string shingles — counts equal
+    * the engine's hashed ones absent 64-bit collisions). MATERIALIZED:
+    * inside WITH RECURSIVE (q66) DuckDB inlines multiply-referenced
+    * CTEs, and `pairs` (the O(n²) shingle join) is referenced twice by
+    * the edge CTE — without the hint the quadratic work runs twice. */
+  private val jaccardPairsCte: String = {
+    val n = pairShingleN
+    s"""s AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+       |range(1, length(text) - ${n - 2}), i -> substr(text, CAST(i AS INT), $n))) AS sh
+       |FROM documents WHERE doc_id < 500),
+       |pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+       |FROM s a, s b WHERE a.doc_id < b.doc_id
+       |AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |len(list_distinct(list_concat(a.sh, b.sh))) > $pairThreshold)""".stripMargin
+  }
+
   // Fixed 1-D centroids on c_acctbal for the SQL-checkable assignment
   // queries (J1/A5 analogs). Non-round values so no data point ties.
   private val C0 = 211.73; private val C1 = 4387.21; private val C2 = 8842.02
@@ -338,12 +369,8 @@ object SparkEntry {
     }),
 
     // Dedup: exact n-gram Jaccard near-dup pairs (oracle for MinHash)
-    "q17_jaccard_pairs" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(
-          T(s, dir, "documents").where(col("doc_id") < 500), n = 8,
-          threshold = 0.35)
-        .orderBy("id_a", "id_b")
-    }),
+    "q17_jaccard_pairs" -> ((s, dir) =>
+      jaccardPairGraph(s, dir).orderBy("id_a", "id_b")),
 
     // Multimodal: payload + typed metadata plumbing
     "q18_multimodal_meta" -> ((s, dir) => {
@@ -985,10 +1012,8 @@ object SparkEntry {
     // identical pair SQL (q17's), so chain-collapse itself is what is
     // hash-checked.
     "q66_dedup_components" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(
-        T(s, dir, "documents").where(col("doc_id") < 500), n = 8,
-        threshold = 0.35)
-      operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      operators.Components
+        .connectedComponents(jaccardPairGraph(s, dir), "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     }),
@@ -1165,16 +1190,9 @@ object SparkEntry {
         |FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
 
     "q17_jaccard_pairs" ->
-      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
-        |range(1, length(text) - 6), i -> substr(text, CAST(i AS INT), 8))) AS sh
-        |FROM documents WHERE doc_id < 500)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-        |FROM s a, s b WHERE a.doc_id < b.doc_id
-        |AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |len(list_distinct(list_concat(a.sh, b.sh))) > 0.35
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $jaccardPairsCte
+         |SELECT id_a, id_b, jac FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q18_multimodal_meta" ->
       """SELECT doc_id AS media_id,
@@ -1584,31 +1602,20 @@ object SparkEntry {
         |AS sum_tokens
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // the same pair graph as q17 (string shingles — counts equal the
-    // engine's hashed ones absent 64-bit collisions), then components
-    // as a recursive transitive-closure fixpoint: reach(id, r) = "r
-    // reaches id"; the component label is min(reachable id), exactly
-    // the min-label fixpoint the distributed loop converges to.
-    // MATERIALIZED: inside WITH RECURSIVE, DuckDB inlines multiply-
-    // referenced CTEs, and `pairs` (the O(n²) shingle join) is
-    // referenced twice by `edges` — without the hint the quadratic
-    // work runs twice
+    // q17's pair graph (the SAME interpolated CTE — see
+    // jaccardPairsCte), then components as a recursive transitive-
+    // closure fixpoint: reach(id, r) = "r reaches id"; the component
+    // label is min(reachable id), exactly the min-label fixpoint the
+    // distributed loop converges to
     "q66_dedup_components" ->
-      """WITH RECURSIVE s AS MATERIALIZED (SELECT doc_id,
-        |list_distinct(list_transform(
-        |range(1, length(text) - 6), i -> substr(text, CAST(i AS INT), 8))) AS sh
-        |FROM documents WHERE doc_id < 500),
-        |pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM s a, s b WHERE a.doc_id < b.doc_id
-        |AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |len(list_distinct(list_concat(a.sh, b.sh))) > 0.35),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (SELECT src AS id, src AS r FROM edges
-        |UNION
-        |SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
-        |SELECT id AS doc_id, min(r) AS component FROM reach
-        |GROUP BY id ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT src AS id, src AS r FROM edges
+         |UNION
+         |SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, min(r) AS component FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // same left-to-right double fold as VecSqDist (the q16/q08 proven
     // device, here with both vectors as columns); row_number with the

@@ -115,9 +115,16 @@ object Components {
         converged = changed == 0L
         round += 1
       }
-      require(converged,
-        s"connectedComponents did not converge in $maxRounds rounds — " +
-          "the input is pathologically deep for a near-dup graph")
+      if (!converged) {
+        releaseCheckpoint(labels) // don't pin the last round's blocks on the throw
+        throw new IllegalArgumentException(
+          s"connectedComponents did not converge in $maxRounds rounds — " +
+            "the input is pathologically deep for a near-dup graph")
+      }
+      // The returned frame reads the final round's checkpoint blocks —
+      // they stay pinned while the frame is reachable and are reclaimed
+      // by the ContextCleaner once the caller drops it (same lifecycle
+      // as any cached result handed to a caller).
       labels.select(col("id"), col("lbl").as("component"))
     } finally und.unpersist(blocking = false)
   }

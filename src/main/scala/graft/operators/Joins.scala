@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Join helpers for skew that the optimizer can't fix on its own.
@@ -106,8 +106,18 @@ object Joins {
       hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val p = points.withColumn("_graft_bin",
-      floor(col(ptCol).cast("long") / binWidth))
+    // Exact integer binning: Spark's `/` coerces long/long to DOUBLE,
+    // which above 2^53 collapses neighboring values into one bin
+    // (irregular bins — still correct, since any MONOTONE binning used
+    // consistently on both sides preserves containment, but the skew
+    // is pointless). `div` is true 64-bit integral division. Truncating
+    // (not flooring) division is fine for the same reason: monotone.
+    def bin(c: Column): Column = {
+      import org.apache.spark.sql.graftshim.{column, expression}
+      column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(c.cast("long")), expression(lit(binWidth))))
+    }
+    val p = points.withColumn("_graft_bin", bin(col(ptCol)))
     // Half-open interval: the last covered bin is the one holding hi−1.
     // Empty/inverted intervals ([lo, hi) with hi <= lo) match nothing
     // and are dropped before `sequence` (whose step sign must match
@@ -116,8 +126,8 @@ object Joins {
       .where(col(loCol) < col(hiCol))
       .withColumn("_graft_bin",
         explode(sequence(
-          floor(col(loCol).cast("long") / binWidth),
-          floor((col(hiCol).cast("long") - 1) / binWidth),
+          bin(col(loCol)),
+          bin(col(hiCol) - 1),
           lit(1L))))
     p.join(iv,
         p("_graft_bin") === iv("_graft_bin") &&

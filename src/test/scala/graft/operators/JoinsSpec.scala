@@ -98,6 +98,22 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin bins exactly above 2^53 (integral div, no double collapse)") {
+    import spark.implicits._
+    // nanosecond-epoch-magnitude longs: double conversion has ulp 256
+    // here, so FP binning would put boundary-adjacent values into one
+    // irregular bin; integral `div` keeps every bin exact
+    val base = (1L << 60) // ~1.15e18
+    val points = (0L until 64L).map(i => (i, base + i)).toDF("pt_id", "pt")
+    val intervals = Seq((0L, base + 2, base + 5), (1L, base + 30, base + 34))
+      .toDF("iv_id", "lo", "hi")
+    val got = Joins.rangeJoin(points, "pt", intervals, "lo", "hi", 2L)
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((2L, 0L), (3L, 0L), (4L, 0L),
+      (30L, 1L), (31L, 1L), (32L, 1L), (33L, 1L)))
+  }
+
   test("rangeJoin drops empty and inverted intervals, boundary points land once") {
     import spark.implicits._
     val points = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 9L))
