@@ -1086,6 +1086,28 @@ object SparkEntry {
         .groupBy(pmod(col("user_id"), lit(16L)).as("shard"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("shard")
+    }),
+
+    // Interval-overlap join (interval × interval): per-user daily
+    // activity spans against per-type daily spans, overlap = purely
+    // temporal (no equi key — the shape Spark plans as BNLJ).
+    // Joins.intervalJoin bins both sides and keeps each pair only in
+    // its canonical first shared bin, so the equi-join emits every
+    // overlapping pair exactly once with no dedup re-shuffle.
+    // Micros-exact epochs; half-open [min, max+1) spans.
+    "q70_interval_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val u = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(unix_micros(min(col("ts"))).as("u_lo"),
+          (unix_micros(max(col("ts"))) + 1).as("u_hi"))
+      val t = ev.groupBy(col("event_type"), to_date(col("ts")).as("d2"))
+        .agg(unix_micros(min(col("ts"))).as("t_lo"),
+          (unix_micros(max(col("ts"))) + 1).as("t_hi"))
+      operators.Joins.intervalJoin(u, "u_lo", "u_hi", t, "t_lo", "t_hi",
+          binWidth = 21600000000L) // 6h bins ≈ the daily span scale
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("event_type")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1636,6 +1658,19 @@ object SparkEntry {
         |SELECT query_id, CAST(rn AS BIGINT) AS nb_rank,
         |cand_id AS neighbor_id, dist
         |FROM r WHERE rn <= 3 ORDER BY query_id, nb_rank""".stripMargin,
+
+    // plain theta overlap join — DuckDB's IEJoin handles it; the
+    // engine's binned form must produce the identical pair multiset
+    "q70_interval_join" ->
+      """WITH u AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |min(epoch_us(ts)) AS u_lo, max(epoch_us(ts)) + 1 AS u_hi
+        |FROM events GROUP BY 1,2),
+        |t AS (SELECT event_type, date_trunc('day', ts) AS d2,
+        |min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) + 1 AS t_hi
+        |FROM events GROUP BY 1,2)
+        |SELECT event_type, count(*) AS n_overlaps
+        |FROM u JOIN t ON u_lo < t_hi AND t_lo < u_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // one row kept per user (single-batch ≡ global dedup) → the shard
     // histogram is a COUNT(DISTINCT user_id) per shard

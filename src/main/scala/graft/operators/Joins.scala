@@ -106,17 +106,7 @@ object Joins {
       hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    // Exact integer binning: Spark's `/` coerces long/long to DOUBLE,
-    // which above 2^53 collapses neighboring values into one bin
-    // (irregular bins — still correct, since any MONOTONE binning used
-    // consistently on both sides preserves containment, but the skew
-    // is pointless). `div` is true 64-bit integral division. Truncating
-    // (not flooring) division is fine for the same reason: monotone.
-    def bin(c: Column): Column = {
-      import org.apache.spark.sql.graftshim.{column, expression}
-      column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        expression(c.cast("long")), expression(lit(binWidth))))
-    }
+    def bin(c: Column): Column = binCol(c, binWidth)
     val p = points.withColumn("_graft_bin", bin(col(ptCol)))
     // Half-open interval: the last covered bin is the one holding hi−1.
     // Empty/inverted intervals ([lo, hi) with hi <= lo) match nothing
@@ -133,5 +123,55 @@ object Joins {
         p("_graft_bin") === iv("_graft_bin") &&
           p(ptCol) >= iv(loCol) && p(ptCol) < iv(hiCol))
       .drop("_graft_bin")
+  }
+
+  /** Interval-overlap join (`lLo < rHi && rLo < lHi`, both half-open)
+    * on the same binning device as [[rangeJoin]] — with the twist that
+    * two intervals can share MANY bins, which would either duplicate
+    * every overlapping pair once per shared bin or force a `distinct()`
+    * re-shuffle of the whole candidate set. Neither happens: a pair is
+    * kept only in its CANONICAL shared bin — the bin of
+    * `greatest(lLo, rLo)`, which for an overlapping pair is provably
+    * the first bin both sides cover — so each pair emerges exactly
+    * once from the join itself.
+    *
+    * Cost model matches [[rangeJoin]]: each side replicates
+    * ×⌈len/binWidth⌉+1 and a dense bin multiplies; pick binWidth near
+    * the typical interval length.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: Column): Column = binCol(c, binWidth)
+    def explodeBins(df: DataFrame, lo: String, hi: String, out: String) =
+      df.where(col(lo) < col(hi))
+        .withColumn(out,
+          explode(sequence(bin(col(lo)), bin(col(hi) - 1), lit(1L))))
+    val l = explodeBins(left, lLo, lHi, "_graft_bin_l")
+    val r = explodeBins(right, rLo, rHi, "_graft_bin_r")
+    l.join(r,
+        l("_graft_bin_l") === r("_graft_bin_r") &&
+          l(lLo) < r(rHi) && r(rLo) < l(lHi) &&
+          l("_graft_bin_l") === bin(greatest(l(lLo), r(rLo))))
+      .drop("_graft_bin_l", "_graft_bin_r")
+  }
+
+  /** Exact integer binning: Spark's `/` coerces long/long to DOUBLE,
+    * which above 2^53 collapses neighboring values into one bin
+    * (irregular bins — still correct, since any MONOTONE binning used
+    * consistently on both sides preserves containment, but the skew is
+    * pointless). `IntegralDivide` is true 64-bit integral division;
+    * truncating (not flooring) division is fine for the same reason:
+    * monotone. */
+  private def binCol(c: Column, binWidth: Long): Column = {
+    import org.apache.spark.sql.graftshim.{column, expression}
+    column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(c.cast("long")), expression(lit(binWidth))))
   }
 }

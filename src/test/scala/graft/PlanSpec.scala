@@ -153,6 +153,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q70: interval-overlap join is a binned equi-join, never a nested loop") {
+    val p = plan("q70_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q68: per-key top-k is a partial/final aggregate, not a window sort") {
     val p = plan("q68_knn_batch")
     // k-capped typed aggregator → ObjectHashAggregate partial upstream

@@ -114,6 +114,31 @@ class JoinsSpec extends SparkSpec {
       (30L, 1L), (31L, 1L), (32L, 1L), (33L, 1L)))
   }
 
+  test("intervalJoin equals the naive overlap join, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def mkIntervals(n: Int, prefix: Long) =
+      Seq.fill(n)((rnd.nextInt(900).toLong, rnd.nextInt(200) + 1))
+        .zipWithIndex
+        .map { case ((lo, len), i) => (prefix + i, lo, lo + len) }
+    val left = mkIntervals(60, 1000L).toDF("l_id", "l_lo", "l_hi")
+    val right = mkIntervals(40, 2000L).toDF("r_id", "r_lo", "r_hi")
+
+    val naive = left.join(right, $"l_lo" < $"r_hi" && $"r_lo" < $"l_hi")
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // widths well below, near, and above typical interval length —
+    // many shared bins per pair in the small-width case, where a
+    // per-shared-bin emit would duplicate pairs ~30×
+    for (w <- Seq(7L, 128L, 1000L)) {
+      val got = Joins
+        .intervalJoin(left, "l_lo", "l_hi", right, "r_lo", "r_hi", w)
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === naive, s"binWidth=$w") // exactly once: sorted seq equality
+    }
+  }
+
   test("rangeJoin drops empty and inverted intervals, boundary points land once") {
     import spark.implicits._
     val points = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 9L))
