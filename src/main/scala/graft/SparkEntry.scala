@@ -1108,6 +1108,42 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_overlaps"))
         .orderBy("event_type")
+    }),
+
+    // Time-series gap-fill: per-user daily activity densified onto
+    // each user's full span, the last-event-type gauge forward-filled
+    // across the introduced gap days (deterministic per-day value:
+    // event_type of the max-event_id event — event_id is unique).
+    // Output: which carried state the pipeline would attribute gap
+    // days to — n_ev stays null on gap rows, so it doubles as the gap
+    // flag.
+    "q71_gap_fill" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_ev"),
+          max_by(col("event_type"), col("event_id")).as("last_type"))
+      operators.TimeSeries
+        .gapFillDaily(daily, "user_id", "d", Seq("last_type"))
+        .where(col("n_ev").isNull)
+        .groupBy(col("last_type").as("carried_type"))
+        .agg(count(lit(1)).as("n_gap_days"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("carried_type")
+    }),
+
+    // Scale-correct decile report over document lengths: exact
+    // interpolated decile boundaries from a distributed partial/final
+    // percentile aggregate, assignment via a broadcast-literal CASE
+    // chain — two scans, zero sorts, where the textbook
+    // `ntile(10) OVER ()` funnels every row through ONE window task.
+    // 2-dp rounded avg as the cross-engine determinism device.
+    "q72_quantile_bucket" -> ((s, dir) => {
+      operators.Quantiles
+        .quantileBucket(T(s, dir, "documents"), "n_chars", 10)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy("bucket")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1670,6 +1706,44 @@ object SparkEntry {
         |FROM events GROUP BY 1,2)
         |SELECT event_type, count(*) AS n_overlaps
         |FROM u JOIN t ON u_lo < t_hi AND t_lo < u_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dense grid via generate_series; IGNORE NULLS last_value is the
+    // forward fill; arg_max mirrors the engine's max_by gauge
+    "q71_gap_fill" ->
+      """WITH daily AS (
+        |SELECT user_id, date_trunc('day', ts)::DATE AS d, count(*) AS n_ev,
+        |arg_max(event_type, event_id) AS last_type
+        |FROM events GROUP BY 1,2),
+        |spans AS (SELECT user_id, min(d) AS lo, max(d) AS hi
+        |FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        |FROM spans),
+        |filled AS (SELECT g.user_id, g.d, daily.n_ev,
+        |last_value(daily.last_type IGNORE NULLS) OVER (
+        |PARTITION BY g.user_id ORDER BY g.d
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM grid g LEFT JOIN daily
+        |ON g.user_id = daily.user_id AND g.d = daily.d)
+        |SELECT carried AS carried_type, count(*) AS n_gap_days,
+        |count(DISTINCT user_id) AS n_users
+        |FROM filled WHERE n_ev IS NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same boundary definition on both engines (quantile_cont ≡ Spark
+    // percentile, bit-identical interpolation), same lower-bucket tie
+    // rule — the oracle replicates the DEFINITION, not ntile()
+    "q72_quantile_bucket" ->
+      """WITH b AS (SELECT quantile_cont(n_chars,
+        |[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM documents)
+        |SELECT bucket, count(*) AS n_docs,
+        |round(avg(n_chars), 2) AS avg_chars
+        |FROM (SELECT n_chars, 1
+        |+ (n_chars > qs[1])::INT + (n_chars > qs[2])::INT
+        |+ (n_chars > qs[3])::INT + (n_chars > qs[4])::INT
+        |+ (n_chars > qs[5])::INT + (n_chars > qs[6])::INT
+        |+ (n_chars > qs[7])::INT + (n_chars > qs[8])::INT
+        |+ (n_chars > qs[9])::INT AS bucket FROM documents, b)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // one row kept per user (single-batch ≡ global dedup) → the shard

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: turn an irregular per-key observation
+  * table into a dense, gap-free grid — the resample/ffill step every
+  * training pipeline runs before feeding sequence models, and one
+  * Spark has no built-in operator for.
+  */
+object TimeSeries {
+
+  /** Densify `observed` (one row per (`keyCol`, `dateCol`)) onto each
+    * key's full daily span [min(date), max(date)] and forward-fill the
+    * columns in `ffillCols` across the introduced gap rows. All other
+    * columns stay null on gap rows, so `col IS NULL` on any of them is
+    * the gap test (the key's first day is always observed, so
+    * forward-filled columns are never null).
+    *
+    * Scale shape: the span aggregate is a partial/final groupBy on the
+    * key; the grid explode emits span-length rows per key (bounded by
+    * the calendar, not the data); the grid⋈observed equi-join on
+    * (key, date) and the per-key ordered window are ordinary hash
+    * exchanges. Nothing is proportional to key-count² and no state
+    * outlives one key's span, so the operator scales with Σ span — the
+    * size of its own output.
+    */
+  def gapFillDaily(
+      observed: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      ffillCols: Seq[String]): DataFrame = {
+    require(ffillCols.nonEmpty, "ffillCols must name at least one column")
+    val spans = observed.groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("_graft_lo"), max(col(dateCol)).as("_graft_hi"))
+    val grid = spans
+      .select(col(keyCol), explode(
+        sequence(col("_graft_lo"), col("_graft_hi"),
+          expr("interval 1 day"))).as(dateCol))
+    val joined = grid.join(observed, Seq(keyCol, dateCol), "left")
+    val w = Window.partitionBy(keyCol).orderBy(dateCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ffillCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+}

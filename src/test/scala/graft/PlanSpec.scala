@@ -159,6 +159,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q72: quantile bucketing assigns via broadcast literals, not a global window") {
+    val p = plan("q72_quantile_bucket")
+    assert(!p.contains("Window"), p)
+  }
+
   test("q68: per-key top-k is a partial/final aggregate, not a window sort") {
     val p = plan("q68_knn_batch")
     // k-capped typed aggregator → ObjectHashAggregate partial upstream

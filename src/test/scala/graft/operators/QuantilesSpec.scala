@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantilesSpec extends SparkSpec {
+
+  test("quantileBucket splits evenly, monotonically, and handles nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val values = Seq.fill(1000)(rnd.nextDouble() * 1e6)
+    val df = (values.map(Option(_)) :+ Option.empty[Double])
+      .toDF("v").repartition(7)
+
+    val out = Quantiles.quantileBucket(df, "v", 10).cache()
+    try {
+      assert(out.where(col("v").isNull && col("bucket").isNotNull).count() === 0)
+      val counts = out.where(col("v").isNotNull)
+        .groupBy("bucket").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(counts.map(_._1) === (1 to 10))
+      assert(counts.map(_._2).sum === 1000L)
+      // continuous draws, exact interpolated boundaries → 100 ± 1 each
+      assert(counts.forall { case (_, n) => n >= 99 && n <= 101 }, counts)
+      // monotone: every value in bucket i is <= every value in i+1
+      val ranges = out.where(col("v").isNotNull)
+        .groupBy("bucket").agg(min("v").as("lo"), max("v").as("hi"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+        case _ =>
+      }
+    } finally out.unpersist()
+  }
+
+  test("quantileBucket assignment runs without a Window operator") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val plan = Quantiles.quantileBucket(df, "v", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+}

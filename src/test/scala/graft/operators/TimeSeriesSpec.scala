@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Date
+
+class TimeSeriesSpec extends SparkSpec {
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("gapFillDaily densifies each key's span and forward-fills across runs of gaps") {
+    import spark.implicits._
+    // key 1: observed days 1,2,5 → gaps 3,4 carry day-2's gauge;
+    // key 2: single observed day → no gaps; key 3: gap then a new
+    // observation resets the carried value for later gaps
+    val observed = Seq(
+      (1L, d("2024-01-01"), 3L, "a"),
+      (1L, d("2024-01-02"), 1L, "b"),
+      (1L, d("2024-01-05"), 2L, "c"),
+      (2L, d("2024-03-10"), 9L, "z"),
+      (3L, d("2024-02-01"), 1L, "p"),
+      (3L, d("2024-02-03"), 1L, "q"),
+      (3L, d("2024-02-05"), 1L, "q"))
+      .toDF("k", "day", "n", "gauge")
+
+    val filled = TimeSeries.gapFillDaily(observed, "k", "day", Seq("gauge"))
+      .orderBy("k", "day")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3)))
+      .toSeq
+
+    assert(filled === Seq(
+      (1L, "2024-01-01", 3L, "a"),
+      (1L, "2024-01-02", 1L, "b"),
+      (1L, "2024-01-03", -1L, "b"),
+      (1L, "2024-01-04", -1L, "b"),
+      (1L, "2024-01-05", 2L, "c"),
+      (2L, "2024-03-10", 9L, "z"),
+      (3L, "2024-02-01", 1L, "p"),
+      (3L, "2024-02-02", -1L, "p"),
+      (3L, "2024-02-03", 1L, "q"),
+      (3L, "2024-02-04", -1L, "q"),
+      (3L, "2024-02-05", 1L, "q")))
+  }
+
+  test("gapFillDaily output is partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val obs = (1 to 200).map { i =>
+      (i % 13L, d(f"2024-01-${rnd.nextInt(28) + 1}%02d"), i.toLong)
+    }.distinct.toDF("k", "day", "n")
+      // one row per (k, day) as the contract requires
+      .groupBy("k", "day").agg(org.apache.spark.sql.functions.max("n").as("n"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.gapFillDaily(df, "k", "day", Seq("n"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(obs.repartition(1)) === run(obs.repartition(11)))
+  }
+}
