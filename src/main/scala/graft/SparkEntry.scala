@@ -1144,6 +1144,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("n_chars")), 2).as("avg_chars"))
         .orderBy("bucket")
+    }),
+
+    // Z-ordered layout roundtrip: lineitem rewritten along the Morton
+    // curve of (l_partkey, l_suppkey), then a 2-D box predicate (~2%
+    // of rows) aggregates from the z-ordered files. The curve changes
+    // the LAYOUT only — the oracle proves layout-invariance; the scan
+    // win (row groups skipped via parquet min/max stats on BOTH
+    // dimensions at once, which neither partitionBy nor a single-col
+    // sort can give) is measured in ZOrderSpec.
+    "q73_zorder_scan" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_zorder_q73_${ProcessHandle.current().pid()}"
+      operators.ZOrder.writeZOrdered(T(s, dir, "lineitem"),
+        Seq("l_partkey", "l_suppkey"), base, numFiles = 32)
+      s.read.parquet(base)
+        .where(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_suppkey")
+    }),
+
+    // SCD2 build: the per-user event-type change log collapsed into
+    // validity intervals (one row per run of equal values; null
+    // valid_to = still current) — the temporal-table construction
+    // behind every as-of enrichment. (ts, event_id) ordering makes
+    // run boundaries total on both engines; micros-exact durations.
+    "q74_scd2" -> ((s, dir) => {
+      operators.TimeSeries.changeIntervals(T(s, dir, "events"),
+          "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          count(col("valid_to")).as("n_closed"),
+          sum(unix_micros(col("valid_to")) - unix_micros(col("valid_from")))
+            .as("dur_us"))
+        .orderBy("event_type")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1745,6 +1781,32 @@ object SparkEntry {
         |+ (n_chars > qs[7])::INT + (n_chars > qs[8])::INT
         |+ (n_chars > qs[9])::INT AS bucket FROM documents, b)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the layout never changes results: the oracle is the plain
+    // filter+aggregate over the original table
+    "q73_zorder_scan" ->
+      """SELECT l_suppkey, count(*) AS n_rows,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |AS sum_price
+        |FROM lineitem WHERE l_partkey <= 200 AND l_suppkey <= 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // WHERE runs before the window in the same SELECT, so the lead()
+    // in c is over change rows only — same two-step as the engine
+    "q74_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |lag(event_type) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id) AS prev FROM events),
+        |c AS (SELECT user_id, event_type, ts AS valid_from,
+        |lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |AS valid_to
+        |FROM o WHERE prev IS NULL OR prev <> event_type)
+        |SELECT event_type, count(*) AS n_intervals,
+        |count(valid_to) AS n_closed,
+        |CAST(sum(CASE WHEN valid_to IS NOT NULL THEN
+        |epoch_us(valid_to) - epoch_us(valid_from) END) AS BIGINT)
+        |AS dur_us
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // one row kept per user (single-batch ≡ global dedup) → the shard
     // histogram is a COUNT(DISTINCT user_id) per shard

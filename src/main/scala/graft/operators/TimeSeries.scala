@@ -45,4 +45,31 @@ object TimeSeries {
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** SCD2 construction: collapse a per-key change log into validity
+    * intervals — one row per RUN of equal `attrCol` values, valid from
+    * the run's first timestamp until the next run starts (null
+    * `valid_to` = still current). The temporal-table build step behind
+    * every as-of enrichment.
+    *
+    * Rows are ordered by (`tsCol`, `tieCols`...) within each key; pass
+    * tie columns that make the ordering total or equal-timestamp rows
+    * have engine-dependent run boundaries. Two windows on the same key
+    * partitioning → one shuffle; per-key state is one row.
+    */
+  def changeIntervals(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      attrCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    df.withColumn("_graft_prev", lag(col(attrCol), 1).over(w))
+      .where(col("_graft_prev").isNull ||
+        col("_graft_prev") =!= col(attrCol))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"))
+  }
 }

@@ -43,6 +43,40 @@ class TimeSeriesSpec extends SparkSpec {
       (3L, "2024-02-05", 1L, "q")))
   }
 
+  test("changeIntervals collapses runs and chains validity, ties broken by tie columns") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val log = Seq(
+      // key 1: a,a,b,a → 3 intervals; the middle 'a' run has 2 rows
+      (1L, ts("2024-01-01 00:00:00"), 10L, "a"),
+      (1L, ts("2024-01-01 01:00:00"), 11L, "a"),
+      (1L, ts("2024-01-01 02:00:00"), 12L, "b"),
+      (1L, ts("2024-01-01 03:00:00"), 13L, "a"),
+      // key 2: single row → one open interval
+      (2L, ts("2024-02-01 00:00:00"), 20L, "x"),
+      // key 3: equal timestamps — event_id order decides the runs
+      (3L, ts("2024-03-01 00:00:00"), 31L, "p"),
+      (3L, ts("2024-03-01 00:00:00"), 30L, "q"))
+      .toDF("k", "t", "eid", "v")
+
+    val got = TimeSeries.changeIntervals(log, "k", "t", "v", Seq("eid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString).getOrElse("-")))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+
+    assert(got === Seq(
+      (1L, "a", "2024-01-01 00:00:00.0", "2024-01-01 02:00:00.0"),
+      (1L, "b", "2024-01-01 02:00:00.0", "2024-01-01 03:00:00.0"),
+      (1L, "a", "2024-01-01 03:00:00.0", "-"),
+      (2L, "x", "2024-02-01 00:00:00.0", "-"),
+      // eid 30 ('q') sorts first at the shared timestamp, so its
+      // interval closes at eid 31's identical timestamp; 'p' stays open
+      (3L, "p", "2024-03-01 00:00:00.0", "-"),
+      (3L, "q", "2024-03-01 00:00:00.0", "2024-03-01 00:00:00.0")))
+  }
+
   test("gapFillDaily output is partitioning-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
