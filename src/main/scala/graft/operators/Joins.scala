@@ -106,6 +106,8 @@ object Joins {
       hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireIntegral(points, Seq(ptCol), "rangeJoin")
+    requireIntegral(intervals, Seq(loCol, hiCol), "rangeJoin")
     def bin(c: Column): Column = binCol(c, binWidth)
     val p = points.withColumn("_graft_bin", bin(col(ptCol)))
     // Half-open interval: the last covered bin is the one holding hi−1.
@@ -148,6 +150,8 @@ object Joins {
       rHi: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireIntegral(left, Seq(lLo, lHi), "intervalJoin")
+    requireIntegral(right, Seq(rLo, rHi), "intervalJoin")
     def bin(c: Column): Column = binCol(c, binWidth)
     def explodeBins(df: DataFrame, lo: String, hi: String, out: String) =
       df.where(col(lo) < col(hi))
@@ -169,9 +173,25 @@ object Joins {
     * pointless). `IntegralDivide` is true 64-bit integral division;
     * truncating (not flooring) division is fine for the same reason:
     * monotone. */
-  private def binCol(c: Column, binWidth: Long): Column = {
+  private[operators] def binCol(c: Column, binWidth: Long): Column = {
     import org.apache.spark.sql.graftshim.{column, expression}
     column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       expression(c.cast("long")), expression(lit(binWidth))))
   }
+
+  /** The binning (and the half-open `hi − 1` device) is defined on
+    * integers only — a fractional coordinate would silently truncate
+    * into a bin the other side never generates and drop true matches,
+    * so reject non-integral columns loudly. */
+  private def requireIntegral(
+      df: DataFrame, cols: Seq[String], op: String): Unit =
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      val ok = dt == ByteType || dt == ShortType ||
+        dt == IntegerType || dt == LongType
+      require(ok,
+        s"$op bins integral columns only (epoch micros, cents, ids); " +
+          s"'$c' is $dt — quantize fractional coordinates to longs first")
+    }
 }

@@ -33,9 +33,12 @@ object Quantiles {
       outCol: String = "bucket"): DataFrame = {
     require(buckets > 1, s"buckets must be > 1, got $buckets")
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val boundaries = df
-      .agg(expr(s"percentile($valueCol, array(${probs.mkString(",")}))"))
-      .first().getSeq[Double](0)
+    val row = df
+      .agg(percentile(col(valueCol), lit(probs.toArray)))
+      .first()
+    require(!row.isNullAt(0),
+      s"$valueCol has no non-null values — no quantile boundaries exist")
+    val boundaries = row.getSeq[Double](0)
     val bucket: Column = boundaries
       .map(b => when(col(valueCol) > lit(b), 1).otherwise(0))
       .foldLeft(lit(1): Column)(_ + _)

@@ -65,9 +65,13 @@ object TimeSeries {
       tieCols: Seq[String] = Nil): DataFrame = {
     val ord = (col(tsCol) +: tieCols.map(col)).map(_.asc)
     val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    // row_number (not `prev IS NULL`) marks the first row, and the
+    // null-safe <=> collapses null runs / keeps value↔null transitions
+    // — a nullable attribute is an ordinary SCD2 state here
     df.withColumn("_graft_prev", lag(col(attrCol), 1).over(w))
-      .where(col("_graft_prev").isNull ||
-        col("_graft_prev") =!= col(attrCol))
+      .withColumn("_graft_rn", row_number().over(w))
+      .where(col("_graft_rn") === 1 ||
+        !(col("_graft_prev") <=> col(attrCol)))
       .select(col(keyCol), col(attrCol),
         col(tsCol).as("valid_from"),
         lead(col(tsCol), 1).over(w).as("valid_to"))

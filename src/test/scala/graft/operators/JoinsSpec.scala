@@ -112,6 +112,29 @@ class JoinsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(got === Seq((2L, 0L), (3L, 0L), (4L, 0L),
       (30L, 1L), (31L, 1L), (32L, 1L), (33L, 1L)))
+    // pin the binning itself: join output alone is invariant under ANY
+    // monotone binning (the exact filter recovers it), so assert that
+    // values binWidth apart above 2^53 land in DISTINCT bins — the FP
+    // `/` collapses them (base and base+2 are the same double here)
+    val bins = points
+      .select(Joins.binCol(org.apache.spark.sql.functions.col("pt"), 2L))
+      .collect().map(_.getLong(0)).distinct
+    assert(bins.length === 32, s"expected 32 exact bins, got ${bins.length}")
+  }
+
+  test("range/interval joins reject fractional coordinate columns loudly") {
+    import spark.implicits._
+    val ivD = Seq((1L, 0.0, 2.5)).toDF("id", "lo", "hi")
+    val ptL = Seq((1L, 2L)).toDF("id", "pt")
+    val ivL = Seq((1L, 0L, 3L)).toDF("id", "lo", "hi")
+    val ex1 = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(ptL, "pt", ivD, "lo", "hi", 1L)
+    }
+    assert(ex1.getMessage.contains("integral"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Joins.intervalJoin(ivD, "lo", "hi", ivL, "lo", "hi", 1L)
+    }
+    assert(ex2.getMessage.contains("integral"))
   }
 
   test("intervalJoin equals the naive overlap join, each pair exactly once") {

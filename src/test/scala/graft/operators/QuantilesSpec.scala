@@ -34,6 +34,18 @@ class QuantilesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("quantileBucket fails loudly when no boundaries exist") {
+    import spark.implicits._
+    val empty = Seq.empty[Double].toDF("v")
+    val allNull = Seq(Option.empty[Double], Option.empty[Double]).toDF("v")
+    for (df <- Seq(empty, allNull)) {
+      val ex = intercept[IllegalArgumentException] {
+        Quantiles.quantileBucket(df, "v", 4)
+      }
+      assert(ex.getMessage.contains("no non-null values"))
+    }
+  }
+
   test("quantileBucket assignment runs without a Window operator") {
     import spark.implicits._
     val df = (1 to 100).map(_.toDouble).toDF("v")

@@ -57,12 +57,19 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, ts("2024-02-01 00:00:00"), 20L, "x"),
       // key 3: equal timestamps — event_id order decides the runs
       (3L, ts("2024-03-01 00:00:00"), 31L, "p"),
-      (3L, ts("2024-03-01 00:00:00"), 30L, "q"))
+      (3L, ts("2024-03-01 00:00:00"), 30L, "q"),
+      // key 4: nullable attribute — a null RUN is one interval, and
+      // value→null / null→value transitions are real changes
+      (4L, ts("2024-04-01 00:00:00"), 40L, "a"),
+      (4L, ts("2024-04-01 01:00:00"), 41L, null),
+      (4L, ts("2024-04-01 02:00:00"), 42L, null),
+      (4L, ts("2024-04-01 03:00:00"), 43L, "a"))
       .toDF("k", "t", "eid", "v")
 
     val got = TimeSeries.changeIntervals(log, "k", "t", "v", Seq("eid"))
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).toString,
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("∅"),
+        r.getTimestamp(2).toString,
         Option(r.getTimestamp(3)).map(_.toString).getOrElse("-")))
       .sortBy(t => (t._1, t._3, t._2)).toSeq
 
@@ -74,7 +81,10 @@ class TimeSeriesSpec extends SparkSpec {
       // eid 30 ('q') sorts first at the shared timestamp, so its
       // interval closes at eid 31's identical timestamp; 'p' stays open
       (3L, "p", "2024-03-01 00:00:00.0", "-"),
-      (3L, "q", "2024-03-01 00:00:00.0", "2024-03-01 00:00:00.0")))
+      (3L, "q", "2024-03-01 00:00:00.0", "2024-03-01 00:00:00.0"),
+      (4L, "a", "2024-04-01 00:00:00.0", "2024-04-01 01:00:00.0"),
+      (4L, "∅", "2024-04-01 01:00:00.0", "2024-04-01 03:00:00.0"),
+      (4L, "a", "2024-04-01 03:00:00.0", "-")))
   }
 
   test("gapFillDaily output is partitioning-invariant") {
