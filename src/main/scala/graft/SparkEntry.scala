@@ -1180,6 +1180,16 @@ object SparkEntry {
           sum(unix_micros(col("valid_to")) - unix_micros(col("valid_from")))
             .as("dur_us"))
         .orderBy("event_type")
+    }),
+
+    // Ordered conversion funnel view → click → purchase: each step
+    // strictly after the user's earliest valid previous step. A chain
+    // of filtered min-aggregates linked by user equi-joins — one
+    // timestamp of state per key per stage, no per-user event lists,
+    // no window sort.
+    "q75_funnel" -> ((s, dir) => {
+      operators.Funnel.funnelCounts(T(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1807,6 +1817,24 @@ object SparkEntry {
         |epoch_us(valid_to) - epoch_us(valid_from) END) AS BIGINT)
         |AS dur_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same stage-chained min-aggregate cascade; strict > makes
+    // equal-timestamp "progress" impossible on both engines
+    "q75_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |JOIN s1 USING (user_id)
+        |WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |JOIN s2 USING (user_id)
+        |WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |count(*) AS n_keys FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
 
     // one row kept per user (single-batch ≡ global dedup) → the shard
     // histogram is a COUNT(DISTINCT user_id) per shard
