@@ -1190,6 +1190,56 @@ object SparkEntry {
     "q75_funnel" -> ((s, dir) => {
       operators.Funnel.funnelCounts(T(s, dir, "events"),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+
+    // Wide→long reshape (unpivot/melt): per-flag decimal-exact sums
+    // melted to (key, metric, value) — one Expand over the aggregate,
+    // not a scan or union per metric.
+    "q76_unpivot" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_price"),
+          dsum(col("l_discount"), 2).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+
+    // Column-quality profile: null counts + exact distinct counts for
+    // four columns in ONE aggregation pass (value_hi is a derived
+    // gated column so null accounting is exercised — the raw tables
+    // are null-free).
+    "q77_profile" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("value_hi", when(col("value") >= 2.0, col("value")))
+      operators.Profile
+        .profile(ev, Seq("user_id", "event_type", "value_hi", "props"))
+        .orderBy("col_name")
+    }),
+
+    // Schema-evolution read: generation 1 predates the `value` column;
+    // mergeSchema unions the generations with nulls where the old
+    // files lack it — the long-lived-pipeline read path (a fixed
+    // schema would either fail or silently drop the new column).
+    "q78_evolution" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_evo_q78_${ProcessHandle.current().pid()}"
+      val ev = T(s, dir, "events")
+      ev.where(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      ev.where(col("event_id") % 2 === 1)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen1", s"$base/gen2")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_with_value"),
+          dsum(coalesce(col("value"), lit(0.0)), 4).as("sum_value"))
+        .orderBy("event_type")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1835,6 +1885,50 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    // explicit per-metric UNION — the reshape definition, engine-agnostic
+    "q76_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |AS sum_price,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem GROUP BY 1)
+        |SELECT * FROM (
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc', sum_disc FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // per-column audit rows written out longhand; HUGEINT sums CAST
+    "q77_profile" ->
+      """WITH ev AS (SELECT user_id, event_type, props,
+        |CASE WHEN value >= 2.0 THEN value END AS value_hi FROM events)
+        |SELECT * FROM (
+        |SELECT 'event_type' AS col_name,
+        |CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |AS n_nulls, count(DISTINCT event_type) AS n_distinct FROM ev
+        |UNION ALL SELECT 'props',
+        |CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |count(DISTINCT props) FROM ev
+        |UNION ALL SELECT 'user_id',
+        |CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |count(DISTINCT user_id) FROM ev
+        |UNION ALL SELECT 'value_hi',
+        |CAST(sum(CASE WHEN value_hi IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |count(DISTINCT value_hi) FROM ev)
+        |ORDER BY col_name""".stripMargin,
+
+    // the merged read is definitionally the base table with `value`
+    // nulled on even event_ids
+    "q78_evolution" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |count(CASE WHEN event_id % 2 = 1 THEN value END) AS n_with_value,
+        |CAST(sum(CAST(CASE WHEN event_id % 2 = 1 THEN value ELSE 0 END
+        |AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // one row kept per user (single-batch ≡ global dedup) → the shard
     // histogram is a COUNT(DISTINCT user_id) per shard
