@@ -1214,7 +1214,7 @@ object SparkEntry {
     "q77_profile" -> ((s, dir) => {
       val ev = T(s, dir, "events")
         .withColumn("value_hi", when(col("value") >= 2.0, col("value")))
-      operators.Profile
+      operators.ColumnProfile
         .profile(ev, Seq("user_id", "event_type", "value_hi", "props"))
         .orderBy("col_name")
     }),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Column-quality profiling: the null-rate / cardinality audit every
   * ingestion pipeline runs before trusting a new data drop.
   */
-object Profile {
+object ColumnProfile {
 
   /** One aggregation pass over `df` producing a row per profiled
     * column: `(col_name, n_nulls, n_distinct)`. Null counts and EXACT
@@ -20,9 +20,13 @@ object Profile {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"profile columns must be unique, got $cols")
     val aggs = cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+        // count(when...) not sum(when...): count is 0 (not NULL) on an
+        // empty input, so the profile of an empty table is all zeros.
+        count(when(col(c).isNull, lit(1))).as(s"__n_$c"),
         count_distinct(col(c)).as(s"__d_$c"))
     }
     df.agg(aggs.head, aggs.tail: _*)

@@ -29,6 +29,8 @@ object Funnel {
       stepCol: String,
       steps: Seq[String]): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(!events.columns.contains("_graft_t"),
+      "input must not already have a column named _graft_t (reserved)")
     var acc = List.empty[DataFrame]
     steps.zipWithIndex.foreach { case (st, i) =>
       val filtered = events.where(col(stepCol) === st)

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 
-class ProfileSpec extends SparkSpec {
+class ColumnProfileSpec extends SparkSpec {
 
   test("profile counts nulls and exact distincts per column in one pass") {
     import spark.implicits._
@@ -14,13 +14,20 @@ class ProfileSpec extends SparkSpec {
       (None, None))
       .toDF("x", "y")
 
-    val got = Profile.profile(df, Seq("x", "y"))
+    val got = ColumnProfile.profile(df, Seq("x", "y"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq
     assert(got === Seq(("x", 2L, 2L), ("y", 2L, 2L)))
 
     intercept[IllegalArgumentException] {
-      Profile.profile(df, Seq.empty)
+      ColumnProfile.profile(df, Seq.empty)
     }
+    intercept[IllegalArgumentException] {
+      ColumnProfile.profile(df, Seq("x", "x"))
+    }
+
+    val empty = ColumnProfile.profile(df.where("false"), Seq("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(empty === Array(("x", 0L, 0L)))
   }
 }
