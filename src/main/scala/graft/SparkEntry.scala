@@ -1240,6 +1240,47 @@ object SparkEntry {
           count(col("value")).as("n_with_value"),
           dsum(coalesce(col("value"), lit(0.0)), 4).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // PII redaction: deterministic PII-shaped spans (email + phone
+    // derived from doc_id — the raw corpus is PII-free) injected, then
+    // scrubbed by the codegen'd regexp_replace chain. The oracle
+    // replays the identical injection and redaction, so the row hash
+    // proves the scrub byte-for-byte.
+    "q79_redact_pii" -> ((s, dir) => {
+      val injected = concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@mail.example or call 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" "), col("text"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          operators.TextAnalysis.redactPii(col("t")).as("redacted"),
+          operators.TextAnalysis.piiCount(col("t")).as("n_pii"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition quality gate: per-doc token diversity +
+    // most-frequent-bigram stats, computed entirely map-side (the
+    // bigram mode comes from a sorted-array run-length HOF, not an
+    // explode + groupBy shuffle of every bigram occurrence).
+    "q80_repetition" -> ((s, dir) => {
+      operators.Curation
+        .repetitionStats(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Train/test decontamination: train docs sharing >= 3 distinct
+    // word 5-grams with the held-out slice (doc_id % 50 = 0). Grams
+    // join as broadcast 8-byte hashes; at this vocabulary a shared
+    // 5-gram is essentially proof of near-duplication, and the >= 3
+    // floor drops single-gram coincidences.
+    "q81_decontaminate" -> ((s, dir) => {
+      operators.Curation.contamination(
+        T(s, dir, "documents"), "doc_id", "text",
+        isTest = col("doc_id") % 50 === 0, n = 5, minShared = 3)
+        .orderBy("doc_id")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1945,6 +1986,59 @@ object SparkEntry {
         |ON epoch_us(b.ts) >= epoch_us(a.ts) - 300000000
         |AND epoch_us(b.ts) < epoch_us(a.ts)
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+
+    // identical injection, identical Java∩RE2 patterns, 'g' flag so
+    // DuckDB replaces every span the way Spark does
+    "q79_redact_pii" ->
+      """WITH inj AS (SELECT doc_id,
+        |'contact user' || CAST(doc_id AS VARCHAR) ||
+        |'@mail.example or call 555-01' ||
+        |lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ' || text AS t
+        |FROM documents)
+        |SELECT doc_id,
+        |regexp_replace(regexp_replace(t,
+        |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |'\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |CAST(len(regexp_extract_all(t,
+        |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_pii
+        |FROM inj ORDER BY doc_id""".stripMargin,
+
+    // the oracle may use the shuffle form (unnest + group by) the
+    // engine deliberately avoids — only the VALUES must match
+    "q80_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct FROM d),
+        |g AS (SELECT doc_id,
+        |list_extract(l, i) || ' ' || list_extract(l, i + 1) AS bg
+        |FROM d CROSS JOIN UNNEST(generate_series(1, len(l) - 1)) t(i)),
+        |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+        |FROM (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2)
+        |GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |coalesce(t.top_bigram_n, 0) AS top_bigram_n,
+        |(b.n_tokens > 1 AND b.n_distinct * 5 >= b.n_tokens * 2 AND
+        |coalesce(t.top_bigram_n, 0) * 10 <= greatest(b.n_tokens - 1, 0))
+        |AS keep
+        |FROM base b LEFT JOIN top t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // string-gram join (no xxhash64 in DuckDB) — equal to the engine's
+    // hashed join under the standard 64-bit no-collision assumption
+    "q81_decontaminate" ->
+      """WITH d AS (SELECT doc_id,
+        |string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |g AS (SELECT doc_id, list_extract(l, i) || ' ' ||
+        |list_extract(l, i + 1) || ' ' || list_extract(l, i + 2) || ' ' ||
+        |list_extract(l, i + 3) || ' ' || list_extract(l, i + 4) AS ng
+        |FROM d CROSS JOIN UNNEST(generate_series(1, len(l) - 4)) t(i)),
+        |te AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0),
+        |tr AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 50 != 0)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN te USING (ng)
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline

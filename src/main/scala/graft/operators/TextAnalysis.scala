@@ -104,6 +104,27 @@ object TextAnalysis {
     * [[fingerprint]] remains the production form. */
   def fingerprintMd5(text: Column): Column = md5(text)
 
+  /** PII patterns, written in the Java-regex ∩ RE2 common subset (no
+    * lookaround, ASCII word boundaries) so the DuckDB oracle can run
+    * the IDENTICAL patterns. Email is the practical RFC-lite form;
+    * phone matches NANP-style ddd-dddd blocks. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Scrub emails and phone-shaped numbers from text — the redaction
+    * pass every compliant training-data pipeline runs before a corpus
+    * leaves quarantine. Pure codegen'd `regexp_replace` chain: no UDF,
+    * no shuffle, safe inside whole-stage codegen at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  /** Number of PII spans [[redactPii]] would scrub (audit metric). */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(emailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(phoneRe), lit(0)))).cast("long")
+
   /** BPE-ish token estimate: a token is a maximal run of
     * non-space/non-punctuation characters, or a single punctuation
     * mark — approximating subword segmentation cheaply. Expressed as a

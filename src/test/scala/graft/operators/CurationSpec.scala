@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("repetitionStats: diversity, bigram mode, and gate edges") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 tokens, 2 distinct; bigrams a-b,b-a,a-b,b-a,a-b -> top 3
+      (1L, "a b a b a b"),
+      // all-distinct 12 tokens, 11 distinct bigrams (top 1) -> keep
+      (2L, "a b c d e f g h i j k l"),
+      // diverse but short: 4 tokens, top bigram 1, 10 > 3 -> reject
+      (3L, "w x y z"),
+      (4L, ""),
+      (5L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Curation.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got === Array(
+      (1L, 6L, 2L, 3L, false),   // ttr 1/3 < 0.4, top 3/5 > 0.1
+      (2L, 12L, 12L, 1L, true),  // ttr 1, top 1*10 <= 11 bigrams
+      (3L, 4L, 4L, 1L, false),   // short-doc cut: 1*10 > 3 bigrams
+      (4L, 0L, 0L, 0L, false),   // empty never kept
+      (5L, 1L, 1L, 0L, false)))  // single token: below min-length cut
+  }
+
+  test("contamination flags gram overlap, counts distinct grams once") {
+    import spark.implicits._
+    val docs = Seq(
+      // test doc
+      (0L, "q w e r t y u i o p"),
+      // train near-dup: shares 5-grams with doc 0
+      (7L, "q w e r t y u i o p extra"),
+      // train doc repeating ONE shared 5-gram twice - distinct => 1
+      (8L, "q w e r t z q w e r t"),
+      // unrelated train doc
+      (9L, "m n b v c x l k j h"))
+      .toDF("doc_id", "text")
+    val flagged = Curation.contamination(docs, "doc_id", "text",
+      isTest = col("doc_id") === 0, n = 5, minShared = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 7: windows of "q w e r t y u i o p" -> 6 shared 5-grams;
+    // doc 8 shares only "q w e r t" (once, distinct) -> below floor
+    assert(flagged === Array((7L, 6L)))
+
+    val floor1 = Curation.contamination(docs, "doc_id", "text",
+      isTest = col("doc_id") === 0, n = 5, minShared = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(floor1 === Array((7L, 6L), (8L, 1L)))
+  }
+
+  test("redactPii scrubs emails and phones, counts spans") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a.b+c@x-y.example now or dial 555-0199 twice 555-0100",
+      "no pii here 123-45 12345678 user@nodot",
+      "").toDF("t")
+    val got = df.select(
+      TextAnalysis.redactPii(col("t")).as("r"),
+      TextAnalysis.piiCount(col("t")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got(0) === (("mail <EMAIL> now or dial <PHONE> twice <PHONE>", 3L)))
+    assert(got(1) === (("no pii here 123-45 12345678 user@nodot", 0L)))
+    assert(got(2) === (("", 0L)))
+  }
+}
