@@ -1281,6 +1281,44 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "text",
         isTest = col("doc_id") % 50 === 0, n = 5, minShared = 3)
         .orderBy("doc_id")
+    }),
+
+    // Context-window chunking: 64-token windows at stride 48 (16-token
+    // overlap) — the sequence-prep step between curation and training.
+    // Zero shuffle: sequence/posexplode/slice are all narrow, so the
+    // fan-out streams straight from scan to sink.
+    "q82_token_chunks" -> ((s, dir) => {
+      operators.Curation.tokenChunks(
+        T(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Greedy first-fit packing of documents into 256-token context
+    // windows within 8 id-buckets. The shuffle carries only
+    // (bucket, id, n_tokens) — two longs per doc, never the text; the
+    // oracle replays the same greedy fold as a per-bucket recursive
+    // CTE, proving the sequential pack arithmetic.
+    "q83_pack_sequences" -> ((s, dir) => {
+      operators.Curation.packSequences(
+        T(s, dir, "documents"), "doc_id", "text",
+        capacity = 256, nBuckets = 8)
+        .orderBy("bucket", "doc_id")
+    }),
+
+    // JSONL interchange roundtrip: corpus → JSONL files → explicit-
+    // schema read (no inference pass over 100 TB) → row-level compare
+    // against the original table via the oracle — the hash proves the
+    // text survives JSON encode/decode byte-for-byte.
+    "q84_jsonl_roundtrip" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_jsonl_q84_${ProcessHandle.current().pid()}"
+      T(s, dir, "documents").write.mode("overwrite").json(base)
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING, " +
+          "source STRING, n_chars BIGINT")
+        .json(base)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -2039,6 +2077,50 @@ object SparkEntry {
         |SELECT tr.doc_id, count(*) AS n_shared
         |FROM tr JOIN te USING (ng)
         |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
+
+    // 1-based list ops: chunk start st = 1, 49, 97, ... <= n_tokens;
+    // list_slice's inclusive end clamps exactly like Spark's slice
+    "q82_token_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |s AS (SELECT doc_id, l,
+        |UNNEST(generate_series(1, len(l), 48)) AS st
+        |FROM d WHERE len(l) > 0)
+        |SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_id,
+        |CAST(len(list_slice(l, st, st + 63)) AS BIGINT) AS n_tokens,
+        |array_to_string(list_slice(l, st, st + 63), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the same greedy first-fit fold, replayed sequentially per bucket
+    // by a recursive CTE stepping rn -> rn+1 (MATERIALIZED: d is
+    // referenced from both the base and the recursive arm, and WITH
+    // RECURSIVE re-inlines multiply-referenced CTEs)
+    "q83_pack_sequences" ->
+      """WITH RECURSIVE d AS MATERIALIZED (
+        |SELECT doc_id % 8 AS bucket, doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |AS n_tokens,
+        |row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |AS rn FROM documents),
+        |p AS (
+        |SELECT bucket, doc_id, n_tokens, rn,
+        |CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+        |FROM d WHERE rn = 1
+        |UNION ALL
+        |SELECT d.bucket, d.doc_id, d.n_tokens, d.rn,
+        |CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256
+        |THEN p.pack_id + 1 ELSE p.pack_id END,
+        |CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256
+        |THEN d.n_tokens ELSE p.fill + d.n_tokens END
+        |FROM d JOIN p ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, doc_id, n_tokens,
+        |pack_id FROM p ORDER BY bucket, doc_id""".stripMargin,
+
+    // roundtrip is content-preserving: the oracle reads the ORIGINAL
+    // table; the query reads the JSONL copy it just wrote
+    "q84_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline

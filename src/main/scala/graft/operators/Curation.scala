@@ -75,6 +75,83 @@ object Curation {
           col("top_bigram_n") * 10 <= greatest(col("n_tokens") - 1, lit(0L)))
   }
 
+  /** Fixed-size overlapping token windows — the context-window prep
+    * step that turns curated documents into training sequences. Chunk
+    * `c` of a document covers tokens `[c*stride, c*stride + chunkSize)`
+    * (half-open, 0-based); the final chunk may be shorter. Documents
+    * with zero tokens yield no chunks.
+    *
+    * Scale posture: entirely map-side — `sequence` + `posexplode` +
+    * `slice` are narrow, so a 100 TB corpus chunks with ZERO shuffle
+    * and the output fan-out (~n_tokens/stride rows per doc) streams
+    * straight to the sink. Returns
+    * `(idCol, chunk_id, n_tokens, chunk_text)`. */
+  def tokenChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val t = tokens(col(textCol))
+    df.select(col(idCol), t.as("_graft_toks"))
+      .where(size(col("_graft_toks")) > 0)
+      .select(col(idCol), col("_graft_toks"),
+        posexplode(sequence(lit(0), size(col("_graft_toks")) - 1,
+          lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        slice(col("_graft_toks"), col("col") + 1, lit(chunkSize))
+          .as("_graft_chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_graft_chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("_graft_chunk")).as("chunk_text"))
+  }
+
+  /** Greedy sequence packing: assign documents to fixed-capacity packs
+    * (context windows) by first-fit in id order — pack until the next
+    * document would overflow `capacity` tokens, then open a new pack.
+    * A document longer than `capacity` gets a pack of its own. Returns
+    * `(bucket, idCol, n_tokens, pack_id)` with `pack_id` numbered per
+    * bucket from 0.
+    *
+    * Packing is inherently sequential, so the corpus is first split
+    * into `nBuckets` hash buckets (`id % nBuckets`) and the greedy scan
+    * runs independently per bucket — buckets are the parallelism unit,
+    * and the per-bucket state the scan needs is only (id, n_tokens):
+    * 16 bytes per doc, so even 10⁵ docs/bucket folds in ~1.6 MB while
+    * the text itself never moves — the shuffle carries two longs per
+    * document, not the corpus. Deterministic: assignment depends only
+    * on bucket membership and id order. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Long,
+      nBuckets: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sized = df.select(
+      pmod(col(idCol).cast("long"), lit(nBuckets.toLong)).as("bucket"),
+      col(idCol).cast("long").as("id"),
+      size(tokens(col(textCol))).cast("long").as("n"))
+    sized.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val docs = it.toArray.sortBy(_._2)
+        var pack = 0L
+        var fill = 0L
+        docs.iterator.map { case (_, id, n) =>
+          if (fill > 0 && fill + n > capacity) { pack += 1; fill = 0L }
+          fill += n
+          (bucket, id, n, pack)
+        }
+      }
+      .toDF("bucket", idCol, "n_tokens", "pack_id")
+  }
+
   /** Train/test decontamination: train documents sharing at least
     * `minShared` distinct word `n`-grams with ANY held-out (test)
     * document — the overlap check run before training on a scraped

@@ -105,6 +105,23 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Exchange") <= 2, p)
   }
 
+  test("q82: token chunking is entirely map-side — zero exchanges") {
+    val p = graft.operators.Curation
+      .tokenChunks(graft.sources.Tables(spark, dir, "documents"),
+        "doc_id", "text", 64, 48)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(nodes(p, "Exchange") == 0, p)
+    assert(p.contains("Generate"), p) // the posexplode fan-out, narrow
+  }
+
+  test("q83: packing shuffles exactly once (bucket, id, n_tokens)") {
+    val p = graft.operators.Curation
+      .packSequences(graft.sources.Tables(spark, dir, "documents"),
+        "doc_id", "text", 256L, 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(nodes(p, "Exchange") == 1, p)
+  }
+
   test("q60: global sort is a range-partitioned exchange, not one task") {
     val p = plan("q60_global_sort")
     // sampled range split points → every task sorts one slice of the

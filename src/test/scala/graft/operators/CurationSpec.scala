@@ -57,6 +57,50 @@ class CurationSpec extends SparkSpec {
     assert(floor1 === Array((7L, 6L), (8L, 1L)))
   }
 
+  test("tokenChunks: overlap, tail chunk, boundary, and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // 7 tokens, size 4 stride 3: [t0..t3], [t3..t6], [t6]
+      (1L, "a b c d e f g"),
+      // exactly one full chunk: starts 0 and 3 (3 < 4 tokens)
+      (2L, "p q r s"),
+      // shorter than one chunk
+      (3L, "x y"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Curation.tokenChunks(docs, "doc_id", "text", 4, 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 0L, 4L, "a b c d"),
+      (1L, 1L, 4L, "d e f g"),
+      (1L, 2L, 1L, "g"),
+      (2L, 0L, 4L, "p q r s"),
+      (2L, 1L, 1L, "s"),
+      (3L, 0L, 2L, "x y")))   // doc 4 (empty) yields no chunks
+  }
+
+  test("packSequences: first-fit boundaries, oversized doc, buckets") {
+    import spark.implicits._
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      // bucket 0 (ids 0,2,4,6): 6 + 3 fill pack 0; 2 overflows -> pack 1
+      (0L, words(6)), (2L, words(3)), (4L, words(2)), (6L, words(1)),
+      // bucket 1 (ids 1,3,5): oversized 12 packs alone; 5+5 fits pack 1
+      (1L, words(12)), (3L, words(5)), (5L, words(5)))
+      .toDF("doc_id", "text")
+    val got = Curation.packSequences(docs, "doc_id", "text",
+        capacity = 10L, nBuckets = 2)
+      .orderBy("bucket", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (0L, 0L, 6L, 0L), (0L, 2L, 3L, 0L),
+      (0L, 4L, 2L, 1L), (0L, 6L, 1L, 1L),
+      (1L, 1L, 12L, 0L), (1L, 3L, 5L, 1L), (1L, 5L, 5L, 1L)))
+  }
+
   test("redactPii scrubs emails and phones, counts spans") {
     import spark.implicits._
     val df = Seq(
