@@ -1319,6 +1319,30 @@ object SparkEntry {
         .json(base)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // CDC upsert (MERGE semantics): a deterministic change batch —
+    // price updates for every 1000th order plus brand-new 'N'-status
+    // orders — merged into the snapshot, then re-aggregated. The merge
+    // is union-with-priority + one min_by hash aggregation (a full
+    // outer join could broadcast neither side); the oracle replays
+    // MERGE relationally (source ∪ unmatched target).
+    "q85_merge_upsert" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+      val changed = o.where(col("o_orderkey") % 1000 === 0)
+      val changes = changed
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.5)
+        .unionByName(changed.select(
+          (col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          lit(1.0).as("o_totalprice")))
+      operators.Upsert.upsert(o, changes, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -2121,6 +2145,28 @@ object SparkEntry {
     "q84_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MERGE replayed relationally: source rows win, unmatched target
+    // rows pass through
+    "q85_merge_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |o_totalprice FROM orders),
+        |src AS (
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |o_totalprice + 1000.5 AS o_totalprice
+        |FROM o WHERE o_orderkey % 1000 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, o_custkey, 'N', 1.0
+        |FROM o WHERE o_orderkey % 1000 = 0),
+        |m AS (
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT * FROM o
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |AS sum_price
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-cluster-per-dim mean of the hyperplane-assigned embeddings,
     // with the exact meanRounded5 f32 rounding pipeline

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC-style upsert (SQL MERGE semantics, matched-update +
+  * not-matched-insert): apply a batch of change rows to a snapshot,
+  * source winning on key collision — the maintenance operation behind
+  * every incrementally-refreshed table a pipeline keeps (latest doc
+  * version, mutable dimension, checkpointed aggregate).
+  *
+  * Shape at scale: NOT a full-outer join — Spark cannot broadcast
+  * either side of one, so the snapshot would always sort-merge. Instead
+  * union-with-priority + one hash aggregation keyed on the merge key:
+  * a single shuffle of (key, payload) with map-side partial `min_by`,
+  * and AQE coalesces the change side's tiny partitions into the
+  * snapshot's. Both inputs must share the schema (`unionByName`), keys
+  * non-null.
+  */
+object Upsert {
+
+  /** Merge `source` change rows into `target`: rows whose `keys` match
+    * an existing target row replace it; unmatched source rows are
+    * inserts; untouched target rows pass through. Column set and order
+    * is `target`'s. */
+  def upsert(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val cols = target.columns.toSeq
+    require(keys.forall(cols.contains),
+      s"keys ${keys.filterNot(cols.contains)} missing from target")
+    val payload = cols.filterNot(keys.contains)
+    val tagged = source.select(cols.map(col): _*)
+      .withColumn("_graft_prio", lit(0))
+      .unionByName(target.select(cols.map(col): _*)
+        .withColumn("_graft_prio", lit(1)))
+    tagged
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min_by(struct(payload.map(col): _*), col("_graft_prio"))
+          .as("_graft_row"))
+      .select(cols.map {
+        case k if keys.contains(k) => col(k)
+        case c => col(s"_graft_row.$c").as(c)
+      }: _*)
+  }
+}
