@@ -22,15 +22,93 @@ object Curation {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  /** Adjacent word n-grams as space-joined strings; `[]` when the text
-    * has fewer than `n` tokens. */
-  private def wordGrams(text: Column, n: Int): Column = {
-    require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
+  // ----------------------------------------------- compiled text kernels
+  //
+  // Like Dedup's MinHash/SimHash kernels: tight compiled loops instead
+  // of higher-order Column expressions — Catalyst evaluates HOF lambdas
+  // interpreted per element, which measured ~10 s for each of q80/q81
+  // at sf0.1 (5000 docs); the same math compiled is ~20× faster and, for
+  // grams, shuffles 8-byte hashes instead of strings.
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Token spans (start, end exclusive) of maximal non-whitespace runs
+    * — identical token boundaries to `split(trim(text), "\\s+")`. */
+  private def tokenSpans(text: String): Array[Int] = {
+    if (text == null) return Array.emptyIntArray
+    val out = new scala.collection.mutable.ArrayBuffer[Int](32)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) { out += start; out += i }
+    }
+    out.toArray
+  }
+
+  /** One compiled pass: (n_tokens, n_distinct_tokens, top_bigram_count)
+    * with bigram identity = exact adjacent token strings. */
+  def repetitionKernel(text: String): (Long, Long, Long) = {
+    val spans = tokenSpans(text)
+    val nTokens = spans.length / 2
+    if (nTokens == 0) return (0L, 0L, 0L)
+    val toks = new Array[String](nTokens)
+    var i = 0
+    while (i < nTokens) {
+      toks(i) = text.substring(spans(2 * i), spans(2 * i + 1)); i += 1
+    }
+    val distinct = new java.util.HashSet[String]()
+    i = 0
+    while (i < nTokens) { distinct.add(toks(i)); i += 1 }
+    var top = 0
+    if (nTokens > 1) {
+      val counts = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i < nTokens - 1) {
+        val c = counts.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+        if (c > top) top = c
+        i += 1
+      }
+    }
+    (nTokens.toLong, distinct.size.toLong, top.toLong)
+  }
+
+  /** Distinct hashes of the adjacent word `n`-grams of `text` (gram =
+    * tokens joined by a single space; FNV-1a over the joined chars,
+    * avalanched). One compiled pass, per-document distinct applied
+    * in-kernel so no downstream `distinct()` shuffle is needed. */
+  def wordGramHashSet(text: String, n: Int): Array[Long] = {
+    val spans = tokenSpans(text)
+    val nTokens = spans.length / 2
+    if (nTokens < n) return Array.emptyLongArray
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i <= nTokens - n) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) {
+        if (j > i) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        var p = spans(2 * j)
+        val end = spans(2 * j + 1)
+        while (p < end) { h ^= text.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
+        j += 1
+      }
+      set.add(mix64(h))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
   }
 
   /** Per-document repetition/diversity stats, the Gopher-style quality
@@ -43,32 +121,22 @@ object Curation {
     * all-distinct doc fails `top * 10 <= n_bigrams` — intended; very
     * short docs are rejects in this kind of filter anyway.
     *
-    * The most-frequent-bigram count is computed per row by sorting the
-    * row's bigram array and taking the longest equal run (`aggregate`
-    * HOF) — O(tokens log tokens) per document and no shuffle, where
-    * the explode + groupBy(doc, bigram) form ships more rows than the
-    * corpus holds. */
+    * All three stats come from [[repetitionKernel]], ONE compiled pass
+    * per document with zero shuffle — the explode + groupBy(doc,
+    * bigram) form ships more rows than the corpus holds, and the
+    * HOF-fold form runs interpreted per element (measured 10.4 s vs
+    * sub-second at sf0.1). */
   def repetitionStats(
       df: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    val bgs = array_sort(wordGrams(col(textCol), 2))
-    val topRun = aggregate(
-      bgs,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    df.select(
-      col(idCol),
-      size(t).cast("long").as("n_tokens"),
-      size(array_distinct(t)).cast("long").as("n_distinct"),
-      topRun.as("top_bigram_n"))
+    val u = udf((t: String) => repetitionKernel(t))
+    df.select(col(idCol), u(col(textCol)).as("_graft_rep"))
+      .select(
+        col(idCol),
+        col("_graft_rep._1").as("n_tokens"),
+        col("_graft_rep._2").as("n_distinct"),
+        col("_graft_rep._3").as("top_bigram_n"))
       .withColumn("keep",
         col("n_tokens") > 1 &&
           col("n_distinct") * 5 >= col("n_tokens") * 2 &&
@@ -157,12 +225,15 @@ object Curation {
     * document — the overlap check run before training on a scraped
     * corpus to keep eval data out of the training set.
     *
-    * Shape at scale: grams travel as `xxhash64` 8-byte keys (standard
-    * 64-bit no-collision assumption); the test side (eval sets are
-    * tiny vs the corpus) is `broadcast()`, so the only shuffle is the
-    * final per-train-doc count — the 100 TB train side streams through
-    * a broadcast hash join. Returns `(idCol, n_shared)` for flagged
-    * train docs. */
+    * Shape at scale: grams travel as 8-byte FNV/splitmix hashes
+    * (standard 64-bit no-collision assumption), computed AND
+    * per-document-deduplicated in one compiled pass
+    * ([[wordGramHashSet]] — no gram strings materialize, and the train
+    * side needs no `distinct()` shuffle at all); the test side (eval
+    * sets are tiny vs the corpus) is `broadcast()`, so the only
+    * shuffle is the final per-train-doc count — the 100 TB train side
+    * streams through a broadcast hash join. Returns
+    * `(idCol, n_shared)` for flagged train docs. */
   def contamination(
       docs: DataFrame,
       idCol: String,
@@ -170,15 +241,15 @@ object Curation {
       isTest: Column,
       n: Int,
       minShared: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val u = udf((t: String) => wordGramHashSet(t, n))
     val grams = docs.select(col(idCol), isTest.as("_graft_is_test"),
-        explode(wordGrams(col(textCol), n)).as("_graft_ng"))
-      .select(col(idCol), col("_graft_is_test"),
-        xxhash64(col("_graft_ng")).as("_graft_h"))
+      explode(u(col(textCol))).as("_graft_h"))
     val test = grams.where(col("_graft_is_test"))
       .select(col("_graft_h")).distinct()
     val train = grams.where(!col("_graft_is_test"))
-      .select(col(idCol), col("_graft_h")).distinct()
+      .select(col(idCol), col("_graft_h"))
     train.join(broadcast(test), "_graft_h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
