@@ -1344,6 +1344,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Unicode normalization: a deterministic dirty suffix (combining
+    // acute + tab + BEL) appended to every doc — the raw corpus is
+    // clean ASCII — then control-strip + whitespace-collapse + NFC.
+    // The oracle replays it with DuckDB's nfc_normalize, so the row
+    // hash proves composed-codepoint byte equality.
+    "q86_normalize" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextAnalysis.normalizeText(
+            concat(col("text"), lit(" cafe\u0301\t\u0007end")))
+            .as("norm_text"))
+        .orderBy("doc_id")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -2146,6 +2160,18 @@ object SparkEntry {
     "q84_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical injection (chr 769 = combining acute, 9 = tab, 7 =
+    // BEL) and identical Java∩RE2 patterns; nfc_normalize is DuckDB's
+    // NFC twin of the engine's Normalizer UDF
+    "q86_normalize" ->
+      """WITH inj AS (SELECT doc_id,
+        |text || ' cafe' || chr(769) || chr(9) || chr(7) || 'end' AS t
+        |FROM documents)
+        |SELECT doc_id,
+        |nfc_normalize(trim(regexp_replace(regexp_replace(t,
+        |'[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_text
+        |FROM inj ORDER BY doc_id""".stripMargin,
 
     // MERGE replayed relationally: source rows win, unmatched target
     // rows pass through

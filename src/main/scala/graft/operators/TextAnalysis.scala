@@ -125,6 +125,27 @@ object TextAnalysis {
     (size(regexp_extract_all(text, lit(emailRe), lit(0))) +
       size(regexp_extract_all(text, lit(phoneRe), lit(0)))).cast("long")
 
+  /** Control characters (C0 + DEL), as an explicit class — the
+    * Java-regex ∩ RE2 common subset again, so the DuckDB oracle runs
+    * the IDENTICAL pattern. */
+  val controlRe = "[\\x00-\\x1F\\x7F]"
+
+  /** Unicode-correct normalization, the first pass a scraped corpus
+    * gets: control characters → space, whitespace runs collapsed to
+    * one space, trimmed, then NFC composition (é as one codepoint, not
+    * e + combining acute — byte-identical text for downstream hashing
+    * and dedup regardless of how the source encoded it). The regex
+    * steps are codegen'd Columns; NFC is the one step Spark has no
+    * built-in for — a compiled `java.text.Normalizer` UDF, O(len) per
+    * row, map-side, no shuffle. Oracle twin: DuckDB `nfc_normalize`. */
+  def normalizeText(text: Column): Column = {
+    val nfc = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    nfc(trim(regexp_replace(
+      regexp_replace(text, controlRe, " "), "\\s+", " ")))
+  }
+
   /** BPE-ish token estimate: a token is a maximal run of
     * non-space/non-punctuation characters, or a single punctuation
     * mark — approximating subword segmentation cheaply. Expressed as a

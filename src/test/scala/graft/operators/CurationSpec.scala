@@ -101,6 +101,21 @@ class CurationSpec extends SparkSpec {
       (1L, 1L, 12L, 0L), (1L, 3L, 5L, 1L), (1L, 5L, 5L, 1L)))
   }
 
+  test("normalizeText: NFC composition, control strip, collapse, trim") {
+    import spark.implicits._
+    val df = Seq(
+      // NUL + tab controls, space runs, decomposed e + combining acute
+      "  a\u0000b  c\td e\u0301  ",
+      "clean text",
+      null.asInstanceOf[String]).toDF("t")
+    val got = df.select(TextAnalysis.normalizeText(col("t")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got(0) === "a b c d \u00e9") // e-acute composed to ONE codepoint
+    assert(got(0).length === 9)          // 10 if NFC had not composed
+    assert(got(1) === "clean text")      // idempotent on clean input
+    assert(got(2) === null)
+  }
+
   test("redactPii scrubs emails and phones, counts spans") {
     import spark.implicits._
     val df = Seq(
