@@ -1333,10 +1333,14 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice")
       val changed = o.where(col("o_orderkey") % 1000 === 0)
+      // insert keys live in the negative key space: collision-free
+      // with any real (positive) orderkey at ANY scale factor — an
+      // additive offset would collide once the table outgrows it,
+      // handing upsert duplicate source keys (undefined winner)
       val changes = changed
         .withColumn("o_totalprice", col("o_totalprice") + 1000.5)
         .unionByName(changed.select(
-          (col("o_orderkey") + 20000000L).as("o_orderkey"),
+          (-col("o_orderkey") - 1L).as("o_orderkey"),
           col("o_custkey"), lit("N").as("o_orderstatus"),
           lit(1.0).as("o_totalprice")))
       operators.Upsert.upsert(o, changes, Seq("o_orderkey"))
@@ -2078,14 +2082,18 @@ object SparkEntry {
         |'\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
         |CAST(len(regexp_extract_all(t,
         |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
-        |len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_pii
+        |len(regexp_extract_all(regexp_replace(t,
+        |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |'\b\d{3}-\d{4}\b')) AS BIGINT) AS n_pii
         |FROM inj ORDER BY doc_id""".stripMargin,
 
     // the oracle may use the shuffle form (unnest + group by) the
     // engine deliberately avoids — only the VALUES must match
     "q80_repetition" ->
       """WITH d AS (SELECT doc_id,
-        |string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |ELSE string_split_regex(trim(text), '\s+') END AS l
+        |FROM documents),
         |base AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
         |CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct FROM d),
         |g AS (SELECT doc_id,
@@ -2106,7 +2114,9 @@ object SparkEntry {
     // hashed join under the standard 64-bit no-collision assumption
     "q81_decontaminate" ->
       """WITH d AS (SELECT doc_id,
-        |string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |ELSE string_split_regex(trim(text), '\s+') END AS l
+        |FROM documents),
         |g AS (SELECT doc_id, list_extract(l, i) || ' ' ||
         |list_extract(l, i + 1) || ' ' || list_extract(l, i + 2) || ' ' ||
         |list_extract(l, i + 3) || ' ' || list_extract(l, i + 4) AS ng
@@ -2121,7 +2131,9 @@ object SparkEntry {
     // list_slice's inclusive end clamps exactly like Spark's slice
     "q82_token_chunks" ->
       """WITH d AS (SELECT doc_id,
-        |string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |ELSE string_split_regex(trim(text), '\s+') END AS l
+        |FROM documents),
         |s AS (SELECT doc_id, l,
         |UNNEST(generate_series(1, len(l), 48)) AS st
         |FROM d WHERE len(l) > 0)
@@ -2137,7 +2149,8 @@ object SparkEntry {
     "q83_pack_sequences" ->
       """WITH RECURSIVE d AS MATERIALIZED (
         |SELECT doc_id % 8 AS bucket, doc_id,
-        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
         |AS n_tokens,
         |row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
         |AS rn FROM documents),
@@ -2183,7 +2196,7 @@ object SparkEntry {
         |o_totalprice + 1000.5 AS o_totalprice
         |FROM o WHERE o_orderkey % 1000 = 0
         |UNION ALL
-        |SELECT o_orderkey + 20000000, o_custkey, 'N', 1.0
+        |SELECT -o_orderkey - 1, o_custkey, 'N', 1.0
         |FROM o WHERE o_orderkey % 1000 = 0),
         |m AS (
         |SELECT * FROM src

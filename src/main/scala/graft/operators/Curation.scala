@@ -28,7 +28,10 @@ object Curation {
   // of higher-order Column expressions — Catalyst evaluates HOF lambdas
   // interpreted per element, which measured ~10 s for each of q80/q81
   // at sf0.1 (5000 docs); the same math compiled is ~20× faster and, for
-  // grams, shuffles 8-byte hashes instead of strings.
+  // grams, shuffles 8-byte hashes instead of strings. mix64 and the
+  // FNV-1a char loop are deliberate small copies of Dedup's (shared
+  // @inline helpers would couple two independently spec-pinned hash
+  // surfaces); isSpaceRe must stay in sync with Dedup.isSpaceRe.
 
   /** splitmix64 finalizer — full-avalanche 64-bit mix. */
   @inline private def mix64(z0: Long): Long = {
@@ -38,17 +41,25 @@ object Curation {
     z ^ (z >>> 31)
   }
 
-  /** Token spans (start, end exclusive) of maximal non-whitespace runs
-    * — identical token boundaries to `split(trim(text), "\\s+")`. */
+  /** Regex-`\s` test — EXACTLY `[ \t\n\x0B\f\r]`, the set both Java
+    * `\s` and RE2 `\s` match. NOT `Character.isWhitespace`, which
+    * additionally accepts U+001C–001F and the Unicode space block and
+    * would silently disagree with the declarative `split(trim, "\\s+")`
+    * path and the DuckDB oracles. */
+  @inline private def isSpaceRe(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** Token spans (start, end exclusive) of maximal non-`\s` runs —
+    * identical token boundaries to `split(trim(text), "\\s+")`. */
   private def tokenSpans(text: String): Array[Int] = {
     if (text == null) return Array.emptyIntArray
     val out = new scala.collection.mutable.ArrayBuffer[Int](32)
     var i = 0
     val len = text.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < len && isSpaceRe(text.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < len && !isSpaceRe(text.charAt(i))) i += 1
       if (i > start) { out += start; out += i }
     }
     out.toArray
@@ -81,27 +92,35 @@ object Curation {
     (nTokens.toLong, distinct.size.toLong, top.toLong)
   }
 
-  /** Distinct hashes of the adjacent word `n`-grams of `text` (gram =
-    * tokens joined by a single space; FNV-1a over the joined chars,
-    * avalanched). One compiled pass, per-document distinct applied
-    * in-kernel so no downstream `distinct()` shuffle is needed. */
+  /** Distinct hashes of the adjacent word `n`-grams of `text`. Each
+    * token's characters are FNV-1a-hashed ONCE; a gram hash is the
+    * order-sensitive splitmix chain of its `n` per-token hashes — the
+    * same distinct-gram semantics as hashing the joined string, at
+    * 1/n-th the char work (an interior token would otherwise be
+    * re-hashed once per overlapping window). One compiled pass,
+    * per-document distinct applied in-kernel so no downstream
+    * `distinct()` shuffle is needed. */
   def wordGramHashSet(text: String, n: Int): Array[Long] = {
     val spans = tokenSpans(text)
     val nTokens = spans.length / 2
     if (nTokens < n) return Array.emptyLongArray
+    val tokHash = new Array[Long](nTokens)
+    var t = 0
+    while (t < nTokens) {
+      var h = 0xcbf29ce484222325L
+      var p = spans(2 * t)
+      val end = spans(2 * t + 1)
+      while (p < end) { h ^= text.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
+      tokHash(t) = mix64(h)
+      t += 1
+    }
     val set = new java.util.HashSet[java.lang.Long]()
     var i = 0
     while (i <= nTokens - n) {
-      var h = 0xcbf29ce484222325L
+      var h = 0x9e3779b97f4a7c15L
       var j = i
-      while (j < i + n) {
-        if (j > i) { h ^= ' '.toLong; h *= 0x100000001b3L }
-        var p = spans(2 * j)
-        val end = spans(2 * j + 1)
-        while (p < end) { h ^= text.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
-        j += 1
-      }
-      set.add(mix64(h))
+      while (j < i + n) { h = mix64(h ^ tokHash(j)); j += 1 }
+      set.add(h)
       i += 1
     }
     val out = new Array[Long](set.size)

@@ -115,6 +115,13 @@ object Dedup {
     }
   }
 
+  /** Regex-`\s` test, EXACTLY `[ \t\n\x0B\f\r]` — the same token
+    * boundaries as `split(text, "\\s+")` and Curation's kernels, so
+    * "token" means one thing across the library (`Character
+    * .isWhitespace` would also accept U+001C–001F and Unicode spaces). */
+  @inline private def isSpaceRe(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
   /** 64-bit SimHash over whitespace tokens, one compiled pass: token →
     * 64-bit hash, ±1 vote per bit, fingerprint = sign bits. */
   def simhashFn(text: String): Long = {
@@ -123,9 +130,9 @@ object Dedup {
       var i = 0
       val len = text.length
       while (i < len) {
-        while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+        while (i < len && isSpaceRe(text.charAt(i))) i += 1
         val start = i
-        while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+        while (i < len && !isSpaceRe(text.charAt(i))) i += 1
         if (i > start) {
           val h = shingleHash(text, start, i - start)
           var b = 0

@@ -120,10 +120,16 @@ object TextAnalysis {
       regexp_replace(text, emailRe, "<EMAIL>"),
       phoneRe, "<PHONE>")
 
-  /** Number of PII spans [[redactPii]] would scrub (audit metric). */
+  /** Number of PII spans [[redactPii]] would scrub (audit metric).
+    * Phones are counted on the email-redacted text, exactly as
+    * [[redactPii]]'s second pass sees it — counting both patterns on
+    * the raw text would double-count a phone-shaped block inside an
+    * email local part (one replacement, two matches). */
   def piiCount(text: Column): Column =
     (size(regexp_extract_all(text, lit(emailRe), lit(0))) +
-      size(regexp_extract_all(text, lit(phoneRe), lit(0)))).cast("long")
+      size(regexp_extract_all(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        lit(phoneRe), lit(0)))).cast("long")
 
   /** Control characters (C0 + DEL), as an explicit class — the
     * Java-regex ∩ RE2 common subset again, so the DuckDB oracle runs

@@ -22,7 +22,12 @@ object Upsert {
   /** Merge `source` change rows into `target`: rows whose `keys` match
     * an existing target row replace it; unmatched source rows are
     * inserts; untouched target rows pass through. Column set and order
-    * is `target`'s. */
+    * is `target`'s.
+    *
+    * Precondition (standard MERGE contract — SQL MERGE errors on a
+    * doubly-matched row): `source` must carry at most one row per key.
+    * Duplicate source keys are NOT detected (a global check would cost
+    * an extra aggregation); the surviving row would be arbitrary. */
   def upsert(
       target: DataFrame,
       source: DataFrame,
@@ -31,6 +36,8 @@ object Upsert {
     val cols = target.columns.toSeq
     require(keys.forall(cols.contains),
       s"keys ${keys.filterNot(cols.contains)} missing from target")
+    require(!cols.contains("_graft_prio"),
+      "column name _graft_prio is reserved by upsert")
     val payload = cols.filterNot(keys.contains)
     val tagged = source.select(cols.map(col): _*)
       .withColumn("_graft_prio", lit(0))
@@ -43,7 +50,9 @@ object Upsert {
           .as("_graft_row"))
       .select(cols.map {
         case k if keys.contains(k) => col(k)
-        case c => col(s"_graft_row.$c").as(c)
+        // getField resolves by exact name — col("_graft_row.a.b")
+        // would misparse a payload column literally named "a.b"
+        case c => col("_graft_row").getField(c).as(c)
       }: _*)
   }
 }

@@ -121,6 +121,9 @@ class CurationSpec extends SparkSpec {
     val df = Seq(
       "mail a.b+c@x-y.example now or dial 555-0199 twice 555-0100",
       "no pii here 123-45 12345678 user@nodot",
+      // phone-shaped digits inside an email local part: ONE span
+      // (the email pass consumes it), so the count must be 1, not 2
+      "dial 555-0199@mail.example",
       "").toDF("t")
     val got = df.select(
       TextAnalysis.redactPii(col("t")).as("r"),
@@ -128,6 +131,7 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got(0) === (("mail <EMAIL> now or dial <PHONE> twice <PHONE>", 3L)))
     assert(got(1) === (("no pii here 123-45 12345678 user@nodot", 0L)))
-    assert(got(2) === (("", 0L)))
+    assert(got(2) === (("dial <EMAIL>", 1L)))
+    assert(got(3) === (("", 0L)))
   }
 }

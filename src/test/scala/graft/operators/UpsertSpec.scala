@@ -41,6 +41,15 @@ class UpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("upsert rejects the reserved tag column name") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0)).toDF("k", "_graft_prio")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsert(df, df, Seq("k"))
+    }
+    assert(e.getMessage.contains("_graft_prio"))
+  }
+
   test("upsert plans one shuffle with partial min_by aggregation") {
     import spark.implicits._
     val target = Seq((1L, 1.0)).toDF("k", "v")
