@@ -1362,6 +1362,25 @@ object SparkEntry {
             concat(col("text"), lit(" cafe\u0301\t\u0007end")))
             .as("norm_text"))
         .orderBy("doc_id")
+    }),
+
+    // Incremental ingest dedup: the standing corpus (99% of docs)
+    // banded ONCE into a persisted MinHash index; the ingest batch
+    // (doc_id % 100 = 45 -- chosen to cross real planted near-dup
+    // pairs, so the row set is non-vacuous) probes it and is
+    // exact-Jaccard-verified against only the candidate corpus docs.
+    // Oracle = the exact delta x corpus pair set; banding recall at
+    // this corpus's similarity levels is 1 (the q33 argument).
+    "q87_minhash_probe" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 100 =!= 45)
+      val delta = docs.where(col("doc_id") % 100 === 45)
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_mhidx_q87_${ProcessHandle.current().pid()}"
+      operators.Dedup.writeMinhashIndex(corpus, base, n = 8)
+      operators.Dedup
+        .probeMinhashIndex(s, base, corpus, delta, n = 8, threshold = 0.35)
+        .orderBy("id_new", "id_old")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -2185,6 +2204,22 @@ object SparkEntry {
         |nfc_normalize(trim(regexp_replace(regexp_replace(t,
         |'[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_text
         |FROM inj ORDER BY doc_id""".stripMargin,
+
+    // exact delta×corpus near-dup pairs, the q33 oracle restricted to
+    // the ingest split (predicates push into the join sides, so this
+    // stays delta×corpus, not n²)
+    "q87_minhash_probe" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
+        |range(1, length(text) - 6), i -> substr(text, CAST(i AS INT), 8))) AS sh
+        |FROM documents)
+        |SELECT b.doc_id AS id_new, a.doc_id AS id_old,
+        |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |FROM s a, s b
+        |WHERE a.doc_id % 100 != 45 AND b.doc_id % 100 = 45
+        |AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |len(list_distinct(list_concat(a.sh, b.sh))) > 0.35
+        |ORDER BY id_new, id_old""".stripMargin,
 
     // MERGE replayed relationally: source rows win, unmatched target
     // rows pass through

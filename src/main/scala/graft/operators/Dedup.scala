@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -280,6 +280,71 @@ object Dedup {
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jacU(col("sh_a"), col("sh_b")).as("jac"))
+      .where(col("jac") > threshold)
+  }
+
+  // ------------------------------------- incremental ingest dedup index
+
+  /** Persist a MinHash LSH band index of the standing corpus: one
+    * `(band, bh, id)` row per banded hash, parquet at `path`. Build
+    * ONCE; dedup every ingest batch against it with
+    * [[probeMinhashIndex]] — the build/probe split of
+    * [[minhashDedupPairs]] (same banding, same exact-Jaccard verify),
+    * so a new batch is checked against 100 TB of corpus without
+    * re-banding or re-shingling the corpus. */
+  def writeMinhashIndex(
+      df: DataFrame,
+      path: String,
+      n: Int,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val bandU = udf((t: String) => minhashBandHashes(t, n, bands, rowsPerBand))
+    df.select(col(idCol).as("id"),
+        posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Probe the persisted index with an ingest batch: near-dup
+    * `(id_new, id_old, jac)` pairs between `delta` and the indexed
+    * corpus, `jac > threshold` exact. The delta's banded hashes
+    * (a batch is small vs the corpus) broadcast against the index —
+    * 8-byte keys, no corpus shuffle; then ONLY the candidate corpus
+    * docs are re-read for the exact-Jaccard verify (broadcast
+    * semi-join prune before shingling). */
+  def probeMinhashIndex(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      delta: DataFrame,
+      n: Int,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bandU = udf((t: String) => minhashBandHashes(t, n, bands, rowsPerBand))
+    val probes = delta.select(col(idCol).as("id_new"),
+      posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
+    val cand = spark.read.parquet(path)
+      .join(broadcast(probes), Seq("band", "bh"))
+      .select(col("id").as("id_old"), col("id_new"))
+      .distinct()
+    val shU = udf((t: String) => shingleHashSet(t, n))
+    val jacU = udf((a: Seq[Long], b: Seq[Long]) =>
+      jaccardSorted(a.toArray, b.toArray))
+    val candIds = cand.select(col("id_old")).distinct()
+    val shOld = corpus
+      .join(broadcast(candIds), corpus(idCol) === candIds("id_old"),
+        "left_semi")
+      .select(col(idCol).as("id_old"), shU(col(textCol)).as("sh_old"))
+    val shNew = delta.select(col(idCol).as("id_new"),
+      shU(col(textCol)).as("sh_new"))
+    cand.join(shOld, "id_old")
+      .join(broadcast(shNew), "id_new")
+      .select(col("id_new"), col("id_old"),
+        jacU(col("sh_old"), col("sh_new")).as("jac"))
       .where(col("jac") > threshold)
   }
 

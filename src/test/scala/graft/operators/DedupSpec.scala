@@ -51,6 +51,31 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("minhash index probe: delta×corpus pairs only, equals direct LSH") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val corpus = docs(
+      1L -> base,
+      3L -> base.replace("quick", "slow"),   // near-dup of 1 (and of 10)
+      4L -> "completely different content with nothing shared at all here zzz")
+    val delta = docs(
+      10L -> (base + " x"),                  // near-dup of corpus 1 and 3
+      11L -> "another unrelated document talking about spark and scala engines")
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft_mhidx_spec_${ProcessHandle.current().pid()}"
+    writeMinhashIndex(corpus, path, n = 5)
+    val got = probeMinhashIndex(spark, path, corpus, delta,
+        n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact cross pairs from the all-pairs oracle, restricted to the split
+    val exact = ngramJaccardPairs(corpus.unionByName(delta), n = 5,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => b >= 10L && a < 10L }
+      .toSet.map((p: (Long, Long)) => (p._2, p._1))
+    assert(exact.nonEmpty, "split should cross a near-dup pair")
+    assert(got === exact) // no corpus-corpus or delta-delta pairs leak in
+  }
+
   test("simhash: identical texts have hamming 0; pairs found in bucket") {
     val df = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words entirely"))
