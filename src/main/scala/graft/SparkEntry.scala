@@ -1381,6 +1381,50 @@ object SparkEntry {
       operators.Dedup
         .probeMinhashIndex(s, base, corpus, delta, n = 8, threshold = 0.35)
         .orderBy("id_new", "id_old")
+    }),
+
+    // Corpus heavy hitters (boilerplate/stopword profile): per-
+    // partition Misra-Gries candidate pass at FIXED memory, then a
+    // broadcast-pruned exact recount — result exact at >= 0.1%
+    // corpus frequency with no token-dictionary shuffle.
+    "q88_heavy_hitters" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      operators.Frequency.heavyHitters(toks, "tok", minFrac = 0.001)
+    }),
+
+    // Reproducible training-data shuffle: total order by seeded md5
+    // + shard from the leading hash bits. Plans as a range-
+    // partitioned SORT (parallel at any scale), not a single-task
+    // window; re-runs bit-identically under any input partitioning.
+    "q89_seeded_shuffle" -> ((s, dir) => {
+      val skey = md5(concat(lit("42-"), col("doc_id").cast("string")))
+      T(s, dir, "documents")
+        .select(col("doc_id"), skey.as("skey"),
+          (conv(substring(skey, 1, 8), 16, 10).cast("long") % 8)
+            .as("shard"))
+        .orderBy("skey")
+    }),
+
+    // Per-language quota sampling (<= 20 docs per lang in seeded-
+    // hash order): the bounded top-k-per-key aggregator holds k rows
+    // of state per (map partition, lang) BEFORE the shuffle, so the
+    // exchange carries <= partitions*k rows — no window sort of the
+    // corpus. ord < 2^32 so its double round-trips exactly to long.
+    "q90_quota_sample" -> ((s, dir) => {
+      val ord = conv(substring(
+          md5(concat(lit("7-"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long").cast("double")
+      T(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), ord.as("ord"))
+        .groupBy("lang")
+        .agg(operators.TopK.smallestK(20)(col("ord"), col("doc_id"))
+          .as("kept"))
+        .select(col("lang"), explode(col("kept")).as("e"))
+        .select(col("lang"), col("e.id").as("doc_id"),
+          col("e.ord").cast("long").as("ord"))
+        .orderBy("lang", "ord", "doc_id")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -2220,6 +2264,34 @@ object SparkEntry {
         |AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |len(list_distinct(list_concat(a.sh, b.sh))) > 0.35
         |ORDER BY id_new, id_old""".stripMargin,
+
+    // exact token counts with the same threshold arithmetic; the
+    // engine's Misra-Gries pass only ever over-generates candidates,
+    // so its exact recount must equal the direct group-count
+    "q88_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text),
+        |'\s+')) AS tok FROM documents),
+        |t AS (SELECT tok FROM toks WHERE tok <> ''),
+        |n AS (SELECT count(*) AS total FROM t)
+        |SELECT tok, count(*) AS cnt FROM t, n GROUP BY tok, n.total
+        |HAVING count(*) >= CAST(ceil(0.001 * n.total) AS BIGINT)
+        |ORDER BY cnt DESC, tok""".stripMargin,
+
+    "q89_seeded_shuffle" ->
+      """SELECT doc_id, md5('42-' || doc_id) AS skey,
+        |CAST(('0x' || substr(md5('42-' || doc_id), 1, 8)) AS BIGINT) % 8
+        |AS shard
+        |FROM documents ORDER BY skey""".stripMargin,
+
+    "q90_quota_sample" ->
+      """WITH s AS (SELECT lang, doc_id,
+        |CAST(('0x' || substr(md5('7-' || doc_id), 1, 8)) AS BIGINT) AS ord
+        |FROM documents),
+        |r AS (SELECT lang, doc_id, ord,
+        |row_number() OVER (PARTITION BY lang ORDER BY ord, doc_id) AS rn
+        |FROM s)
+        |SELECT lang, doc_id, ord FROM r WHERE rn <= 20
+        |ORDER BY lang, ord, doc_id""".stripMargin,
 
     // MERGE replayed relationally: source rows win, unmatched target
     // rows pass through

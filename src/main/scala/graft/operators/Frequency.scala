@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact corpus heavy hitters (boilerplate tokens, template lines,
+  * hot keys) at bounded memory — the frequency profile a curation
+  * pipeline runs before writing stopword / boilerplate filters.
+  *
+  * Scale posture: the naive `groupBy(token).count.filter` shuffles
+  * one post-combine row per DISTINCT token per map partition — at
+  * 100 TB of web text the distinct-token universe (typos, ids, urls)
+  * is itself huge, the partial-aggregate hash tables spill, and the
+  * exchange carries the full token dictionary. This operator is the
+  * two-pass candidates-then-verify shape instead:
+  *
+  *  1. per-partition Misra–Gries summaries with a FIXED number of
+  *     counters (`sketchSize`), so executor memory is bounded no
+  *     matter the cardinality. Any token with global frequency
+  *     > N/(sketchSize+1) must exceed the per-partition deficiency
+  *     bound in at least one partition (pigeonhole over
+  *     Σ nₚ/(k+1) = N/(k+1)), so the union of per-partition
+  *     candidate keys is a SUPERSET of every true heavy hitter —
+  *     losses are only ever false candidates, never misses.
+  *  2. exact recount of ONLY the candidate tokens (broadcast semi
+  *     join prune — ≤ partitions·sketchSize candidates, no token
+  *     dictionary shuffle), then the exact threshold filter.
+  *
+  * The result is EXACT (oracle-comparable), with the sketch confined
+  * to the candidate-generation pass — the same
+  * candidates → exact-verify contract as [[Dedup.minhashDedupPairs]].
+  */
+object Frequency {
+
+  /** Tokens with exact count ≥ `ceil(minFrac · N)` where N is the
+    * total token count, as `(tok, cnt)` sorted by (cnt desc, tok).
+    *
+    * `minFrac` must exceed `1/(sketchSize+1)` — that is the
+    * Misra–Gries deficiency bound, below which phase 1 can no longer
+    * guarantee candidacy and the result could silently miss a hitter.
+    * Enforced loudly.
+    *
+    * @param tokens   one string row per token occurrence (already
+    *                 exploded; nulls/empties filtered by the caller)
+    * @param tokenCol the token column name
+    * @param minFrac  frequency threshold as a fraction of all tokens
+    * @param sketchSize Misra–Gries counters per partition (memory
+    *                 bound; default 4096 ⇒ bound 1/4097 ≈ 0.024%)
+    */
+  def heavyHitters(
+      tokens: DataFrame,
+      tokenCol: String,
+      minFrac: Double,
+      sketchSize: Int = 4096): DataFrame = {
+    require(sketchSize > 0, s"sketchSize must be positive, got $sketchSize")
+    require(minFrac > 1.0 / (sketchSize + 1),
+      f"minFrac=$minFrac%g is below the Misra-Gries deficiency bound " +
+        f"1/(sketchSize+1)=${1.0 / (sketchSize + 1)}%g: phase 1 could " +
+        "miss a true heavy hitter. Raise minFrac or sketchSize.")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+
+    val toks = tokens.select(col(tokenCol).cast("string").as("tok"))
+    // One extra scan to fix the absolute threshold. At 100 TB this is
+    // a metadata-cheap count (parquet row-group stats when tokens come
+    // straight off a column; a map-side count otherwise) and is what
+    // makes the threshold scale-invariant — a fixed absolute count
+    // would stop being a guarantee the moment the corpus grows.
+    val n = toks.count()
+    val minCount = math.ceil(minFrac * n).toLong
+
+    // Phase 1: Misra-Gries per partition. k counters; overflow
+    // decrements all (amortized O(1)/row — each decrement is paid for
+    // by a prior increment). Emitting the surviving KEYS only: the
+    // counter values are deficient by design and never surface.
+    val candidates = toks.as[String].mapPartitions { it =>
+      val k = sketchSize
+      val counters = new java.util.HashMap[String, Long](k * 2)
+      while (it.hasNext) {
+        val t = it.next()
+        val c = counters.get(t)
+        if (c != 0L || counters.containsKey(t)) counters.put(t, c + 1L)
+        else if (counters.size < k) counters.put(t, 1L)
+        else {
+          val e = counters.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            if (en.getValue == 1L) e.remove()
+            else en.setValue(en.getValue - 1L)
+          }
+        }
+      }
+      scala.jdk.CollectionConverters.SetHasAsScala(counters.keySet())
+        .asScala.iterator
+    }.toDF("tok").distinct()
+
+    // Phase 2: exact recount restricted to candidates. The broadcast
+    // semi join prunes BEFORE the aggregate, so the exchange carries
+    // only candidate tokens (≤ partitions·k), not the dictionary.
+    toks
+      .join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(desc("cnt"), col("tok"))
+  }
+}
