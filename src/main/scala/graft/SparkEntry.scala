@@ -1425,6 +1425,16 @@ object SparkEntry {
         .select(col("lang"), col("e.id").as("doc_id"),
           col("e.ord").cast("long").as("ord"))
         .orderBy("lang", "ord", "doc_id")
+    }),
+
+    // Record-linkage fuzzy join: all customer-name pairs within edit
+    // distance 1 via deletion-neighborhood (FastSS) blocking — an
+    // equi-join on 8-byte variant hashes + exact levenshtein verify,
+    // where the naive form is an n^2 BNLJ cross join.
+    "q91_fuzzy_join" -> ((s, dir) => {
+      operators.Joins.editDistanceSelfJoin(
+          T(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+        .orderBy("id_a", "id_b")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -2282,6 +2292,17 @@ object SparkEntry {
         |CAST(('0x' || substr(md5('42-' || doc_id), 1, 8)) AS BIGINT) % 8
         |AS shard
         |FROM documents ORDER BY skey""".stripMargin,
+
+    // the naive quadratic form IS the oracle — DuckDB's vectorized
+    // levenshtein over 1500x1500 is fine at verification scale; the
+    // engine's blocked join must produce the identical pair set
+    "q91_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a, customer b
+        |WHERE a.c_custkey < b.c_custkey
+        |AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q90_quota_sample" ->
       """WITH s AS (SELECT lang, doc_id,

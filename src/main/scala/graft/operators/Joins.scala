@@ -179,6 +179,89 @@ object Joins {
       expression(c.cast("long")), expression(lit(binWidth))))
   }
 
+  // ------------------------------------------------- fuzzy string join
+
+  /** FNV-1a over chars skipping up to two positions, splitmix64
+    * finalizer — the hash of a deletion VARIANT computed without ever
+    * materializing the variant string. Same hash family as the Dedup/
+    * Curation kernels (deliberate small copy, same rationale). */
+  @inline private def variantHash(s: String, skip1: Int, skip2: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      if (i != skip1 && i != skip2) h = (h ^ s.charAt(i)) * 0x100000001b3L
+      i += 1
+    }
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct 8-byte hashes of every string reachable from `s` by
+    * deleting at most `k` characters (k ∈ {1, 2}), `s` itself
+    * included. */
+  private[operators] def deletionHashes(s: String, k: Int): Array[Long] = {
+    val out = new java.util.HashSet[java.lang.Long]()
+    out.add(variantHash(s, -1, -1))
+    var i = 0
+    while (i < s.length) {
+      out.add(variantHash(s, i, -1))
+      if (k >= 2) {
+        var j = i + 1
+        while (j < s.length) { out.add(variantHash(s, i, j)); j += 1 }
+      }
+      i += 1
+    }
+    val r = new Array[Long](out.size)
+    val it = out.iterator(); var n = 0
+    while (it.hasNext) { r(n) = it.next(); n += 1 }
+    r
+  }
+
+  /** Edit-distance self-join (record-linkage blocking): all pairs
+    * with `levenshtein ≤ maxDist`, as `(id_a, id_b, dist)`,
+    * `id_a < id_b`.
+    *
+    * The naive form is an n² cross join with a Levenshtein filter —
+    * BNLJ, hopeless at scale. This is the deletion-neighborhood
+    * (FastSS) blocking instead: `ed(u, v) ≤ k` implies u and v share
+    * a variant after deleting ≤ k chars from each (substitution =
+    * the same position deleted from both; insertion = the inserted
+    * char deleted from the longer), so candidates come from an
+    * ordinary shuffled equi-join on 8-byte variant hashes —
+    * replication ×(len+1) for k=1 — and are then verified with the
+    * codegen'd `levenshtein`. Hash collisions and deletion-sharing
+    * non-matches only ever ADD candidates; the exact verify removes
+    * them, so the result is exact. Strings re-attach to the deduped
+    * candidate pairs by 8-byte id equi-joins — the variant exchange
+    * itself never carries strings.
+    */
+  def editDistanceSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion neighborhoods are generated for maxDist 1 or 2, " +
+        s"got $maxDist")
+    val k = maxDist
+    val hashU = udf((s: String) => deletionHashes(s, k))
+    val v = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val e = v.select(col("id"), explode(hashU(col("s"))).as("vk"))
+    val pairs = e.as("a")
+      .join(e.as("b"),
+        col("a.vk") === col("b.vk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(v.select(col("id").as("id_a"), col("s").as("sa")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** The binning (and the half-open `hi − 1` device) is defined on
     * integers only — a fractional coordinate would silently truncate
     * into a bin the other side never generates and drop true matches,

@@ -176,4 +176,46 @@ class JoinsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 100L), (2L, 100L)))
   }
+
+  private def edBrute(rows: Seq[(Long, String)], k: Int) =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      d = {
+        // classic DP Levenshtein as an independent oracle
+        val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        m(sa.length)(sb.length)
+      }
+      if d <= k
+    } yield (ia, ib, d.toLong)).toSet
+
+  test("editDistanceSelfJoin equals brute force at k=1 and k=2") {
+    import spark.implicits._
+    // covers substitution, insertion, deletion, equality, and a
+    // distance-2 pair that k=1 must exclude and k=2 must find
+    val rows = Seq(
+      1L -> "kitten", 2L -> "mitten", 3L -> "kittens", 4L -> "kitte",
+      5L -> "kitten", 6L -> "mittens", 7L -> "sitting", 8L -> "xyz")
+    val df = rows.toDF("id", "s").repartition(3)
+    for (k <- Seq(1, 2)) {
+      val got = Joins.editDistanceSelfJoin(df, "id", "s", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got === edBrute(rows, k), s"maxDist=$k")
+    }
+  }
+
+  test("editDistanceSelfJoin plans no cartesian/BNLJ") {
+    import spark.implicits._
+    val df = Seq(1L -> "abc", 2L -> "abd").toDF("id", "s")
+    val plan = Joins.editDistanceSelfJoin(df, "id", "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
