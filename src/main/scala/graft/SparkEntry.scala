@@ -1435,7 +1435,35 @@ object SparkEntry {
       operators.Joins.editDistanceSelfJoin(
           T(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
-    }))
+    }),
+
+    // Lexical retrieval: BM25 top-20 for a 3-term keyword query
+    // ('dup' is the rare discriminator). Postings filtered to the
+    // query terms at the scan; df broadcast; top-k as a heap.
+    "q92_bm25_topk" -> ((s, dir) => {
+      operators.Retrieval.bm25TopK(T(s, dir, "documents"),
+        "doc_id", "text", Seq("dup", "spark", "merge"))
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 sparse
+    // list (q92's query) with the dense brute-cosine list (q16's
+    // query vector). The fusion runs on two already-bounded top-50
+    // lists — O(N) whatever the corpus size.
+    "q93_hybrid_rrf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val sparse = operators.Retrieval.bm25TopK(T(s, dir, "documents"),
+        "doc_id", "text", Seq("dup", "spark", "merge"), topK = 50)
+      val dense = operators.Similarity.bruteForceTopK(emb, q, 50)
+        .withColumnRenamed("vec_id", "doc_id")
+      operators.Retrieval.rrfFuse(sparse, dense, "doc_id")
+    }),
+
+    // Corpus phrase mining: top-20 bigram collocations by PMI with a
+    // count->=5 floor applied before the vocabulary joins.
+    "q94_collocations" -> ((s, dir) =>
+      operators.TextAnalysis.collocations(T(s, dir, "documents"))))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -2292,6 +2320,101 @@ object SparkEntry {
         |CAST(('0x' || substr(md5('42-' || doc_id), 1, 8)) AS BIGINT) % 8
         |AS shard
         |FROM documents ORDER BY skey""".stripMargin,
+
+    // BM25 replicated with the identical IEEE expression tree; the
+    // 9-dp-round + DECIMAL-sum device makes the per-doc score
+    // order-independent, so the 6-dp result hash-matches
+    "q92_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id,
+        |unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS term
+        |FROM documents),
+        |t AS (SELECT * FROM tok WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dlen FROM t GROUP BY 1),
+        |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |AS n_docs,
+        |CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) /
+        |CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |WHERE term IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |(tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl)),
+        |9) AS ts
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |CROSS JOIN st)
+        |SELECT doc_id,
+        |round(CAST(sum(CAST(ts AS DECIMAL(28,9))) AS DOUBLE), 6) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // RRF fusion of the q92 BM25 list and the q16 dense list, both at
+    // top-50. Ranks are integers; each reciprocal is one DOUBLE
+    // division and the fused sum is two terms in fixed order, so the
+    // score is bit-identical across engines. CASTs keep DuckDB off
+    // its DECIMAL-literal arithmetic path.
+    "q93_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id,
+        |unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS term
+        |FROM documents),
+        |t AS (SELECT * FROM tok WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dlen FROM t GROUP BY 1),
+        |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |AS n_docs,
+        |CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) /
+        |CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |WHERE term IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |(tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl)),
+        |9) AS ts
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |CROSS JOIN st),
+        |bm AS (SELECT doc_id,
+        |round(CAST(sum(CAST(ts AS DECIMAL(28,9))) AS DOUBLE), 6) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 50),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |dn AS (SELECT e.vec_id AS doc_id,
+        |list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+        |FROM embeddings e, qv q ORDER BY score DESC, e.vec_id LIMIT 50),
+        |rs AS (SELECT doc_id,
+        |row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+        |rd AS (SELECT doc_id,
+        |row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM dn)
+        |SELECT COALESCE(rs.doc_id, rd.doc_id) AS doc_id,
+        |COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + rs.r AS DOUBLE),
+        |CAST(0.0 AS DOUBLE)) +
+        |COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + rd.r AS DOUBLE),
+        |CAST(0.0 AS DOUBLE)) AS rrf
+        |FROM rs FULL OUTER JOIN rd ON rs.doc_id = rd.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // PMI with the identical fixed association of exact-in-double
+    // products ((cxy*nu)*nu / ((nb*cx)*cy)); counts are exact longs in
+    // both engines so the 9-dp-rounded doubles hash-match
+    "q94_collocations" ->
+      """WITH ta AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |t -> t <> '') AS a FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS term,
+        |generate_subscripts(a, 1) AS pos FROM ta),
+        |bg AS (SELECT x.term AS w1, y.term AS w2 FROM tok x
+        |JOIN tok y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1),
+        |cb AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST((SELECT count(*) FROM tok) AS DOUBLE) AS nu,
+        |CAST((SELECT count(*) FROM bg) AS DOUBLE) AS nb)
+        |SELECT w1, w2, cxy AS pair_count,
+        |round(ln(((CAST(cxy AS DOUBLE) * nu) * nu) /
+        |((nb * CAST(cx.c AS DOUBLE)) * CAST(cy.c AS DOUBLE))), 9) AS pmi
+        |FROM cb JOIN cu cx ON cb.w1 = cx.term
+        |JOIN cu cy ON cb.w2 = cy.term CROSS JOIN tot
+        |WHERE cxy >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // the naive quadratic form IS the oracle — DuckDB's vectorized
     // levenshtein over 1500x1500 is fine at verification scale; the

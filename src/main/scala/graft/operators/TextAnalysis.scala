@@ -160,4 +160,63 @@ object TextAnalysis {
   def tokenCountBpeIsh(text: Column): Column =
     size(regexp_extract_all(text, lit("[^\\s.,!?;:]+|[.,!?;:]"), lit(0)))
       .cast("long")
+
+  /** Corpus bigram collocations ranked by pointwise mutual
+    * information — the phrase-mining pass of a corpus-statistics
+    * pipeline (multi-word expressions, domain vocabulary).
+    *
+    * `pmi(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) )` with bigram
+    * probability over the corpus bigram total and unigram
+    * probabilities over the token total.
+    *
+    * Scale posture: bigrams come straight off the token array
+    * (adjacent-slice zip — no per-document window, no shuffle to line
+    * up positions); unigram and bigram counts are partial/final
+    * hash aggregates; the `minCount` floor is applied to the bigram
+    * counts BEFORE the two vocabulary joins, so the long tail
+    * (most of Zipf's mass) never enters a join; the final top-k is a
+    * per-partition heap. Totals are one extra scan-level aggregate.
+    *
+    * Determinism: counts are exact longs; the PMI expression is
+    * written with one fixed association of exact-in-double products
+    * (counts ≪ 2⁵³), rounded to 9 dp — bit-identical cross-engine.
+    */
+  def collocations(
+      docs: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 5,
+      topK: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toksArr = docs.select(
+      filter(split(col(textCol), "[^A-Za-z]+"), t => t =!= lit("")).as("a"))
+    val tok = toksArr.select(explode(col("a")).as("term"))
+    val cu = tok.groupBy("term").agg(count(lit(1)).as("c"))
+
+    val nBi = greatest(size(col("a")) - 1, lit(0))
+    val totals = toksArr.agg(
+      sum(size(col("a"))).as("nu"), sum(nBi).as("nb")).head()
+    val nu = totals.getLong(0).toDouble
+    val nb = totals.getLong(1).toDouble
+
+    val bi = toksArr
+      .select(slice(col("a"), lit(1), nBi).as("w1s"),
+        slice(col("a"), lit(2), nBi).as("w2s"))
+      .select(explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
+      .select(col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .where(col("cxy") >= minCount)
+
+    val pmi =
+      log(((col("cxy").cast("double") * lit(nu)) * lit(nu)) /
+        ((lit(nb) * col("cx").cast("double")) * col("cy").cast("double")))
+    cb.join(cu.withColumnRenamed("term", "w1")
+          .withColumnRenamed("c", "cx"), "w1")
+      .join(cu.withColumnRenamed("term", "w2")
+          .withColumnRenamed("c", "cy"), "w2")
+      .select(col("w1"), col("w2"), col("cxy").as("pair_count"),
+        round(pmi, 9).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -139,4 +139,27 @@ class SourcesSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampType)
     assert(li.count() > 0)
   }
+
+  test("collocations matches a hand-computed PMI ranking") {
+    import spark.implicits._
+    // tokens: 10; bigrams: 7; (big,data)=3, (data,big)=3, (x,y)=1;
+    // unigrams big=4 data=4 x=1 y=1
+    val docs = Seq("big data big data big", "data big data", "x y")
+      .toDF("text").repartition(2)
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val pmi = BigDecimal(math.log(((3.0 * 10) * 10) / ((7.0 * 4) * 4)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // equal PMIs tie-break on w1
+    assert(got === Array(("big", "data", 3L, pmi), ("data", "big", 3L, pmi)))
+  }
+
+  test("collocations never pairs tokens across document boundaries") {
+    import spark.implicits._
+    val docs = Seq("alpha beta", "beta alpha").toDF("text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet === Set(("alpha", "beta", 1L), ("beta", "alpha", 1L)))
+  }
 }
