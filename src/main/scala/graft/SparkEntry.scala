@@ -146,14 +146,20 @@ object SparkEntry {
     * no drift. Convergence (`<= threshold` on Euclidean movement) and
     * the maxLoop M−1 semantics (`it <= maxIter`) mirror Main.java:
     * 205-220, 303-305. Empty cluster keeps its previous centroid
-    * (coalesce — the engine's documented divergence). */
+    * (coalesce — the engine's documented divergence).
+    *
+    * `vecExpr` is the SQL expression fit over (default: the raw
+    * `embedding` column; q95 passes `list_slice(...)` sub-vectors) and
+    * `cteName` names the produced CTE so several fits can share one
+    * `WITH RECURSIVE` (q95 runs one per PQ subspace). */
   private def sqlKMeansIterCte(
-      k: Int, dim: Int, maxIter: Int, threshold: Double): String = {
-    s"""iter AS (
+      k: Int, dim: Int, maxIter: Int, threshold: Double,
+      vecExpr: String = "embedding", cteName: String = "iter"): String = {
+    s"""$cteName AS (
        |  SELECT 0 AS it,
        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
-       |    embedding AS c, 1e18 AS max_moved
-       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |    v AS c, 1e18 AS max_moved
+       |  FROM (SELECT vec_id, $vecExpr AS v FROM embeddings
        |        ORDER BY vec_id LIMIT $k)
        |  UNION ALL
        |  SELECT nxt.it, nxt.cluster, nxt.c, max(nxt.moved) OVER () AS max_moved
@@ -162,20 +168,20 @@ object SparkEntry {
        |           coalesce(nm.c, old.c) AS c,
        |           CASE WHEN nm.c IS NULL THEN 0.0
        |                ELSE sqrt(${sqlSqDistCols("old.c", "nm.c")}) END AS moved
-       |    FROM iter old
+       |    FROM $cteName old
        |    LEFT JOIN (
        |      SELECT cluster,
        |             list(${sqlMeanRounded5("sv/cnt")} ORDER BY i) AS c
        |      FROM (
        |        SELECT a.cluster, r.i,
-       |               sum(CAST(a.embedding[r.i+1] AS DOUBLE)) AS sv,
+       |               sum(CAST(a.v[r.i+1] AS DOUBLE)) AS sv,
        |               count(*) AS cnt
        |        FROM (
-       |          SELECT p.embedding, d.cluster
-       |          FROM embeddings p
+       |          SELECT p.v, d.cluster
+       |          FROM (SELECT $vecExpr AS v FROM embeddings) p
        |          CROSS JOIN LATERAL (
-       |            SELECT w.cluster FROM iter w
-       |            ORDER BY ${sqlSqDistCols("p.embedding", "w.c")}, w.cluster
+       |            SELECT w.cluster FROM $cteName w
+       |            ORDER BY ${sqlSqDistCols("p.v", "w.c")}, w.cluster
        |            LIMIT 1
        |          ) d
        |        ) a CROSS JOIN range(0, $dim) r(i)
@@ -184,7 +190,7 @@ object SparkEntry {
        |    ) nm ON nm.cluster = old.cluster
        |  ) nxt
        |  WHERE nxt.it <= $maxIter
-       |    AND (SELECT max(max_moved) FROM iter) > $threshold
+       |    AND (SELECT max(max_moved) FROM $cteName) > $threshold
        |)""".stripMargin
   }
 
@@ -1463,7 +1469,20 @@ object SparkEntry {
     // Corpus phrase mining: top-20 bigram collocations by PMI with a
     // count->=5 floor applied before the vocabulary joins.
     "q94_collocations" -> ((s, dir) =>
-      operators.TextAnalysis.collocations(T(s, dir, "documents"))))
+      operators.TextAnalysis.collocations(T(s, dir, "documents"))),
+
+    // Product quantization: 4x16-dim codebooks (k=16, 4 Lloyd iters,
+    // the q30/q40 seeded-init device), encode to 4 codes/vector, then
+    // ADC top-10 for q16's query — the compressed-domain ANN path.
+    "q95_pq_adc" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val cb = operators.Quantization.fitPQ(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, iters = 4)
+      val enc = operators.Quantization.encodePQ(emb, "vec_id", "embedding", cb)
+      operators.Quantization.adcTopK(enc, cb, q, 10)
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -2415,6 +2434,51 @@ object SparkEntry {
         |JOIN cu cy ON cb.w2 = cy.term CROSS JOIN tot
         |WHERE cxy >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // PQ replica: one recursive-CTE Lloyd fit per 16-dim subspace
+    // (bit-exact by the q30/q40 5-dp-round device), encode via the
+    // same lowest-cluster-tie argmin, ADC as the identical
+    // fixed-association sum of four double sub-distances. cents are
+    // MATERIALIZED: multiply-referenced CTEs inside WITH RECURSIVE
+    // otherwise re-run per reference.
+    "q95_pq_adc" -> {
+      def sl(base: String, j: Int) =
+        s"list_slice($base, ${j * 16 + 1}, ${j * 16 + 16})"
+      val fits = (0 until 4).map { j =>
+        sqlKMeansIterCte(16, 16, 4, 1e-4,
+          vecExpr = sl("embedding", j), cteName = s"it$j")
+      }.mkString(",\n")
+      val cents = (0 until 4).map { j =>
+        s"cents$j AS MATERIALIZED (SELECT cluster, c FROM it$j " +
+          s"WHERE it = (SELECT max(it) FROM it$j))"
+      }.mkString(",\n")
+      val lats = (0 until 4).map { j =>
+        s"""CROSS JOIN LATERAL (SELECT w.cluster FROM cents$j w
+           |ORDER BY ${sqlSqDistCols(sl("p.embedding", j), "w.c")},
+           |w.cluster LIMIT 1) d$j""".stripMargin
+      }.mkString("\n")
+      val luts = (0 until 4).map { j =>
+        s"lut$j AS (SELECT w.cluster, " +
+          s"${sqlSqDistCols(sl("q.qe", j), "w.c")} AS d " +
+          s"FROM cents$j w, qv q)"
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |$fits,
+         |$cents,
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |enc AS (SELECT p.vec_id, d0.cluster AS c0, d1.cluster AS c1,
+         |d2.cluster AS c2, d3.cluster AS c3
+         |FROM embeddings p
+         |$lats),
+         |$luts
+         |SELECT enc.vec_id, ((l0.d + l1.d) + l2.d) + l3.d AS adist
+         |FROM enc
+         |JOIN lut0 l0 ON l0.cluster = enc.c0
+         |JOIN lut1 l1 ON l1.cluster = enc.c1
+         |JOIN lut2 l2 ON l2.cluster = enc.c2
+         |JOIN lut3 l3 ON l3.cluster = enc.c3
+         |ORDER BY adist, enc.vec_id LIMIT 10""".stripMargin
+    },
 
     // the naive quadratic form IS the oracle — DuckDB's vectorized
     // levenshtein over 1500x1500 is fine at verification scale; the

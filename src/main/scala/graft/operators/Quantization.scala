@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.kmeans.{KMeans, KMeansParams}
+
+/** Product-quantization codebooks: `books(j)(c)` is centroid `c` of
+  * subspace `j`; each sub-vector spans `subDim` dims. */
+final case class PQCodebooks(
+    m: Int, subDim: Int, books: Array[Array[Array[Float]]]) {
+  require(books.length == m, s"expected $m codebooks, got ${books.length}")
+  def k: Int = books(0).length
+}
+
+/** Product quantization (PQ) — the embedding-compression layer of a
+  * 100 TB ANN stack (IVF-PQ): each `dim`-float vector is encoded as
+  * `m` small codes (one byte each at k ≤ 256), a `4·dim/m`-fold
+  * compression, and queries scan codes via an asymmetric-distance
+  * lookup table (ADC) instead of touching raw floats.
+  *
+  * Scale posture: the per-subspace codebook fits reuse the
+  * distributed Lloyd kernel ([[graft.kmeans.KMeans]] — per-partition
+  * partials, driver merge of k·subDim floats); encoding is a pure
+  * narrow codegen'd map (an argmin CASE chain per subspace, no
+  * shuffle, no UDF for k ≤ 16); the ADC query is a narrow map over
+  * the m-int code column — the raw vectors are never read — followed
+  * by a per-partition top-k heap (`TakeOrderedAndProject`).
+  *
+  * Determinism: the fits inherit the 5-dp round-half-up centroid
+  * device (bit-exact vs the recursive-CTE oracle, q30/q40); encode
+  * argmins break ties on the lowest code (CASE chain `<=`); the ADC
+  * distance is a fixed-association sum of m doubles whose LUT entries
+  * are the same ascending-index f64 folds both engines run.
+  */
+object Quantization {
+
+  /** Fit `m` codebooks of `k` centroids each over the `dim`-float
+    * `embCol`, one seeded-init Lloyd run per contiguous sub-vector
+    * (init = the first `k` rows by `idCol`, the q30/q40 device).
+    * `iters` = actual Lloyd iterations run (barring convergence). */
+  def fitPQ(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      threshold: Double = 1e-4): PQCodebooks = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val books = (0 until m).toArray.map { j =>
+      val sub = emb.select(col(idCol).as("id"),
+        slice(col(embCol), lit(j * subDim + 1), lit(subDim))
+          .cast("array<float>").as("features"))
+      val init = sub.orderBy("id").limit(k).select("features")
+        .collect().map(_.getSeq[Float](0).toArray)
+      KMeans.fit(sub.select("features"),
+        KMeansParams(k = k, threshold = threshold, maxLoop = iters + 1,
+          initCentroids = Some(init))).centroids
+    }
+    PQCodebooks(m, subDim, books)
+  }
+
+  /** Encode every row as its `m` nearest sub-centroid indices —
+    * `(id, codes array<int>)`. Narrow map, codegen'd argmin CASE
+    * chain per subspace for k ≤ 16 (broadcast-UDF twin above). */
+  def encodePQ(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      cb: PQCodebooks): DataFrame =
+    emb.select(col(idCol), array((0 until cb.m).map { j =>
+      assignCol(
+        slice(col(embCol), lit(j * cb.subDim + 1), lit(cb.subDim))
+          .cast("array<float>"),
+        cb.books(j))
+    }: _*).as("codes"))
+
+  /** Approximate top-k by asymmetric distance: the query is cut into
+    * sub-vectors, a driver-side `m × k` LUT of exact sub-distances is
+    * baked into the plan as literal arrays, and each row's distance is
+    * `Σ_j lut(j)(codes(j))` — one codegen'd expression over the code
+    * column only. */
+  def adcTopK(
+      encoded: DataFrame,
+      cb: PQCodebooks,
+      query: Array[Float],
+      topK: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(query.length == cb.m * cb.subDim,
+      s"query dim ${query.length} != ${cb.m} x ${cb.subDim}")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val lut: Array[Array[Double]] = Array.tabulate(cb.m) { j =>
+      val qs = java.util.Arrays.copyOfRange(
+        query, j * cb.subDim, (j + 1) * cb.subDim)
+      cb.books(j).map(c => sqdist(qs, c))
+    }
+    val adist = (0 until cb.m).map { j =>
+      element_at(array(lut(j).map(lit): _*), col("codes")(j) + 1)
+    }.reduceLeft(_ + _)
+    encoded.select(col(idCol), adist.as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions.{argminCentroid, sqdist}
+
+class QuantizationSpec extends SparkSpec {
+
+  // dim=4, two subspaces of 2; two tight groups per subspace so the
+  // fit converges immediately and codes are unambiguous
+  private val vecs: Seq[(Long, Array[Float])] = Seq(
+    0L -> Array(0f, 0f, 10f, 10f),
+    1L -> Array(0.2f, 0f, 10f, 10.2f),
+    2L -> Array(5f, 5f, 0f, 0f),
+    3L -> Array(5.2f, 5f, 0.2f, 0f),
+    4L -> Array(0f, 0.2f, 0f, 0.2f),
+    5L -> Array(5f, 5.2f, 10.2f, 10f))
+
+  private def df = {
+    import spark.implicits._
+    vecs.toDF("vec_id", "embedding").repartition(2)
+  }
+
+  private def fit() =
+    Quantization.fitPQ(df, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 3)
+
+  test("encodePQ assigns every row its brute-force nearest sub-centroid") {
+    val cb = fit()
+    val got = Quantization.encodePQ(df, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    vecs.foreach { case (id, v) =>
+      val exp = (0 until cb.m).map { j =>
+        argminCentroid(
+          v.slice(j * cb.subDim, (j + 1) * cb.subDim), cb.books(j))
+      }
+      assert(got(id) === exp, s"vec $id")
+    }
+  }
+
+  test("adcTopK equals a brute-force ADC ranking") {
+    val cb = fit()
+    val query = Array(0.1f, 0.1f, 9.9f, 10.1f)
+    val enc = Quantization.encodePQ(df, "vec_id", "embedding", cb)
+    val got = Quantization.adcTopK(enc, cb, query, topK = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exp = vecs.map { case (id, v) =>
+      val codes = (0 until cb.m).map { j =>
+        argminCentroid(
+          v.slice(j * cb.subDim, (j + 1) * cb.subDim), cb.books(j))
+      }
+      val d = (0 until cb.m).map { j =>
+        sqdist(query.slice(j * cb.subDim, (j + 1) * cb.subDim),
+          cb.books(j)(codes(j)))
+      }.reduceLeft(_ + _)
+      (id, d)
+    }.sortBy { case (id, d) => (d, id) }
+    assert(got === exp)
+  }
+
+  test("encode + ADC stay narrow: no shuffle before the top-k heap") {
+    import spark.implicits._
+    val cb = fit()
+    val flat = vecs.toDF("vec_id", "embedding") // no repartition Exchange
+    val enc = Quantization.encodePQ(flat, "vec_id", "embedding", cb)
+    val plan = Quantization.adcTopK(enc, cb, Array(0f, 0f, 0f, 0f), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("fitPQ rejects a subspace count that does not divide dim") {
+    intercept[IllegalArgumentException] {
+      Quantization.fitPQ(df, "vec_id", "embedding",
+        dim = 4, m = 3, k = 2, iters = 1)
+    }
+  }
+}
