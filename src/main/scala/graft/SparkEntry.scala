@@ -1482,6 +1482,52 @@ object SparkEntry {
         dim = 64, m = 4, k = 16, iters = 4)
       val enc = operators.Quantization.encodePQ(emb, "vec_id", "embedding", cb)
       operators.Quantization.adcTopK(enc, cb, q, 10)
+    }),
+
+    // IVF-PQ: q40's coarse quantizer bounds the candidates to the 3
+    // nearest cells, q95's codebooks rank them by ADC — the composed
+    // compressed-domain ANN stack.
+    "q96_ivfpq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val init = emb.orderBy("vec_id").limit(8)
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      val index = Similarity.buildIvfIndex(emb, nlist = 8,
+        quantizerIters = 6, initCentroids = Some(init))
+      val cb = operators.Quantization.fitPQ(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, iters = 4)
+      operators.Quantization.ivfPqTopK(index, cb, q, 10, nprobe = 3)
+    }),
+
+    // Curation: the 10 farthest members of each cluster (q40's fit) —
+    // embedding-space outlier candidates, bounded-TopK per cluster.
+    "q97_cluster_outliers" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val init = emb.orderBy("vec_id").limit(8)
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      val model = KMeans.fit(
+        emb.select(col("embedding").as("features")),
+        KMeansParams(k = 8, threshold = 1e-4, maxLoop = 7,
+          initCentroids = Some(init)))
+      Similarity.clusterOutliers(emb, model.centroids, 10)
+    }),
+
+    // Damped PageRank (10 iterations) over the undirected
+    // customer<->supplier purchase graph (supplier node ids offset by
+    // 1e7); top-20 by rank.
+    "q98_pagerank" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val base = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 10000000L).as("p"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("p").as("dst"))
+        .union(base.select(col("p").as("src"), col("c").as("dst")))
+      operators.Graph.pageRank(edges, "src", "dst", iters = 10).limit(20)
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -2479,6 +2525,127 @@ object SparkEntry {
          |JOIN lut3 l3 ON l3.cluster = enc.c3
          |ORDER BY adist, enc.vec_id LIMIT 10""".stripMargin
     },
+
+    // IVF-PQ replica: q40's coarse fit + probed-cells candidate CTE
+    // composed with q95's four subspace fits and ADC. Everything
+    // multiply-referenced is MATERIALIZED (WITH RECURSIVE re-runs
+    // inlined CTEs per reference).
+    "q96_ivfpq" -> {
+      def sl(base: String, j: Int) =
+        s"list_slice($base, ${j * 16 + 1}, ${j * 16 + 16})"
+      val subFits = (0 until 4).map { j =>
+        sqlKMeansIterCte(16, 16, 4, 1e-4,
+          vecExpr = sl("embedding", j), cteName = s"it$j")
+      }.mkString(",\n")
+      val cents = (0 until 4).map { j =>
+        s"cents$j AS MATERIALIZED (SELECT cluster, c FROM it$j " +
+          s"WHERE it = (SELECT max(it) FROM it$j))"
+      }.mkString(",\n")
+      val lats = (0 until 4).map { j =>
+        s"""CROSS JOIN LATERAL (SELECT w.cluster FROM cents$j w
+           |ORDER BY ${sqlSqDistCols(sl("p.embedding", j), "w.c")},
+           |w.cluster LIMIT 1) d$j""".stripMargin
+      }.mkString("\n")
+      val luts = (0 until 4).map { j =>
+        s"lut$j AS (SELECT w.cluster, " +
+          s"${sqlSqDistCols(sl("q.qe", j), "w.c")} AS d " +
+          s"FROM cents$j w, qv q)"
+      }.mkString(",\n")
+      s"""WITH RECURSIVE ${sqlKMeansIterCte(8, 64, 6, 1e-4)},
+         |$subFits,
+         |coarse AS MATERIALIZED (SELECT cluster, c FROM iter
+         |  WHERE it = (SELECT max(it) FROM iter)),
+         |$cents,
+         |qv AS MATERIALIZED (SELECT embedding AS qe FROM embeddings
+         |  WHERE vec_id = 0),
+         |probed AS (SELECT coarse.cluster FROM coarse, qv q
+         |  ORDER BY ${sqlSqDistCols("q.qe", "coarse.c")}, coarse.cluster
+         |  LIMIT 3),
+         |cand AS MATERIALIZED (
+         |  SELECT a.vec_id, a.embedding
+         |  FROM (SELECT p.vec_id, p.embedding, d.cluster
+         |        FROM embeddings p
+         |        CROSS JOIN LATERAL (
+         |          SELECT c2.cluster FROM coarse c2
+         |          ORDER BY ${sqlSqDistCols("p.embedding", "c2.c")},
+         |          c2.cluster
+         |          LIMIT 1) d) a
+         |  JOIN probed USING (cluster)),
+         |enc AS (SELECT p.vec_id, d0.cluster AS c0, d1.cluster AS c1,
+         |d2.cluster AS c2, d3.cluster AS c3
+         |FROM cand p
+         |$lats),
+         |$luts
+         |SELECT enc.vec_id, ((l0.d + l1.d) + l2.d) + l3.d AS adist
+         |FROM enc
+         |JOIN lut0 l0 ON l0.cluster = enc.c0
+         |JOIN lut1 l1 ON l1.cluster = enc.c1
+         |JOIN lut2 l2 ON l2.cluster = enc.c2
+         |JOIN lut3 l3 ON l3.cluster = enc.c3
+         |ORDER BY adist, enc.vec_id LIMIT 10""".stripMargin
+    },
+
+    // outliers: q40's coarse fit, assigned distance = the lateral min
+    // (same double as Spark's least-over-VecSqDist), 9-dp rounded
+    // BEFORE ranking in both engines; the window-rank form here is the
+    // oracle for the engine's bounded-TopK aggregation
+    "q97_cluster_outliers" ->
+      s"""WITH RECURSIVE ${sqlKMeansIterCte(8, 64, 6, 1e-4)},
+         |cents AS MATERIALIZED (SELECT cluster, c FROM iter
+         |  WHERE it = (SELECT max(it) FROM iter)),
+         |asg AS (SELECT p.vec_id, d.cluster, round(sqrt(d.sq), 9) AS dist
+         |  FROM embeddings p
+         |  CROSS JOIN LATERAL (
+         |    SELECT w.cluster, ${sqlSqDistCols("p.embedding", "w.c")} AS sq
+         |    FROM cents w
+         |    ORDER BY ${sqlSqDistCols("p.embedding", "w.c")}, w.cluster
+         |    LIMIT 1) d),
+         |r AS (SELECT vec_id, cluster, dist,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY dist DESC, vec_id) AS rn FROM asg)
+         |SELECT cluster, vec_id, dist FROM r WHERE rn <= 10
+         |ORDER BY cluster, dist DESC, vec_id""".stripMargin,
+
+    // PageRank fixpoint replica: the recursive arm carries every
+    // node's rank forward; contributions are 12-dp-rounded and summed
+    // as DECIMAL(38,12) (exact, associative — the partition-order
+    // device), the damped update is the identical fixed-association
+    // double tree rounded to 9 dp, so every iteration is bit-identical
+    // to the engine's loop
+    "q98_pagerank" ->
+      """WITH RECURSIVE
+        |base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+        |  l.l_suppkey + 10000000 AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM base
+        |  UNION ALL SELECT p, c FROM base),
+        |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e
+        |  GROUP BY 1),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n
+        |  FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS it, node,
+        |    CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT old.it + 1, old.node,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |        / (SELECT n FROM nn)
+        |      + CAST(0.85 AS DOUBLE) * CAST(coalesce(agg.s, 0) AS DOUBLE),
+        |      9)
+        |  FROM pr old
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(w.rank / CAST(od.outdeg AS DOUBLE), 12)
+        |        AS DECIMAL(38,12))) AS s
+        |    FROM pr w JOIN e ON e.src = w.node JOIN od ON od.src = e.src
+        |    GROUP BY e.dst
+        |  ) agg ON agg.node = old.node
+        |  WHERE old.it + 1 <= 10
+        |)
+        |SELECT node, rank FROM pr WHERE it = 10
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
     // the naive quadratic form IS the oracle — DuckDB's vectorized
     // levenshtein over 1500x1500 is fine at verification scale; the

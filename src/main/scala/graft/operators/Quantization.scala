@@ -105,4 +105,29 @@ object Quantization {
       .orderBy(col("adist"), col(idCol))
       .limit(topK)
   }
+
+  /** IVF-PQ probe — the composed 100 TB ANN stack: the coarse
+    * quantizer bounds the candidate read to the `nprobe` cells nearest
+    * the query (~nprobe/nlist of the corpus; partition pruning when
+    * the code table is persisted partitioned by `cell`, the
+    * [[Similarity.writeIvfIndex]] shape), and the surviving candidates
+    * are ranked by ADC over their m-int codes only. Codes are encoded
+    * after the cell filter here (single-shot query); a deployment
+    * precomputes them once next to `cell` so probes never touch a raw
+    * float. */
+  def ivfPqTopK(
+      index: Similarity.IvfIndex,
+      cb: PQCodebooks,
+      query: Array[Float],
+      topK: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val probed = index.centroids.zipWithIndex
+      .sortBy { case (c, i) => (sqdist(query, c), i) }
+      .take(nprobe).map(_._2)
+    val candidates = index.assigned
+      .where(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val enc = encodePQ(candidates, index.idCol, index.embCol, cb)
+    adcTopK(enc, cb, query, topK, index.idCol)
+  }
 }

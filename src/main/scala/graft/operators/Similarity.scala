@@ -247,6 +247,40 @@ object Similarity {
     index.probe(query, k, nprobe)
   }
 
+  /** Per-cluster farthest members — embedding-space outlier candidates
+    * for curation review (mislabeled points, corrupt vectors, novel
+    * content surface as far-from-centroid rows).
+    *
+    * The distance is the assigned centroid's (= the minimum over
+    * centroids, one codegen'd `least` over `VecSqDist`), rounded to
+    * 9 dp for the cross-engine device. The per-cluster top-n runs on
+    * the bounded [[TopK]] aggregator over the NEGATED distance —
+    * map-side partials cap the exchange at partitions·n rows per
+    * cluster, where the window-rank form ships and sorts every row of
+    * the corpus. Ties break on the id in both engines.
+    */
+  def clusterOutliers(
+      df: DataFrame,
+      centroids: Array[Array[Float]],
+      topPerCluster: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(topPerCluster > 0,
+      s"topPerCluster must be positive, got $topPerCluster")
+    val ds = centroids.map(c => sqdistCol(col(embCol), vecLit(c)))
+    val minSq = if (ds.length == 1) ds(0) else least(ds: _*)
+    df.select(col(idCol).as("id"),
+        assignCol(col(embCol), centroids).as("cluster"),
+        round(sqrt(minSq), 9).as("dist"))
+      .groupBy("cluster")
+      .agg(TopK.smallestK(topPerCluster)(-col("dist"), col("id")).as("o"))
+      .select(col("cluster"), posexplode(col("o")))
+      .select(col("cluster"), col("col.id").as(idCol),
+        (-col("col.ord")).as("dist"))
+      .orderBy(col("cluster"), desc("dist"), col(idCol))
+  }
+
   /** All-pairs exact cosine similarity above a threshold, for a bounded
     * id range (test/oracle path; the LSH variant is the scale path).
     *

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 import graft.functions.VectorFunctions.{argminCentroid, sqdist}
 
@@ -66,6 +68,35 @@ class QuantizationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("ivfPqTopK with nprobe = nlist equals a full ADC scan") {
+    val cb = fit()
+    val query = Array(5.1f, 5f, 0.1f, 0f)
+    val index = Similarity.buildIvfIndex(df, nlist = 2, quantizerIters = 3,
+      initCentroids = Some(Array(vecs(0)._2, vecs(2)._2)))
+    val full = Quantization.adcTopK(
+        Quantization.encodePQ(df, "vec_id", "embedding", cb), cb, query, 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = Quantization.ivfPqTopK(index, cb, query, 6, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === full)
+    index.unpersist()
+  }
+
+  test("ivfPqTopK with nprobe = 1 only returns the nearest cell's rows") {
+    val cb = fit()
+    val query = Array(5.1f, 5f, 0.1f, 0f)
+    val index = Similarity.buildIvfIndex(df, nlist = 2, quantizerIters = 3,
+      initCentroids = Some(Array(vecs(0)._2, vecs(2)._2)))
+    val probedCell = index.centroids.zipWithIndex
+      .minBy { case (c, i) => (sqdist(query, c), i) }._2
+    val members = index.assigned.where(col("cell") === probedCell)
+      .collect().map(_.getLong(0)).toSet
+    val got = Quantization.ivfPqTopK(index, cb, query, 6, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.subsetOf(members))
+    index.unpersist()
   }
 
   test("fitPQ rejects a subspace count that does not divide dim") {
