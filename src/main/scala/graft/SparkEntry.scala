@@ -1527,8 +1527,31 @@ object SparkEntry {
         .distinct()
       val edges = base.select(col("c").as("src"), col("p").as("dst"))
         .union(base.select(col("p").as("src"), col("c").as("dst")))
-      operators.Graph.pageRank(edges, "src", "dst", iters = 10).limit(20)
-    }))
+      // base is distinct and the two directions are disjoint (supplier
+      // ids offset), so the dedup shuffle can be skipped
+      operators.Graph.pageRank(edges, "src", "dst", iters = 10,
+        assumeDistinct = true).limit(20)
+    }),
+
+    // Retention cohorts: users bucketed by first-seen day, counted per
+    // later active day — every exchange co-keyed on the user.
+    "q99_retention" -> ((s, dir) =>
+      operators.Funnel.retentionCohorts(T(s, dir, "events"),
+        "user_id", "ts")),
+
+    // Weighted sample without replacement (A-ES), weight = doc length:
+    // seeded md5 -> u, key = ln(u)/w, top-50 keys.
+    "q100_weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedSample(T(s, dir, "documents"),
+        "doc_id", greatest(col("n_chars"), lit(1)), k = 50,
+        seed = "1337")),
+
+    // Model-based quality filter: every document scored by its mean
+    // Laplace-smoothed bigram log-prob under the corpus's own counts,
+    // most surprising first.
+    "q101_lm_score" -> ((s, dir) =>
+      operators.Curation.lmScore(T(s, dir, "documents"),
+        "doc_id", "text")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -2646,6 +2669,53 @@ object SparkEntry {
         |)
         |SELECT node, rank FROM pr WHERE it = 10
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    // (user, day) is distinct and each user has one cohort day, so the
+    // matrix count(*) is a distinct-user count in both engines
+    "q99_retention" ->
+      """WITH fd AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events)
+        |SELECT fd.cohort_day,
+        |CAST(datediff('day', fd.cohort_day, ad.day) AS BIGINT)
+        |AS offset_days, count(*) AS users
+        |FROM ad JOIN fd USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // A-ES with the q89 hex-parse device; ln is the one libm call
+    // (parity established by q92's idf), key rounded to 9 dp
+    "q100_weighted_sample" ->
+      """SELECT doc_id,
+        |CAST(greatest(n_chars, 1) AS DOUBLE) AS weight,
+        |round(ln(CAST(CAST(('0x' || substr(md5('1337-' || doc_id), 1, 15))
+        |  AS BIGINT) + 1 AS DOUBLE)
+        |  / CAST(1152921504606846976 AS DOUBLE))
+        |  / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS skey
+        |FROM documents ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
+
+    // bigram LM: identical Laplace tree ((cxy+1)/(cx+V), one ln),
+    // 9-dp-round + DECIMAL-sum per doc, 6-dp mean — the q92 device
+    "q101_lm_score" ->
+      """WITH ta AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |t -> t <> '') AS a FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS term,
+        |generate_subscripts(a, 1) AS pos FROM ta),
+        |bg AS (SELECT x.doc_id, x.term AS w1, y.term AS w2 FROM tok x
+        |JOIN tok y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1),
+        |cb AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS cx FROM bg GROUP BY 1),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM cu),
+        |sc AS (SELECT bg.doc_id,
+        |CAST(round(ln((CAST(cxy AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |  / (CAST(cx AS DOUBLE) + v)), 9) AS DECIMAL(28,9)) AS l
+        |FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |round(CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |AS avg_lp
+        |FROM sc GROUP BY doc_id
+        |ORDER BY avg_lp, doc_id""".stripMargin,
 
     // the naive quadratic form IS the oracle — DuckDB's vectorized
     // levenshtein over 1500x1500 is fine at verification scale; the

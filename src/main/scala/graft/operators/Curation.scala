@@ -274,4 +274,53 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Bigram language-model scoring — the model-based quality filter of
+    * a curation pipeline (documents whose text the corpus LM finds
+    * surprising are OCR garbage, boilerplate soup, or genuinely novel;
+    * either way they get reviewed). Scores every document with ≥ 1
+    * bigram by its mean Laplace-smoothed bigram log-probability
+    * `mean ln( (c(a,b) + 1) / (c(a) + V) )` under counts trained on
+    * the corpus itself, lowest first.
+    *
+    * Scale posture: doc bigrams come off the token array by
+    * adjacent-slice zip (no window); the count model is two
+    * partial/final aggregates; scoring joins each doc-bigram
+    * occurrence to its trained counts on (a,b) then (a) — ordinary
+    * hash shuffles on the gram/word, no driver-side model object, so
+    * the "model" can be petabyte-scale. The per-doc mean uses the
+    * 9-dp-round + DECIMAL-sum device so it is partition-order-exact.
+    */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toksArr = docs.select(col(idCol).as("_graft_id"),
+      filter(split(col(textCol), "[^A-Za-z]+"), t => t =!= lit("")).as("a"))
+    val nBi = greatest(size(col("a")) - 1, lit(0))
+    val bi = toksArr
+      .select(col("_graft_id"), slice(col("a"), lit(1), nBi).as("w1s"),
+        slice(col("a"), lit(2), nBi).as("w2s"))
+      .select(col("_graft_id"),
+        explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
+      .select(col("_graft_id"), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+    val cu = bi.groupBy("w1").agg(count(lit(1)).as("cx"))
+    val v = cu.count().toDouble // vocabulary-as-context size
+
+    val lp = log((col("cxy").cast("double") + lit(1.0)) /
+      (col("cx").cast("double") + lit(v)))
+    bi.join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .select(col("_graft_id"),
+        round(lp, 9).cast(DecimalType(28, 9)).as("l"))
+      .groupBy("_graft_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("l")).as("s"))
+      .select(col("_graft_id").as(idCol), col("n_bigrams"),
+        round(col("s").cast("double") /
+          col("n_bigrams").cast("double"), 6).as("avg_lp"))
+      .orderBy(col("avg_lp"), col(idCol))
+  }
 }

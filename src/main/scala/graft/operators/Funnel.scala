@@ -64,4 +64,36 @@ object Funnel {
           lit(st).as("step_name"), col("n_keys"))
     }.reduce(_.unionAll(_)).orderBy("step")
   }
+
+  /** Day-granularity retention cohorts — the other canonical event-
+    * analytics matrix: users bucketed by first-seen day, counted on
+    * each later day they were active. Output
+    * `(cohort_day, offset_days, users)`.
+    *
+    * Scale posture: every exchange hashes on the user — first-touch
+    * min, the (user, active-day) distinct (map-side partial), and the
+    * cohort join are co-keyed, so one logical repartition serves all
+    * three; the final matrix aggregate is days² rows. Because
+    * (user, day) is distinct and a user has exactly one cohort day,
+    * the matrix `count(*)` IS a distinct-user count — no
+    * count-distinct state anywhere.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val firstDay = events
+      .groupBy(col(userCol).as("user"))
+      .agg(to_date(min(col(tsCol))).as("cohort_day"))
+    events
+      .select(col(userCol).as("user"), to_date(col(tsCol)).as("day"))
+      .distinct()
+      .join(firstDay, "user")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long")
+          .as("offset_days"))
+      .groupBy("cohort_day", "offset_days")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_day", "offset_days")
+  }
 }

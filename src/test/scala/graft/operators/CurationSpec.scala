@@ -134,4 +134,26 @@ class CurationSpec extends SparkSpec {
     assert(got(2) === (("dial <EMAIL>", 1L)))
     assert(got(3) === (("", 0L)))
   }
+
+  test("lmScore equals a hand-computed Laplace bigram model") {
+    import spark.implicits._
+    // cb: (a,b)=3 (b,a)=1 (b,c)=1; cu: a=3 b=2; V = 2 contexts
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text").repartition(2)
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(sum: BigDecimal, n: Int) = {
+      val v = sum.toDouble / n.toDouble
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val lpAB = r9(math.log(4.0 / (3.0 + 2.0)))
+    val lpBA = r9(math.log(2.0 / (2.0 + 2.0)))
+    val lpBC = r9(math.log(2.0 / (2.0 + 2.0)))
+    val exp = Seq( // (doc, n_bigrams, avg) ordered by avg asc
+      (2L, 2L, r6(lpAB + lpBC, 2)),
+      (1L, 3L, r6(lpAB + lpBA + lpAB, 3)))
+    val got = Curation.lmScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === exp) // doc 3 has no bigram and is excluded
+  }
 }

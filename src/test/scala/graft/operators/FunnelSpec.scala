@@ -48,4 +48,25 @@ class FunnelSpec extends SparkSpec {
       Funnel.funnelCounts(log, "user_id", "t", "step", Seq.empty)
     }
   }
+
+  test("retentionCohorts builds the hand-computed cohort matrix") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 23:59:59")), // same active day, counts once
+      (1L, ts("2024-01-03 04:00:00")),
+      (2L, ts("2024-01-01 01:00:00")),
+      (2L, ts("2024-01-02 12:00:00")),
+      (3L, ts("2024-01-03 08:00:00"))
+    ).toDF("user_id", "t").repartition(3)
+    val got = Funnel.retentionCohorts(events, "user_id", "t")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L), // users 1 and 2 on their first day
+      ("2024-01-01", 1L, 1L), // user 2 back on day 1
+      ("2024-01-01", 2L, 1L), // user 1 back on day 2
+      ("2024-01-03", 0L, 1L))) // user 3's cohort
+  }
 }

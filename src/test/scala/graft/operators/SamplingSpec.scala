@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.{col, greatest, lit}
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  /** Independent replica of the A-ES key. */
+  private def bruteKey(seed: String, id: Long, w: Double): Double = {
+    val h = java.lang.Long.parseLong(md5Hex(s"$seed-$id").take(15), 16)
+    val u = (h + 1L).toDouble / math.pow(2.0, 60)
+    BigDecimal(math.log(u) / w)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private val rows = Seq( // (id, weight)
+    (1L, 10L), (2L, 1L), (3L, 500L), (4L, 50L), (5L, 500L), (6L, 3L))
+
+  test("weightedSample equals the brute-force A-ES ranking") {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "w").repartition(3)
+    val got = Sampling.weightedSample(df, "doc_id", col("w"), k = 4,
+        seed = "1337")
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val exp = rows
+      .map { case (id, w) => (id, w.toDouble, bruteKey("1337", id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }
+      .take(4)
+    assert(got === exp)
+  }
+
+  test("weightedSample with k >= n keeps every row, ranked") {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "w")
+    val got = Sampling.weightedSample(df, "doc_id", col("w"), k = 100,
+      seed = "7")
+    assert(got.count() === rows.size.toLong)
+  }
+
+  test("a heavier weight can only raise a row's key, never lower it") {
+    // ln(u) < 0, so dividing by a larger w moves the key toward 0
+    val k1 = bruteKey("s", 42L, 1.0)
+    val k2 = bruteKey("s", 42L, 100.0)
+    assert(k2 > k1)
+  }
+
+  test("weightedSample plans the top-k as TakeOrderedAndProject") {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "w")
+    val plan = Sampling.weightedSample(df, "doc_id",
+        greatest(col("w"), lit(1)), 3, "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
