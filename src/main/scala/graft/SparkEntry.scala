@@ -2534,7 +2534,8 @@ object SparkEntry {
       s"""WITH RECURSIVE
          |$fits,
          |$cents,
-         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qv AS MATERIALIZED (SELECT embedding AS qe FROM embeddings
+         |  WHERE vec_id = 0),
          |enc AS (SELECT p.vec_id, d0.cluster AS c0, d1.cluster AS c1,
          |d2.cluster AS c2, d3.cluster AS c3
          |FROM embeddings p
@@ -2690,8 +2691,8 @@ object SparkEntry {
         |CAST(greatest(n_chars, 1) AS DOUBLE) AS weight,
         |round(ln(CAST(CAST(('0x' || substr(md5('1337-' || doc_id), 1, 15))
         |  AS BIGINT) + 1 AS DOUBLE)
-        |  / CAST(1152921504606846976 AS DOUBLE))
-        |  / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS skey
+        |  / CAST(1152921504606846976 AS DOUBLE)), 9)
+        |  / CAST(greatest(n_chars, 1) AS DOUBLE) AS skey
         |FROM documents ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
 
     // bigram LM: identical Laplace tree ((cxy+1)/(cx+V), one ln),

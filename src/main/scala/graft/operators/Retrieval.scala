@@ -48,13 +48,19 @@ object Retrieval {
     require(topK > 0, s"topK must be positive, got $topK")
 
     val nDocs = docs.count().toDouble
+    // persisted: the totTokens action plus the dl and tf branches of
+    // the scoring plan would otherwise tokenize the corpus three times
     val tok = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), "[^A-Za-z]+")).as("term"))
       .where(col("term") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
     // avgdl over ALL docs (token-less docs count in the denominator);
-    // one long-over-double division, bit-identical in any engine
-    val totTokens = dl.agg(sum(col("dlen"))).head.getLong(0)
+    // one long-over-double division, bit-identical in any engine.
+    // A fully token-less corpus sums to null -> 0 tokens; the scoring
+    // pipeline is then empty and the result has zero rows.
+    val totTokens = Option(dl.agg(sum(col("dlen"))).head.get(0))
+      .fold(0L)(_.asInstanceOf[Long])
     val avgdl = totTokens / nDocs
 
     val tf = tok.where(col("term").isin(query: _*))
@@ -75,9 +81,9 @@ object Retrieval {
       .select(col("doc_id"), round(tscore, 9).as("ts"))
       .groupBy("doc_id")
       .agg(sum(col("ts").cast(DecimalType(28, 9))).as("ds"))
-      .select(col("doc_id"),
+      .select(col("doc_id").as(idCol),
         round(col("ds").cast("double"), 6).as("score"))
-      .orderBy(desc("score"), col("doc_id"))
+      .orderBy(desc("score"), col(idCol))
       .limit(topK)
   }
 
@@ -108,7 +114,7 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
 
     def ranked(df: DataFrame, rank: String): DataFrame =
-      df.select(col(idCol).cast("long").as("id"),
+      df.select(col(idCol).as("id"),
           col(scoreCol).cast("double").as("s"))
         .withColumn(rank, row_number().over(
           Window.orderBy(desc("s"), col("id"))))

@@ -21,8 +21,16 @@ object Sampling {
     * never a global sort).
     *
     * Determinism: u has 60 uniform bits; `ln` is the one libm call
-    * (cross-engine parity established by the q92 BM25 idf); the key is
-    * rounded to 9 dp with id tie-break.
+    * (cross-engine parity established by the q92 BM25 idf) and is
+    * rounded to 9 dp BEFORE the division — `ln(u) ∈ [-42, 0]` keeps
+    * full resolution at 9 dp, and the subsequent exact IEEE division
+    * preserves it for any weight magnitude (rounding the quotient
+    * instead would quantize all keys to ~0 once weights reach ~1e6).
+    * Ties break on the id.
+    *
+    * Rows with non-positive weights are excluded — A-ES is defined
+    * for w > 0 (w = 0 would yield key −∞, w < 0 a key that outranks
+    * every valid row).
     */
   def weightedSample(
       df: DataFrame,
@@ -35,9 +43,10 @@ object Sampling {
         md5(concat(lit(s"$seed-"), col(idCol).cast("string"))), 1, 15),
       16, 10).cast("long")
     val u = (h + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
-    val key = round(log(u) / weight.cast("double"), 9)
+    val key = round(log(u), 9) / weight.cast("double")
     df.select(col(idCol), weight.cast("double").as("weight"),
         key.as("skey"))
+      .where(col("weight") > 0.0)
       .orderBy(desc("skey"), col(idCol))
       .limit(k)
   }

@@ -194,10 +194,12 @@ object TextAnalysis {
     val cu = tok.groupBy("term").agg(count(lit(1)).as("c"))
 
     val nBi = greatest(size(col("a")) - 1, lit(0))
+    // an empty corpus sums to nulls -> zero totals; cb is then empty
+    // and the operator returns zero rows instead of throwing
     val totals = toksArr.agg(
       sum(size(col("a"))).as("nu"), sum(nBi).as("nb")).head()
-    val nu = totals.getLong(0).toDouble
-    val nb = totals.getLong(1).toDouble
+    val nu = Option(totals.get(0)).fold(0L)(_.asInstanceOf[Long]).toDouble
+    val nb = Option(totals.get(1)).fold(0L)(_.asInstanceOf[Long]).toDouble
 
     val bi = toksArr
       .select(slice(col("a"), lit(1), nBi).as("w1s"),
