@@ -68,10 +68,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val p1 = pass1.values.sum; val p2 = pass2.values.sum
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         f""""pass_totals":[$p1%.1f,$p2%.1f],"load_avg":[$load0%.1f,$load1%.1f],""" +
-        s""""sf":"$sfDir"}""")
+        s""""sf":"$sfDir"}"""
+    println(line)
+    // capture-proof copy: BENCH_r05's stdout tail was truncated by the
+    // driver, losing q01-q18 and the total — the file survives that
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_out.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: $e") }
     spark.stop()
   }
 }

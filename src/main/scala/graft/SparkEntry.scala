@@ -740,7 +740,8 @@ object SparkEntry {
       // pid-suffixed path + table names: two harness JVMs on one host
       // must not overwrite each other's tables mid-read
       val pid = ProcessHandle.current().pid()
-      val base = sys.props("java.io.tmpdir") + s"/graft_bucketed_$pid"
+      val base = TempCleanup.register(
+        sys.props("java.io.tmpdir") + s"/graft_bucketed_$pid")
       val c = Bucketing.writeBucketed(
         T(s, dir, "customer"), s"graft_bkt_customer_$pid",
         s"$base/customer", "c_custkey", 8)
@@ -854,8 +855,8 @@ object SparkEntry {
     // CompactionSpec asserts the file-count arithmetic; this row
     // pins content identity end-to-end through the real sink+source.
     "q58_compact_roundtrip" -> ((s, dir) => {
-      val base = sys.props("java.io.tmpdir") +
-        s"/graft_compact_q58_${ProcessHandle.current().pid()}"
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_compact_q58_${ProcessHandle.current().pid()}")
       val docs = T(s, dir, "documents")
       docs.repartition(16).write.mode("overwrite").parquet(s"$base/small")
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -953,8 +954,8 @@ object SparkEntry {
     // Oracle = the same filtered aggregate over the original table
     // (layout is physical only).
     "q65_partitioned_write" -> ((s, dir) => {
-      val base = sys.props("java.io.tmpdir") +
-        s"/graft_part_q65_${ProcessHandle.current().pid()}"
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_part_q65_${ProcessHandle.current().pid()}")
       T(s, dir, "events").write.mode("overwrite")
         .partitionBy("event_type").parquet(base)
       s.read.parquet(base)
@@ -1160,8 +1161,8 @@ object SparkEntry {
     // dimensions at once, which neither partitionBy nor a single-col
     // sort can give) is measured in ZOrderSpec.
     "q73_zorder_scan" -> ((s, dir) => {
-      val base = sys.props("java.io.tmpdir") +
-        s"/graft_zorder_q73_${ProcessHandle.current().pid()}"
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_zorder_q73_${ProcessHandle.current().pid()}")
       operators.ZOrder.writeZOrdered(T(s, dir, "lineitem"),
         Seq("l_partkey", "l_suppkey"), base, numFiles = 32)
       s.read.parquet(base)
@@ -1230,8 +1231,8 @@ object SparkEntry {
     // files lack it — the long-lived-pipeline read path (a fixed
     // schema would either fail or silently drop the new column).
     "q78_evolution" -> ((s, dir) => {
-      val base = sys.props("java.io.tmpdir") +
-        s"/graft_evo_q78_${ProcessHandle.current().pid()}"
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_evo_q78_${ProcessHandle.current().pid()}")
       val ev = T(s, dir, "events")
       ev.where(col("event_id") % 2 === 0)
         .select("event_id", "user_id", "event_type")
@@ -1318,8 +1319,8 @@ object SparkEntry {
     // against the original table via the oracle — the hash proves the
     // text survives JSON encode/decode byte-for-byte.
     "q84_jsonl_roundtrip" -> ((s, dir) => {
-      val base = sys.props("java.io.tmpdir") +
-        s"/graft_jsonl_q84_${ProcessHandle.current().pid()}"
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_jsonl_q84_${ProcessHandle.current().pid()}")
       T(s, dir, "documents").write.mode("overwrite").json(base)
       s.read.schema("doc_id BIGINT, text STRING, lang STRING, " +
           "source STRING, n_chars BIGINT")
@@ -1381,8 +1382,8 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val corpus = docs.where(col("doc_id") % 100 =!= 45)
       val delta = docs.where(col("doc_id") % 100 === 45)
-      val base = sys.props("java.io.tmpdir") +
-        s"/graft_mhidx_q87_${ProcessHandle.current().pid()}"
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_mhidx_q87_${ProcessHandle.current().pid()}")
       operators.Dedup.writeMinhashIndex(corpus, base, n = 8)
       operators.Dedup
         .probeMinhashIndex(s, base, corpus, delta, n = 8, threshold = 0.35)

@@ -299,18 +299,22 @@ object Curation {
     val toksArr = docs.select(col(idCol).as("_graft_id"),
       filter(split(col(textCol), "[^A-Za-z]+"), t => t =!= lit("")).as("a"))
     val nBi = greatest(size(col("a")) - 1, lit(0))
-    // persisted: the V count action plus the cb/cu aggregates and the
-    // scoring-join base all consume bi — uncached, the corpus would be
-    // re-tokenized four times (the Graph.pageRank edge-cache device)
-    val bi = toksArr
+    def bi = toksArr
       .select(col("_graft_id"), slice(col("a"), lit(1), nBi).as("w1s"),
         slice(col("a"), lit(2), nBi).as("w2s"))
       .select(col("_graft_id"),
         explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
       .select(col("_graft_id"), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The MODEL (distinct-bigram counts) is vocab-sized, orders of
+    // magnitude below the per-occurrence stream — materialize it
+    // eagerly (blocks GC-released by the ContextCleaner) instead of
+    // persisting `bi`, the largest intermediate, for the session
+    // lifetime. cx derives from cb (Σ_w2 cxy), so the model costs one
+    // tokenize pass and the scoring join a second — never a pinned
+    // corpus-sized cache.
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
-    val cu = bi.groupBy("w1").agg(count(lit(1)).as("cx"))
+      .localCheckpoint(true)
+    val cu = cb.groupBy("w1").agg(sum(col("cxy")).as("cx"))
     val v = cu.count().toDouble // vocabulary-as-context size
 
     val lp = log((col("cxy").cast("double") + lit(1.0)) /

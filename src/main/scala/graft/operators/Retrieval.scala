@@ -48,13 +48,17 @@ object Retrieval {
     require(topK > 0, s"topK must be positive, got $topK")
 
     val nDocs = docs.count().toDouble
-    // persisted: the totTokens action plus the dl and tf branches of
-    // the scoring plan would otherwise tokenize the corpus three times
-    val tok = docs.select(col(idCol).as("doc_id"),
+    def tok = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), "[^A-Za-z]+")).as("term"))
       .where(col("term") =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The doc-length table is doc-sized (one row per doc), orders of
+    // magnitude below the exploded token stream — materialize IT
+    // eagerly (blocks are GC-released by the ContextCleaner) instead
+    // of persisting the token stream for the session lifetime. Costs
+    // one extra tokenize pass (dl + tf branches) but never pins a
+    // corpus-sized cache.
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+      .localCheckpoint(true)
     // avgdl over ALL docs (token-less docs count in the denominator);
     // one long-over-double division, bit-identical in any engine.
     // A fully token-less corpus sums to null -> 0 tokens; the scoring

@@ -15,8 +15,10 @@ class SamplingSpec extends SparkSpec {
   private def bruteKey(seed: String, id: Long, w: Double): Double = {
     val h = java.lang.Long.parseLong(md5Hex(s"$seed-$id").take(15), 16)
     val u = (h + 1L).toDouble / math.pow(2.0, 60)
-    BigDecimal(math.log(u) / w)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // round ln(u) to 9 dp BEFORE the division, mirroring
+    // Sampling.weightedSample (Sampling.scala:46) and the q100 oracle
+    BigDecimal(math.log(u))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble / w
   }
 
   private val rows = Seq( // (id, weight)
