@@ -64,6 +64,17 @@ object Quantization {
     PQCodebooks(m, subDim, books)
   }
 
+  /** The m-code array for one embedding column (argmin CASE chain per
+    * subspace — codegen'd for k ≤ 16, no UDF, no shuffle). */
+  private def codesCol(emb: org.apache.spark.sql.Column,
+      cb: PQCodebooks): org.apache.spark.sql.Column =
+    array((0 until cb.m).map { j =>
+      assignCol(
+        slice(emb, lit(j * cb.subDim + 1), lit(cb.subDim))
+          .cast("array<float>"),
+        cb.books(j))
+    }: _*)
+
   /** Encode every row as its `m` nearest sub-centroid indices —
     * `(id, codes array<int>)`. Narrow map, codegen'd argmin CASE
     * chain per subspace for k ≤ 16 (broadcast-UDF twin above). */
@@ -72,12 +83,7 @@ object Quantization {
       idCol: String,
       embCol: String,
       cb: PQCodebooks): DataFrame =
-    emb.select(col(idCol), array((0 until cb.m).map { j =>
-      assignCol(
-        slice(col(embCol), lit(j * cb.subDim + 1), lit(cb.subDim))
-          .cast("array<float>"),
-        cb.books(j))
-    }: _*).as("codes"))
+    emb.select(col(idCol), codesCol(col(embCol), cb).as("codes"))
 
   /** Approximate top-k by asymmetric distance: the query is cut into
     * sub-vectors, a driver-side `m × k` LUT of exact sub-distances is
@@ -129,5 +135,104 @@ object Quantization {
       .where(col("cell").isin(probed.map(Integer.valueOf): _*))
     val enc = encodePQ(candidates, index.idCol, index.embCol, cb)
     adcTopK(enc, cb, query, topK, index.idCol)
+  }
+
+  // ------------------------------------------------ persisted PQ index
+
+  /** A persisted-then-reopened PQ index: the codebooks plus the code
+    * table (and, when built through [[writePqIndex]] with a coarse
+    * quantizer, the cell-partitioned code table + coarse centroids for
+    * IVF-PQ probes). Build once, probe many times — at 100 TB nobody
+    * re-fits codebooks per query (the [[Similarity.writeIvfIndex]]
+    * argument, applied to the compressed-domain stack). */
+  final case class PqIndex(
+      cb: PQCodebooks,
+      codes: DataFrame,
+      cellCodes: Option[DataFrame],
+      coarseCentroids: Option[Array[Array[Float]]],
+      idCol: String) {
+
+    /** ADC top-k over the persisted code table — the raw vectors are
+      * never read (the codes parquet does not even contain them). */
+    def adcProbe(query: Array[Float], topK: Int): DataFrame =
+      adcTopK(codes, cb, query, topK, idCol)
+
+    /** IVF-PQ probe over the persisted cell-partitioned code table:
+      * the coarse quantizer picks `nprobe` cells, the scan prunes to
+      * those cells' PARTITIONS (PartitionFilters at the source, no
+      * full-corpus read), and ADC ranks the surviving codes. */
+    def ivfPqProbe(query: Array[Float], topK: Int, nprobe: Int): DataFrame = {
+      require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+      val cents = coarseCentroids.getOrElse(throw new IllegalStateException(
+        "index was written without a coarse quantizer — no IVF tier"))
+      val cc = cellCodes.getOrElse(throw new IllegalStateException(
+        "index was written without a coarse quantizer — no cell codes"))
+      val probed = cents.zipWithIndex
+        .sortBy { case (c, i) => (sqdist(query, c), i) }
+        .take(nprobe).map(_._2)
+      adcTopK(cc.where(col("cell").isin(probed.map(Integer.valueOf): _*)),
+        cb, query, topK, idCol)
+    }
+  }
+
+  /** Persist a PQ index: the m·k codebook rows as a tiny parquet, the
+    * encoded corpus as `(id, codes)` — 4·dim/m-fold smaller than the
+    * raw vectors, the only thing ADC queries scan — and, when `coarse`
+    * is given, the IVF-PQ deployment shape: codes written NEXT TO the
+    * cell assignment, partitioned by cell, so probes read only the
+    * probed cells' files and never touch a raw float
+    * (the precompute promised at [[ivfPqTopK]]'s doc). */
+  def writePqIndex(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      cb: PQCodebooks,
+      path: String,
+      coarse: Option[Similarity.IvfIndex] = None): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    encodePQ(emb, idCol, embCol, cb)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    coarse.foreach { ivf =>
+      ivf.assigned
+        .select(col(ivf.idCol), codesCol(col(ivf.embCol), cb).as("codes"),
+          col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$path/cellcodes")
+      ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    }
+  }
+
+  /** Re-open a persisted PQ index (codebooks collected driver-side —
+    * m·k rows; the code tables stay distributed). */
+  def readPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String = "vec_id"): PqIndex = {
+    val br = spark.read.parquet(s"$path/books")
+      .select("subspace", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = br.map(_._1).max + 1
+    val books = Array.tabulate(m) { j =>
+      br.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    val cb = PQCodebooks(m, books(0)(0).length, books)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val hasIvf = fs.exists(new org.apache.hadoop.fs.Path(s"$path/coarse"))
+    val cents =
+      if (!hasIvf) None
+      else Some(spark.read.parquet(s"$path/coarse")
+        .select("cluster", "centroid").orderBy("cluster").collect()
+        .map(_.getSeq[Float](1).toArray))
+    val cc =
+      if (!hasIvf) None else Some(spark.read.parquet(s"$path/cellcodes"))
+    PqIndex(cb, spark.read.parquet(s"$path/codes"), cc, cents, idCol)
   }
 }

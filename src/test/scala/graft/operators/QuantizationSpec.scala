@@ -99,6 +99,47 @@ class QuantizationSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("persisted PQ index roundtrips and probes identically") {
+    val cb = fit()
+    val query = Array(0.1f, 0.1f, 9.9f, 10.1f)
+    val index = Similarity.buildIvfIndex(df, nlist = 2, quantizerIters = 3,
+      initCentroids = Some(Array(vecs(0)._2, vecs(2)._2)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqidx_spec").toString
+    try {
+      Quantization.writePqIndex(df, "vec_id", "embedding", cb, dir,
+        coarse = Some(index))
+      val re = Quantization.readPqIndex(spark, dir, "vec_id")
+      // codebooks byte-identical through the parquet roundtrip
+      assert(re.cb.m === cb.m && re.cb.subDim === cb.subDim)
+      (0 until cb.m).foreach { j =>
+        (0 until cb.k).foreach { c =>
+          assert(re.cb.books(j)(c).toSeq === cb.books(j)(c).toSeq, s"($j,$c)")
+        }
+      }
+      // ADC over the persisted codes == ADC over a fresh encode
+      val fresh = Quantization.adcTopK(
+          Quantization.encodePQ(df, "vec_id", "embedding", cb), cb, query, 6)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val probed = re.adcProbe(query, 6)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(probed === fresh)
+      // IVF-PQ over the persisted cell codes == the build-side probe,
+      // and the scan prunes to the probed cells' partitions
+      val ivfFresh = Quantization.ivfPqTopK(index, cb, query, 6, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val ivfProbe = re.ivfPqProbe(query, 6, nprobe = 1)
+      assert(ivfProbe.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq === ivfFresh)
+      val scan = ivfProbe.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters"), scan)
+    } finally {
+      index.unpersist()
+      graft.TempCleanup.register(dir)
+      ()
+    }
+  }
+
   test("fitPQ rejects a subspace count that does not divide dim") {
     intercept[IllegalArgumentException] {
       Quantization.fitPQ(df, "vec_id", "embedding",
