@@ -1553,9 +1553,11 @@ object SparkEntry {
       val edges = base.select(col("c").as("src"), col("p").as("dst"))
         .union(base.select(col("p").as("src"), col("c").as("dst")))
       // base is distinct and the two directions are disjoint (supplier
-      // ids offset), so the dedup shuffle can be skipped
+      // ids offset), so the dedup shuffle can be skipped; the
+      // double-edged construction makes src set = dst set, so the
+      // sink check can be skipped too
       operators.Graph.pageRank(edges, "src", "dst", iters = 10,
-        assumeDistinct = true).limit(20)
+        assumeDistinct = true, assumeNoSinks = true).limit(20)
     }),
 
     // Retention cohorts: users bucketed by first-seen day, counted per
@@ -1576,7 +1578,23 @@ object SparkEntry {
     // most surprising first.
     "q101_lm_score" -> ((s, dir) =>
       operators.Curation.lmScore(T(s, dir, "documents"),
-        "doc_id", "text")))
+        "doc_id", "text")),
+
+    // Directed PageRank with dangling-mass redistribution: the
+    // customer -> supplier purchase graph fed ONE direction, so every
+    // supplier is a sink — the q98 feed would silently leak ~half the
+    // mass per round; the correction recycles the 12-dp DECIMAL-exact
+    // sink mass uniformly each round (mass stays ~1, GraphSpec).
+    "q102_pagerank_directed" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      operators.Graph.pageRank(edges, "src", "dst", iters = 10,
+        assumeDistinct = true, danglingCorrection = true).limit(20)
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -2742,6 +2760,54 @@ object SparkEntry {
         |AS avg_lp
         |FROM sc GROUP BY doc_id
         |ORDER BY avg_lp, doc_id""".stripMargin,
+
+    // q98's 10-iteration recursive-CTE replay, plus the dangling term:
+    // dm = (DOUBLE)(Σ DECIMAL(38,12) round(rank,12) over sinks) / N,
+    // cross-joined into every node's damped update — the third
+    // reference to the recursive table is fine in DuckDB
+    "q102_pagerank_directed" ->
+      """WITH RECURSIVE
+        |base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+        |  l.l_suppkey + 10000000 AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM base),
+        |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e
+        |  GROUP BY 1),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |dang AS MATERIALIZED (SELECT node FROM nodes
+        |  WHERE node NOT IN (SELECT src FROM e)),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n
+        |  FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS it, node,
+        |    CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT old.it + 1, old.node,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |        / (SELECT n FROM nn)
+        |      + CAST(0.85 AS DOUBLE)
+        |        * (CAST(coalesce(agg.s, 0) AS DOUBLE) + dm.v),
+        |      9)
+        |  FROM pr old
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(w.rank / CAST(od.outdeg AS DOUBLE), 12)
+        |        AS DECIMAL(38,12))) AS s
+        |    FROM pr w JOIN e ON e.src = w.node JOIN od ON od.src = e.src
+        |    GROUP BY e.dst
+        |  ) agg ON agg.node = old.node
+        |  CROSS JOIN (
+        |    SELECT CAST(coalesce(sum(CAST(round(d.rank, 12)
+        |        AS DECIMAL(38,12))), 0) AS DOUBLE)
+        |      / (SELECT n FROM nn) AS v
+        |    FROM pr d JOIN dang ON dang.node = d.node
+        |  ) dm
+        |  WHERE old.it + 1 <= 10
+        |)
+        |SELECT node, rank FROM pr WHERE it = 10
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
     // the naive quadratic form IS the oracle — DuckDB's vectorized
     // levenshtein over 1500x1500 is fine at verification scale; the
