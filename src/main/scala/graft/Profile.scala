@@ -9,6 +9,8 @@ object Profile {
     args.headOption match {
       case Some("entry") => entrySmoke()
       case Some("queries") => profileQueries(args.drop(1))
+      case Some("pagerank") => pagerankPhases(
+        args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case _ => microbench(args.headOption.getOrElse("/root/testdata/sf0.01"))
     }
   }
@@ -61,6 +63,67 @@ object Profile {
     time("shingles")(
       docs.select(graft.operators.Dedup.shingles(col("text"), 8).as("sh"))
         .agg(sum(size(col("sh")))).head())
+    spark.stop()
+  }
+
+  /** Phase attribution for the q98 PageRank loop at a given sf dir. */
+  def pagerankPhases(dir: String): Unit = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.storage.StorageLevel
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    (1 to 2).foreach { rep =>
+      println(s"[prof] === rep $rep")
+      val o = sources.Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = sources.Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val base = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 10000000L).as("p"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("p").as("dst"))
+        .union(base.select(col("p").as("src"), col("c").as("dst")))
+      val e = t("build:persist+count") {
+        val e = edges.persist(StorageLevel.MEMORY_AND_DISK); e.count(); e
+      }
+      val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ed = t("build:degree-join persist+count") {
+        val ed = e.join(broadcast(od), "src")
+          .persist(StorageLevel.MEMORY_AND_DISK); ed.count(); ed
+      }
+      val nodes = t("build:nodes persist+count") {
+        val nd = e.select(col("src").as("node")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK); nd.count(); nd
+      }
+      val n = nodes.count().toDouble
+      e.unpersist()
+      var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank"))
+      (1 to 10).foreach { i =>
+        t(f"iter$i%02d") {
+          val contribs = ed.join(broadcast(ranks), col("src") === col("node"))
+            .select(col("dst").as("cn"),
+              round(col("rank") / col("outdeg").cast("double"), 12)
+                .cast(DecimalType(38, 12)).as("c"))
+          val sums = contribs.groupBy("cn").agg(sum(col("c")).as("s"))
+          ranks = nodes.join(broadcast(sums), col("node") === col("cn"), "left")
+            .select(col("node"),
+              round(lit(0.15) / lit(n) +
+                lit(0.85) * coalesce(col("s"), lit(0)).cast("double"), 9)
+                .as("rank"))
+            .localCheckpoint(eager = true)
+        }
+      }
+      t("final orderBy+collect") {
+        ranks.orderBy(desc("rank"), col("node")).limit(20).collect()
+      }
+      ed.unpersist(); nodes.unpersist()
+    }
     spark.stop()
   }
 
