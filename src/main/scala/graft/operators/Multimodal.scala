@@ -60,10 +60,55 @@ object Multimodal {
     out
   }
 
+  /** REAL decode path behind the same batch interface: `javax.imageio`
+    * (PNG/JPEG/GIF/BMP — JDK-public, no external codec libs) decodes
+    * the payload and feature i is the mean Rec.601 luminance of the
+    * i-th vertical strip, in [0,1] — a deterministic, resolution-
+    * independent image signature. Payloads ImageIO cannot decode fall
+    * back to [[stubDecodeFeatures]], keeping the operator total (a
+    * corrupt blob in 100 TB of crawl data must not kill the job). */
+  def imageDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0)
+      stubDecodeFeatures(payload, dim)
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val x0 = (i.toLong * w / dim).toInt
+        val x1 = math.max(x0 + 1, ((i + 1).toLong * w / dim).toInt)
+        var sum = 0.0; var cnt = 0
+        var x = x0
+        while (x < x1 && x < w) {
+          var y = 0
+          while (y < h) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000.0 / 255.0
+            cnt += 1; y += 1
+          }
+          x += 1
+        }
+        out(i) = (sum / cnt).toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Per-partition batched feature extraction (the `mapInPandas` shape:
     * one iterator of rows per partition, amortizing any per-batch codec
-    * setup across the partition). Output: (media_id, features[dim]). */
-  def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    * setup across the partition). Output: (media_id, features[dim]).
+    * `imageDecode = true` routes through the real ImageIO path (stub
+    * fallback per payload); false keeps the deterministic stub twin the
+    * oracles replay byte-for-byte. */
+  def extractFeatures(
+      media: DataFrame,
+      dim: Int = 8,
+      imageDecode: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Float])] =
@@ -71,7 +116,11 @@ object Multimodal {
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           // per-partition setup would init the decoder once, here
-          it.map { case (id, bytes) => (id, stubDecodeFeatures(bytes, dim)) }
+          it.map { case (id, bytes) =>
+            (id,
+              if (imageDecode) imageDecodeFeatures(bytes, dim)
+              else stubDecodeFeatures(bytes, dim))
+          }
         }
     ds.toDF("media_id", "features")
   }

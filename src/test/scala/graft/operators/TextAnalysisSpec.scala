@@ -87,6 +87,48 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) === Seq(0f, 0f, 0f, 0f))
   }
 
+  /** a dim-wide, 2-tall PNG whose column x is the gray level levels(x) */
+  private def pngBytes(levels: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      levels.size, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    levels.zipWithIndex.foreach { case (g, x) =>
+      val rgb = (g << 16) | (g << 8) | g
+      img.setRGB(x, 0, rgb); img.setRGB(x, 1, rgb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageDecodeFeatures decodes a real PNG into strip luminances") {
+    // columns 0/255 -> strips [0, 1]; gray g -> g/255 (Rec.601 weights
+    // sum to 1000/1000 on gray pixels)
+    val got = imageDecodeFeatures(pngBytes(Seq(0, 255)), 2)
+    assert(math.abs(got(0) - 0f) < 1e-6, got.toSeq)
+    assert(math.abs(got(1) - 1f) < 1e-6, got.toSeq)
+    // 4 columns into 2 strips -> each strip averages its 2 columns
+    val avg = imageDecodeFeatures(pngBytes(Seq(0, 255, 100, 200)), 2)
+    assert(math.abs(avg(0) - (0.0 + 255.0) / 2 / 255.0) < 1e-6, avg.toSeq)
+    assert(math.abs(avg(1) - (100.0 + 200.0) / 2 / 255.0) < 1e-6, avg.toSeq)
+  }
+
+  test("imageDecodeFeatures falls back to the stub on a non-image") {
+    val junk = "definitely not a png".getBytes("UTF-8")
+    assert(imageDecodeFeatures(junk, 4).toSeq ===
+      stubDecodeFeatures(junk, 4).toSeq)
+  }
+
+  test("extractFeatures(imageDecode = true) runs ImageIO inside the batch") {
+    import spark.implicits._
+    val png = pngBytes(Seq(0, 255))
+    val media = Seq((7L, png), (8L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = extractFeatures(media, dim = 2, imageDecode = true).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got(7L) === imageDecodeFeatures(png, 2).toSeq)
+    assert(got(8L) === stubDecodeFeatures("junk".getBytes("UTF-8"), 2).toSeq)
+  }
+
   test("sampleFrames: one frame per stride bytes, at least one") {
     import spark.implicits._
     val media = asMedia(Seq((1L, "x" * 130), (2L, "y")).toDF("doc_id", "text"))
