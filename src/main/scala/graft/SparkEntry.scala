@@ -1594,7 +1594,25 @@ object SparkEntry {
         .distinct()
       operators.Graph.pageRank(edges, "src", "dst", iters = 10,
         assumeDistinct = true, danglingCorrection = true).limit(20)
-    }))
+    }),
+
+    // Exact duplicated-span diagnostics: per doc, distinct token
+    // 8-grams, how many appear in >= 2 docs, and the duplicated
+    // fraction — map-side per-doc gram dedup, 8-byte hashes through
+    // the shuffle (counts equal string-gram counts absent collisions,
+    // the q17 argument).
+    "q103_dup_grams" -> ((s, dir) =>
+      operators.Curation.duplicatedGramStats(
+        T(s, dir, "documents"), "doc_id", "text", w = 8)),
+
+    // Temperature-scaled source mixing (alpha = 0.5): per-source
+    // quotas proportional to sqrt(n_s), filled in seeded-hash order
+    // via the bounded TopK aggregator — the training-mix flattening
+    // device.
+    "q104_temperature_mix" -> ((s, dir) =>
+      operators.Sampling.temperatureMix(
+        T(s, dir, "documents"), "doc_id", "source", k = 100,
+        seed = "13")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -2808,6 +2826,50 @@ object SparkEntry {
         |)
         |SELECT node, rank FROM pr WHERE it = 10
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    // string grams stand in for the engine's xxhash64 grams (counts
+    // equal absent 64-bit collisions — the q17 argument); per-doc
+    // dedup via list_distinct mirrors the map-side array_distinct;
+    // sum(CASE) is HUGEINT in DuckDB -> CAST back to BIGINT
+    "q103_dup_grams" ->
+      """WITH ta AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |t -> t <> '') AS a FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, len(a) - 6), i -> array_to_string(a[i:i+7], ' '))))
+        |  AS gram
+        |FROM ta WHERE len(a) >= 8),
+        |df AS (SELECT gram, count(*) AS dfreq FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dup,
+        |round(CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+        |FROM g JOIN df USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // sqrt is correctly rounded (unlike general pow) so the
+    // 12-dp-round + DECIMAL-sum weight total and the floor(k*w/t+0.5)
+    // quotas are bit-identical; the window-rank form is the oracle
+    // for the engine's bounded-TopK per-source fill
+    "q104_temperature_mix" ->
+      """WITH n AS (SELECT source, count(*) AS ns FROM documents
+        |  GROUP BY 1),
+        |w AS (SELECT source,
+        |  CAST(round(sqrt(CAST(ns AS DOUBLE)), 12) AS DECIMAL(38,12))
+        |  AS ws FROM n),
+        |tt AS (SELECT CAST(sum(ws) AS DOUBLE) AS t FROM w),
+        |q AS (SELECT source,
+        |  CAST(floor(100 * CAST(ws AS DOUBLE) / t + 0.5) AS BIGINT)
+        |  AS quota FROM w CROSS JOIN tt),
+        |s AS (SELECT source, doc_id,
+        |  CAST(('0x' || substr(md5('13-' || doc_id), 1, 8)) AS BIGINT)
+        |  AS ord FROM documents),
+        |r AS (SELECT source, doc_id, ord,
+        |  row_number() OVER (PARTITION BY source ORDER BY ord, doc_id)
+        |  AS rn FROM s)
+        |SELECT r.source, doc_id, ord FROM r JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY r.source, ord, doc_id""".stripMargin,
 
     // the naive quadratic form IS the oracle — DuckDB's vectorized
     // levenshtein over 1500x1500 is fine at verification scale; the

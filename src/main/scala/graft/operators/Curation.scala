@@ -291,6 +291,50 @@ object Curation {
     * the "model" can be petabyte-scale. The per-doc mean uses the
     * 9-dp-round + DECIMAL-sum device so it is partition-order-exact.
     */
+  /** Exact duplicated-span diagnostics: for every document with at
+    * least `w` word tokens, the count of its DISTINCT token `w`-grams,
+    * how many of those appear in ≥2 documents, and the duplicated
+    * fraction — the corpus-health signal behind exact-substring
+    * training-data dedup (a high `dup_frac` doc is boilerplate or a
+    * copy; the gram inventory is what a suffix-style exact dedup would
+    * cut).
+    *
+    * Scale posture: grams are deduplicated per document MAP-SIDE
+    * (`array_distinct` before the explode — no shuffle pays for
+    * within-doc repetition) and travel as 8-byte xxhash64 keys, never
+    * strings; the document-frequency aggregate and the join back are
+    * both keyed on the gram hash. Skew valve: a gram shared by f docs
+    * costs f rows in the join — bounded by doc count, not doc length.
+    *
+    * Determinism: counts are exact longs (hash-gram counts equal
+    * string-gram counts absent 64-bit collisions — the q17 argument);
+    * `dup_frac` is one long-over-long double division rounded to 6 dp.
+    */
+  def duplicatedGramStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"gram width must be >= 2, got $w")
+    val toks = filter(split(col(textCol), "[^A-Za-z]+"), t => t =!= lit(""))
+    val grams = docs
+      .select(col(idCol).as("_graft_id"), toks.as("a"))
+      .where(size(col("a")) >= w)
+      .select(col("_graft_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("a")) - (w - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("a"), i, lit(w))))))).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("dfreq"))
+    grams.join(dfreq, "g")
+      .groupBy("_graft_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dfreq") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("_graft_id").as(idCol), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"),
+          6).as("dup_frac"))
+      .orderBy(idCol)
+  }
+
   def lmScore(
       docs: DataFrame,
       idCol: String,

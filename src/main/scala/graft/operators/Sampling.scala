@@ -50,4 +50,61 @@ object Sampling {
       .orderBy(desc("skey"), col(idCol))
       .limit(k)
   }
+
+  /** Temperature-scaled source mixing — the multilingual/multi-source
+    * flattening device: source `s` with `n_s` rows gets quota
+    * `round(k · n_s^α / Σ n_s^α)` (α < 1 up-samples small sources;
+    * α = 0.5 here, so the weight is one CORRECTLY-ROUNDED `sqrt` —
+    * bit-identical in any IEEE engine, unlike a general `pow`), and
+    * its quota is filled in seeded-hash order (reproducible under
+    * re-runs, retries, and any partitioning).
+    *
+    * Scale posture: per-source sizes are one aggregate (source
+    * cardinality is a mixing config, not data-sized — the quota map is
+    * driver-side and broadcast back as a literal map); the per-source
+    * fill uses the bounded [[TopK]] aggregator, so the exchange
+    * carries ≤ partitions·maxQuota rows per source instead of a
+    * corpus-wide window sort.
+    *
+    * Determinism: weights are `sqrt` rounded to 12 dp and summed as
+    * exact DECIMAL; each quota is `floor(k·w/t + 0.5)` on one
+    * fixed-association double tree; `ord` draws 32 seeded-hash bits
+    * (< 2^53, so its double round-trips exactly to long).
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      srcCol: String,
+      k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ns: Seq[(String, Long)] = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("ns"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy(_._1)
+    val ws: Seq[(String, BigDecimal)] = ns.map { case (s, n) =>
+      s -> BigDecimal(math.sqrt(n.toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val t = ws.map(_._2).sum.toDouble // exact DECIMAL sum -> one double
+    val quota: Map[String, Int] = ws.map { case (s, wr) =>
+      s -> math.floor(k * wr.toDouble / t + 0.5).toInt
+    }.toMap
+    val maxQ = quota.values.max
+    val ord = conv(substring(
+        md5(concat(lit(s"$seed-"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double")
+    val quotaCol = element_at(
+      map(quota.toSeq.sortBy(_._1)
+        .flatMap { case (s, q) => Seq(lit(s), lit(q)) }: _*),
+      col("source"))
+    df.select(col(srcCol).as("source"), col(idCol), ord.as("ord"))
+      .groupBy("source")
+      .agg(TopK.smallestK(maxQ)(col("ord"), col(idCol)).as("kept"))
+      .select(col("source"), posexplode(col("kept")).as(Seq("pos", "e")))
+      .where(col("pos") < quotaCol)
+      .select(col("source"), col("e.id").as(idCol),
+        col("e.ord").cast("long").as("ord"))
+      .orderBy("source", "ord", idCol)
+  }
 }

@@ -156,4 +156,51 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === exp) // doc 3 has no bigram and is excluded
   }
+
+  test("duplicatedGramStats equals a brute-force string-gram replica") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat"), // internal repeat
+      (2L, "the cat sat on a red mat today"),          // shares a prefix
+      (3L, "entirely different words appear here now"),
+      (4L, "too short"),                               // < w tokens
+      (5L, ""))
+      .toDF("doc_id", "text").repartition(3)
+    val w = 3
+    val toks: Map[Long, Seq[String]] = Seq(
+      1L -> "the cat sat on the mat and the cat sat",
+      2L -> "the cat sat on a red mat today",
+      3L -> "entirely different words appear here now",
+      4L -> "too short", 5L -> "").toMap
+      .map { case (id, t) =>
+        id -> t.split("[^A-Za-z]+").toSeq.filter(_.nonEmpty) }
+    val gramSets: Map[Long, Set[String]] = toks.collect {
+      case (id, a) if a.size >= w =>
+        id -> a.sliding(w).map(_.mkString(" ")).toSet
+    }
+    val dfreq: Map[String, Int] = gramSets.values.flatten
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val exp = gramSets.toSeq.sortBy(_._1).map { case (id, gs) =>
+      val dup = gs.count(dfreq(_) >= 2)
+      (id, gs.size.toLong, dup.toLong,
+        BigDecimal(dup.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Curation.duplicatedGramStats(docs, "doc_id", "text", w)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === exp) // docs 4 and 5 fall below the w-token floor
+  }
+
+  test("duplicatedGramStats counts within-doc repeats once") {
+    import spark.implicits._
+    // "a b a b a b": distinct 2-grams {a b, b a}; no other doc shares
+    val docs = Seq((1L, "a b a b a b"), (2L, "c d e"))
+      .toDF("doc_id", "text")
+    val got = Curation.duplicatedGramStats(docs, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got === Array((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
+  }
 }

@@ -61,4 +61,43 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  /** Independent replica of the temperatureMix ordering hash. */
+  private def ord32(seed: String, id: Long): Long =
+    java.lang.Long.parseLong(md5Hex(s"$seed-$id").take(8), 16)
+
+  test("temperatureMix fills sqrt-proportional quotas in hash order") {
+    import spark.implicits._
+    // sources sized 9/4/1 -> sqrt weights 3/2/1 -> quotas 3/2/1 at k=6
+    val docs = ((1L to 9L).map(i => (i, "A")) ++
+      (10L to 13L).map(i => (i, "B")) ++ Seq((14L, "C")))
+    val df = docs.toDF("doc_id", "source").repartition(3)
+    val got = Sampling.temperatureMix(df, "doc_id", "source", k = 6,
+        seed = "42")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val quota = Map("A" -> 3, "B" -> 2, "C" -> 1)
+    val exp = docs.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+      case (src, rs) =>
+        rs.map { case (id, _) => (src, id, ord32("42", id)) }
+          .sortBy { case (_, id, o) => (o, id) }
+          .take(quota(src))
+    }.sortBy { case (src, id, o) => (src, o, id) }
+    assert(got === exp)
+  }
+
+  test("temperatureMix flattens the mix vs proportional sampling") {
+    import spark.implicits._
+    // 100:1 imbalance; alpha=0.5 gives the small source ~9% of the
+    // mix instead of ~1%
+    val docs = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 404L).map(i => (i, "small")))
+    val df = docs.toDF("doc_id", "source")
+    val got = Sampling.temperatureMix(df, "doc_id", "source", k = 22,
+        seed = "7")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights 20/2 -> quotas round(22*20/22)=20, round(22*2/22)=2
+    assert(got === Map("big" -> 20L, "small" -> 2L))
+  }
 }
