@@ -91,6 +91,22 @@ object SparkEntry {
        |len(list_distinct(list_concat(a.sh, b.sh))) > $pairThreshold)""".stripMargin
   }
 
+  /** q106 oracle: the Rademacher signs are seeded driver-side
+    * constants, so inline them and replay the engine's fixed-order f64
+    * fold with the q16-proven `list_sum(list_transform(list_zip(...)))`
+    * pattern (±1 products are exact sign flips — no rounding anywhere
+    * before the ordered double sum). */
+  private def rpOracleSql(seed: Long, outDim: Int, dim: Int): String = {
+    val dots = operators.Similarity.rademacherSigns(seed, outDim, dim)
+      .zipWithIndex.map { case (s, p) =>
+        val lst = s.map(v => if (v > 0f) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        "list_sum(list_transform(list_zip(embedding, " + lst +
+          s"), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS p$p"
+      }.mkString(",\n")
+    s"SELECT vec_id, $dots FROM embeddings ORDER BY vec_id"
+  }
+
   // Fixed 1-D centroids on c_acctbal for the SQL-checkable assignment
   // queries (J1/A5 analogs). Non-round values so no data point ties.
   private val C0 = 211.73; private val C1 = 4387.21; private val C2 = 8842.02
@@ -1612,7 +1628,32 @@ object SparkEntry {
     "q104_temperature_mix" -> ((s, dir) =>
       operators.Sampling.temperatureMix(
         T(s, dir, "documents"), "doc_id", "source", k = 100,
-        seed = "13")))
+        seed = "13")),
+
+    // Batch sessionization (30-min gap) — the offline counterpart of
+    // q21's streaming flatMapGroupsWithState sessions, for backfills;
+    // one hash exchange on user_id (window + running counter + agg all
+    // share it). Epoch-us output per the timestamp-compare convention.
+    "q105_batch_sessionize" -> ((s, dir) =>
+      operators.TimeSeries.sessionize(T(s, dir, "events"),
+        "user_id", "ts", "event_id", gapSeconds = 1800)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("duration_sec"))
+        .orderBy("user_id", "start_us")),
+
+    // Johnson–Lindenstrauss Rademacher projection 64→8: pure map of
+    // codegen'd VecDot folds against a seeded ±1 literal matrix.
+    // Flattened to one column per coordinate — the compare is
+    // scalar-positional and array cells would break it.
+    "q106_random_projection" -> ((s, dir) =>
+      operators.Similarity.randomProjection(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        outDim = 8, dim = 64, seed = 2027L)
+        .select(col("vec_id") +:
+          (0 until 8).map(i =>
+            element_at(col("proj"), i + 1).as(s"p$i")): _*)))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -2870,6 +2911,29 @@ object SparkEntry {
         |  AS rn FROM s)
         |SELECT r.source, doc_id, ord FROM r JOIN q USING (source)
         |WHERE rn <= quota ORDER BY r.source, ord, doc_id""".stripMargin,
+
+    // date_diff('microsecond') floors both sides to us boundaries —
+    // exactly the engine's nanos->micros truncation, so the boundary
+    // decision agrees at any ns remainder (q21's INTERVAL form relies
+    // on the data having none near the gap edge; this one doesn't)
+    "q105_batch_sessionize" ->
+      """WITH d AS (
+        |SELECT user_id, ts, event_id,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+        |THEN 1 ELSE 0 END AS is_start
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |SELECT user_id, ts, sum(is_start) OVER
+        |(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |AS sid FROM d)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |epoch_us(max(ts)) AS end_us, count(*) AS n_events,
+        |CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+        |AS duration_sec
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q106_random_projection" -> rpOracleSql(seed = 2027L, outDim = 8, dim = 64),
 
     // the naive quadratic form IS the oracle — DuckDB's vectorized
     // levenshtein over 1500x1500 is fine at verification scale; the

@@ -59,6 +59,45 @@ object Similarity {
   def hyperplanes(seed: Long, nPlanes: Int, dim: Int): Array[Array[Float]] =
     Array.tabulate(nPlanes)(p => Array.tabulate(dim)(i => planeComponent(seed, p, i)))
 
+  /** Seeded Rademacher (±1) sign matrix — the random-projection
+    * coefficients. ±1 instead of Gaussian keeps every product an exact
+    * sign flip (no rounding), so the projection is bit-reproducible in
+    * any IEEE engine and SQL-expressible for the oracle. */
+  def rademacherSigns(seed: Long, outDim: Int, dim: Int): Array[Array[Float]] =
+    hyperplanes(seed, outDim, dim)
+      .map(_.map(v => if (v >= 0f) 1.0f else -1.0f))
+
+  /** Johnson–Lindenstrauss random projection: map each `dim`-wide
+    * embedding to `outDim` coordinates, the p-th being
+    * Σⱼ sign(seed,p,j)·xⱼ — the cheap dimensionality-reduction step in
+    * front of ANN / clustering at scale (pairwise distances preserved
+    * within (1±ε) w.h.p. for outDim = O(log n / ε²); Achlioptas 2001
+    * shows ±1 entries suffice).
+    *
+    * Scale shape: a pure MAP — the sign matrix is outDim×dim literals
+    * baked into codegen'd [[graft.functions.VectorExpressions VecDot]]
+    * folds (no shuffle, no UDF, no driver state); output is
+    * outDim doubles per row, so the operator SHRINKS the data by
+    * ~dim/outDim and everything downstream of it gets cheaper.
+    *
+    * Determinism: each product is an exact sign flip of a float
+    * (widened to double), accumulated left-to-right in f64 — the same
+    * fixed association the oracle's ordered list fold replays.
+    */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      outDim: Int,
+      dim: Int,
+      seed: Long): DataFrame = {
+    require(outDim > 0 && dim > 0, s"dims must be positive: $outDim, $dim")
+    val signs = rademacherSigns(seed, outDim, dim)
+    df.select(col(idCol),
+      array(signs.map(s => dotWithQuery(col(embCol), s)): _*).as("proj"))
+      .orderBy(idCol)
+  }
+
   /** Sign-bucket id: one bit per hyperplane (random-hyperplane LSH for
     * cosine similarity). Pure column expression. */
   def lshBucket(emb: Column, planes: Array[Array[Float]]): Column =

@@ -76,4 +76,52 @@ object TimeSeries {
         col(tsCol).as("valid_from"),
         lead(col(tsCol), 1).over(w).as("valid_to"))
   }
+
+  /** Batch sessionization: split each key's event stream into sessions
+    * at inactivity gaps strictly longer than `gapSeconds`, and emit one
+    * row per session — the offline counterpart of the streaming
+    * session-window operator (same gap semantics), for backfills and
+    * training-feature builds over historical logs.
+    *
+    * Ordering within a key is (`tsCol`, `tieCol`) so equal-timestamp
+    * events have a total order and the session boundaries are
+    * engine-independent. Output: key, session_start, session_end,
+    * n_events, duration_sec — all exact (counts and timestamp
+    * arithmetic; no float accumulation).
+    *
+    * Scale shape: ONE hash exchange on the key — the boundary-marking
+    * window, the running session counter, and the per-session
+    * aggregate all share the key partitioning (the groupBy keys are a
+    * superset of the partition key, so EnsureRequirements inserts no
+    * second shuffle). Per-key state is one sort; session count never
+    * materializes corpus-wide.
+    */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevUs = lag(unix_micros(col(tsCol)), 1).over(w)
+    val newSess = when(prevUs.isNull ||
+      unix_micros(col(tsCol)) - prevUs > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("_graft_sess", sum(newSess).over(run))
+      .groupBy(col(keyCol), col("_graft_sess"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_start"), col("session_end"),
+        col("n_events"),
+        // long/long `/` is double division in Spark; the quotient is
+        // ≥1e-6 from any integer unless exact, so floor-via-cast is
+        // the true integer floor
+        ((unix_micros(col("session_end")) -
+          unix_micros(col("session_start"))) / lit(1000000L))
+          .cast("long").as("duration_sec"))
+  }
 }

@@ -100,4 +100,61 @@ class TimeSeriesSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
     assert(run(obs.repartition(1)) === run(obs.repartition(11)))
   }
+
+  test("sessionize splits strictly past the gap, not at it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = 1700000000000000L // epoch micros
+    val ev = Seq( // (user, us offset, id)
+      (1L, 0L, 1L),
+      (1L, 600L * 1000000L, 2L),         // exactly gap: same session
+      (1L, 1200L * 1000000L + 1L, 3L),   // gap + 1us: new session
+      (2L, 0L, 4L))
+      .toDF("u", "off", "id")
+      .select(col("u"), timestamp_micros(col("off") + base).as("ts"),
+        col("id"))
+      .repartition(3)
+    val got = TimeSeries.sessionize(ev, "u", "ts", "id", gapSeconds = 600)
+      .orderBy("u", "session_start")
+      .select(col("u"), unix_micros(col("session_start")) - base,
+        unix_micros(col("session_end")) - base, col("n_events"),
+        col("duration_sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (1L, 0L, 600000000L, 2L, 600L),
+      (1L, 1200000001L, 1200000001L, 1L, 0L),
+      (2L, 0L, 0L, 1L, 0L)))
+  }
+
+  test("sessionize matches the streaming session operator on testdata") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val batch = TimeSeries.sessionize(
+        graft.sources.Tables(spark, dir, "events"),
+        "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+      .collect().map(_.toString).toSeq
+    val stream = graft.streaming.EventWindows
+      .sessionize(spark, dir, gapMinutes = 30)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+      .collect().map(_.toString).toSeq
+    assert(batch.nonEmpty && batch === stream)
+  }
+
+  test("sessionize plans one exchange shared by window and aggregate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq((1L, 1700000000000000L, 1L)).toDF("u", "us", "id")
+      .select(col("u"), timestamp_micros(col("us")).as("ts"), col("id"))
+    val plan = TimeSeries.sessionize(ev, "u", "ts", "id", 600)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges === 1, plan)
+  }
 }
