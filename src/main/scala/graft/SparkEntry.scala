@@ -1653,9 +1653,77 @@ object SparkEntry {
         outDim = 8, dim = 64, seed = 2027L)
         .select(col("vec_id") +:
           (0 until 8).map(i =>
-            element_at(col("proj"), i + 1).as(s"p$i")): _*)))
+            element_at(col("proj"), i + 1).as(s"p$i")): _*)),
+
+    // q102's graph through the DISTRIBUTED rank-table loop: ranks stay
+    // a hash-partitioned, per-round-checkpointed DataFrame (the 100-TB
+    // body — no driver collect anywhere in the loop, GraphSpec-proven);
+    // bit-identical to q102 by construction, and this line proves it
+    // against the same recursive-CTE oracle.
+    "q107_pagerank_dist" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      operators.Graph.pageRank(edges, "src", "dst", iters = 10,
+        assumeDistinct = true, danglingCorrection = true,
+        distributedRanks = true).limit(20)
+    }))
 
   // --------------------------------------------------------- oracle SQL
+
+  /** q98's 10-iteration recursive-CTE replay plus the dangling term:
+    * dm = (DOUBLE)(Σ DECIMAL(38,12) round(rank,12) over sinks) / N,
+    * cross-joined into every node's damped update — the third
+    * reference to the recursive table is fine in DuckDB. Shared by
+    * q102 (driver-resident loop) and q107 (distributed rank table):
+    * the two loop bodies compute the same fixpoint (GraphSpec proves
+    * bit-identity), so they answer to the same oracle. */
+  private val pagerankDirectedOracle: String =
+    """WITH RECURSIVE
+      |base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+      |  l.l_suppkey + 10000000 AS p
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM base),
+      |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e
+      |  GROUP BY 1),
+      |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |dang AS MATERIALIZED (SELECT node FROM nodes
+      |  WHERE node NOT IN (SELECT src FROM e)),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n
+      |  FROM nodes),
+      |pr AS (
+      |  SELECT 0 AS it, node,
+      |    CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+      |  FROM nodes
+      |  UNION ALL
+      |  SELECT old.it + 1, old.node,
+      |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+      |        / (SELECT n FROM nn)
+      |      + CAST(0.85 AS DOUBLE)
+      |        * (CAST(coalesce(agg.s, 0) AS DOUBLE) + dm.v),
+      |      9)
+      |  FROM pr old
+      |  LEFT JOIN (
+      |    SELECT e.dst AS node,
+      |      sum(CAST(round(w.rank / CAST(od.outdeg AS DOUBLE), 12)
+      |        AS DECIMAL(38,12))) AS s
+      |    FROM pr w JOIN e ON e.src = w.node JOIN od ON od.src = e.src
+      |    GROUP BY e.dst
+      |  ) agg ON agg.node = old.node
+      |  CROSS JOIN (
+      |    SELECT CAST(coalesce(sum(CAST(round(d.rank, 12)
+      |        AS DECIMAL(38,12))), 0) AS DOUBLE)
+      |      / (SELECT n FROM nn) AS v
+      |    FROM pr d JOIN dang ON dang.node = d.node
+      |  ) dm
+      |  WHERE old.it + 1 <= 10
+      |)
+      |SELECT node, rank FROM pr WHERE it = 10
+      |ORDER BY rank DESC, node LIMIT 20""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_sum" ->
@@ -2824,49 +2892,11 @@ object SparkEntry {
     // dm = (DOUBLE)(Σ DECIMAL(38,12) round(rank,12) over sinks) / N,
     // cross-joined into every node's damped update — the third
     // reference to the recursive table is fine in DuckDB
-    "q102_pagerank_directed" ->
-      """WITH RECURSIVE
-        |base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
-        |  l.l_suppkey + 10000000 AS p
-        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-        |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM base),
-        |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e
-        |  GROUP BY 1),
-        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
-        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-        |dang AS MATERIALIZED (SELECT node FROM nodes
-        |  WHERE node NOT IN (SELECT src FROM e)),
-        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n
-        |  FROM nodes),
-        |pr AS (
-        |  SELECT 0 AS it, node,
-        |    CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
-        |  FROM nodes
-        |  UNION ALL
-        |  SELECT old.it + 1, old.node,
-        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-        |        / (SELECT n FROM nn)
-        |      + CAST(0.85 AS DOUBLE)
-        |        * (CAST(coalesce(agg.s, 0) AS DOUBLE) + dm.v),
-        |      9)
-        |  FROM pr old
-        |  LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      sum(CAST(round(w.rank / CAST(od.outdeg AS DOUBLE), 12)
-        |        AS DECIMAL(38,12))) AS s
-        |    FROM pr w JOIN e ON e.src = w.node JOIN od ON od.src = e.src
-        |    GROUP BY e.dst
-        |  ) agg ON agg.node = old.node
-        |  CROSS JOIN (
-        |    SELECT CAST(coalesce(sum(CAST(round(d.rank, 12)
-        |        AS DECIMAL(38,12))), 0) AS DOUBLE)
-        |      / (SELECT n FROM nn) AS v
-        |    FROM pr d JOIN dang ON dang.node = d.node
-        |  ) dm
-        |  WHERE old.it + 1 <= 10
-        |)
-        |SELECT node, rank FROM pr WHERE it = 10
-        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    "q102_pagerank_directed" -> pagerankDirectedOracle,
+
+    // the distributed-rank-table body computes the SAME fixpoint
+    // (GraphSpec bit-identity), so it answers to the same oracle
+    "q107_pagerank_dist" -> pagerankDirectedOracle,
 
     // string grams stand in for the engine's xxhash64 grams (counts
     // equal absent 64-bit collisions — the q17 argument); per-doc

@@ -24,20 +24,47 @@ object Graph {
     * callers whose construction proves it) and fails loudly instead of
     * silently producing wrong ranks on the first directed feed.
     *
-    * Scale posture: the edge list joins its out-degrees and is
-    * persisted ONCE; each of the `iters` rounds broadcasts the N-row
-    * rank table into the edge partitions (the edges never move) and
-    * partial/final-aggregates the contributions — ONE job with one
-    * E-row shuffle per round. The rank table itself lives on the
-    * driver between rounds: broadcasting it already collects all N
-    * ranks driver-side every round, so this adds no new constraint —
-    * it just deletes the per-round rank-update join and eager
-    * localCheckpoint jobs the DataFrame-resident loop paid (measured
-    * ~2× the round cost at sf0.1). The N ≤ driver/executor-memory
-    * envelope is the operator's documented cap; past it, swap the
-    * broadcast for a bucketed co-partitioning of edges and ranks on
-    * src and keep the rank table distributed (then the per-round
-    * checkpoint device of [[Components]] applies again).
+    * Scale posture — TWO loop bodies behind one set of semantics:
+    *
+    *  - `distributedRanks = false` (default, the small-N fast path):
+    *    each round broadcasts the N-row rank table into the edge
+    *    partitions (the edges never move) and partial/final-aggregates
+    *    the contributions — ONE job with one E-row shuffle per round.
+    *    The rank table lives on the driver between rounds:
+    *    broadcasting it already collects all N ranks driver-side every
+    *    round, so driver residency adds no new constraint — it just
+    *    deletes the per-round rank-update join and eager
+    *    localCheckpoint jobs the DataFrame-resident loop pays
+    *    (measured ~2× the round cost at sf0.1). Cap: N must fit the
+    *    driver/executor broadcast envelope.
+    *
+    *  - `distributedRanks = true` (the 100-TB path): the rank table
+    *    NEVER visits the driver. Edges (+ out-degrees) are
+    *    hash-repartitioned on `src` and persisted once; ranks live as
+    *    a DataFrame hash-partitioned on `node`, `localCheckpoint`ed
+    *    per round (the [[Components]] lineage-truncation device, with
+    *    the same release-previous-round bookkeeping). Each round is a
+    *    shuffled-hash join of the cached edge partitions with the rank
+    *    table (the E-row side reuses its cached partitioning; only the
+    *    N-row rank side moves), a partial/final DECIMAL aggregate on
+    *    `dst`, and a left join back onto the (also cached,
+    *    co-partitioned) node list. The dangling mass is a ONE-ROW
+    *    aggregate cross-joined into the update — a plan, not a
+    *    collect: no loop step moves more than a broadcast-sized
+    *    payload to the driver, so the plan's ceiling is cluster
+    *    memory/disk, not the driver heap. (GraphSpec asserts via a
+    *    QueryExecutionListener that the distributed loop performs zero
+    *    `collect` actions, and that both bodies produce bit-identical
+    *    ranks.)
+    *
+    * Convergence: `iters` is the hard round cap. With
+    * `epsilon = Some(eps)` the loop additionally stops as soon as
+    * max |Δrank| <= eps after a round (inclusive boundary — the same
+    * fixpoint discipline as the K-Means loop's A7 semantics, where the
+    * `<=` edge counts as converged). The fixed-iteration behavior
+    * (`epsilon = None`) is exactly the pre-flag semantics. The epsilon
+    * check is a one-row aggregate per round (a bounded scalar action,
+    * the K-Means-convergence category, never an N-row collect).
     *
     * Determinism: per-edge contributions are rounded to 12 dp and
     * summed as DECIMAL(38,12) (exact and associative, so the result is
@@ -46,11 +73,13 @@ object Graph {
     * N; the damped update `(1-d)/N + d·(s + dm/N)` is the same
     * fixed-association double arithmetic whether evaluated per-row by
     * codegen or per-node on the driver (round = BigDecimal HALF_UP in
-    * both, the GraphSpec-proven device). By induction every
-    * iteration's rank column is bit-identical in any engine that
-    * evaluates the same tree. With `danglingCorrection = false` the
-    * `+ dm/N` term is absent entirely, preserving the pre-flag
-    * semantics.
+    * both — `round(x, 12)` on a double then cast to DECIMAL(38,12) is
+    * lossless because distinct 12-dp decimals differ by ≥1e-12, far
+    * beyond a double's ulp at rank magnitudes). By induction every
+    * iteration's rank column is bit-identical across the two loop
+    * bodies and any engine that evaluates the same tree. With
+    * `danglingCorrection = false` the `+ dm/N` term is absent
+    * entirely, preserving the pre-flag semantics.
     */
   def pageRank(
       edges: DataFrame,
@@ -60,10 +89,13 @@ object Graph {
       damping: Double = 0.85,
       assumeDistinct: Boolean = false,
       danglingCorrection: Boolean = false,
-      assumeNoSinks: Boolean = false): DataFrame = {
+      assumeNoSinks: Boolean = false,
+      distributedRanks: Boolean = false,
+      epsilon: Option[Double] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
+    epsilon.foreach(e => require(e >= 0.0, s"epsilon must be >= 0, got $e"))
     val spark = edges.sparkSession
     // persist the edge list FIRST: out-degrees, the degree join and the
     // node list all consume it, and without the cache the caller's
@@ -76,14 +108,48 @@ object Graph {
     // out-degrees are one row per node — broadcast them back onto the
     // edge list so the E-row side never shuffles for the degree join
     val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(broadcast(od), "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edRaw = e.join(broadcast(od), "src")
     val srcNodes = e.select(col("src").as("node")).distinct()
-    val nodesDf =
-      (if (danglingCorrection)
-         srcNodes.union(e.select(col("dst").as("node"))).distinct()
-       else srcNodes)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesRaw =
+      if (danglingCorrection)
+        srcNodes.union(e.select(col("dst").as("node"))).distinct()
+      else srcNodes
+    if (!danglingCorrection && !assumeNoSinks) {
+      // cheap path's precondition, checked LOUDLY: a sink here would
+      // silently leak rank mass every round. `assumeNoSinks` skips
+      // the one-off distinct(dst) anti-join for callers whose
+      // construction proves it (an undirected double-edged feed has
+      // src set = dst set) — the assumeDistinct contract for sinks.
+      val leaked = e.select(col("dst").as("node")).distinct()
+        .join(srcNodes, Seq("node"), "left_anti").count()
+      require(leaked == 0L,
+        s"$leaked node(s) have in-edges but no out-edges; their " +
+          "rank mass would silently leak. Pass danglingCorrection" +
+          " = true (uniform redistribution) or feed sinks their " +
+          "back-edges.")
+    }
+    if (distributedRanks)
+      pageRankDistributed(edRaw, srcNodes, nodesRaw, e, iters, damping,
+        danglingCorrection, epsilon)
+    else
+      pageRankDriver(edRaw, srcNodes, nodesRaw, e, iters, damping,
+        danglingCorrection, epsilon)
+  }
+
+  /** Driver-resident loop (see scale posture above): ranks live in a
+    * Map between rounds; one broadcast-join job per round. */
+  private def pageRankDriver(
+      edRaw: DataFrame,
+      srcNodes: DataFrame,
+      nodesRaw: DataFrame,
+      e: DataFrame,
+      iters: Int,
+      damping: Double,
+      danglingCorrection: Boolean,
+      epsilon: Option[Double]): DataFrame = {
+    val spark = edRaw.sparkSession
+    val ed = edRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesDf = nodesRaw.persist(StorageLevel.MEMORY_AND_DISK)
     // the node list and per-round ranks are driver-resident (see the
     // scale-posture note above — the broadcast already pays this)
     val nodeArr: Array[Any] = nodesDf.collect().map(_.get(0))
@@ -92,23 +158,7 @@ object Graph {
       if (danglingCorrection)
         nodesDf.join(srcNodes, Seq("node"), "left_anti")
           .collect().map(_.get(0)).toSet
-      else {
-        // cheap path's precondition, checked LOUDLY: a sink here would
-        // silently leak rank mass every round. `assumeNoSinks` skips
-        // the one-off distinct(dst) anti-join for callers whose
-        // construction proves it (an undirected double-edged feed has
-        // src set = dst set) — the assumeDistinct contract for sinks.
-        if (!assumeNoSinks) {
-          val leaked = e.select(col("dst").as("node")).distinct()
-            .join(srcNodes, Seq("node"), "left_anti").count()
-          require(leaked == 0L,
-            s"$leaked node(s) have in-edges but no out-edges; their " +
-              "rank mass would silently leak. Pass danglingCorrection" +
-              " = true (uniform redistribution) or feed sinks their " +
-              "back-edges.")
-        }
-        Set.empty
-      }
+      else Set.empty
     ed.count() // materialize from the e cache, then drop it
     e.unpersist()
     nodesDf.unpersist()
@@ -123,7 +173,9 @@ object Graph {
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
     var rank: Map[Any, Double] = nodeArr.map(_ -> 1.0 / n).toMap
-    (1 to iters).foreach { _ =>
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       // dangling mass, redistributed uniformly: the 12-dp DECIMAL sum
       // of sink ranks (exact, order-independent) over one double
       // division by N — free on the driver-resident rank table
@@ -142,13 +194,120 @@ object Graph {
               .cast(DecimalType(38, 12)).as("c"))
           .groupBy("cn").agg(sum(col("c")).as("s"))
           .collect().map(r => r.get(0) -> r.getDecimal(1)).toMap
-      rank = nodeArr.map { v =>
+      val next = nodeArr.map { v =>
         val s = sums.get(v).fold(0.0)(_.doubleValue())
         val inner = if (danglingCorrection) s + dmn else s
         v -> round9((1.0 - damping) / n + damping * inner)
       }.toMap
+      converged = epsilon.exists(eps =>
+        nodeArr.iterator.map(v => math.abs(next(v) - rank(v))).max <= eps)
+      rank = next
+      it += 1
     }
     ed.unpersist()
     ranksDf(rank).orderBy(desc("rank"), col("node"))
   }
+
+  /** Distributed loop (see scale posture above): the rank table stays
+    * a hash-partitioned, per-round-checkpointed DataFrame; the driver
+    * never holds a rank. */
+  private def pageRankDistributed(
+      edRaw: DataFrame,
+      srcNodes: DataFrame,
+      nodesRaw: DataFrame,
+      e: DataFrame,
+      iters: Int,
+      damping: Double,
+      danglingCorrection: Boolean,
+      epsilon: Option[Double]): DataFrame = {
+    // edges co-partitioned on src ONCE; every round's rank join reuses
+    // the cached partitioning, so only the N-row rank side ever moves
+    val ed = edRaw.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node list co-partitioned on node: the per-round left join that
+    // re-attaches zero-contribution nodes needs no exchange on it
+    val nodesDf = nodesRaw.repartition(col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodesDf.count().toDouble
+    val danglingDf =
+      if (danglingCorrection) {
+        val d = nodesDf.join(srcNodes, Seq("node"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        d
+      } else null
+    ed.count() // materialize from the e cache, then drop it
+    e.unpersist()
+
+    val baseTerm = (1.0 - damping) / n
+    var ranks = nodesDf.withColumn("rank", lit(1.0 / n))
+      .localCheckpoint(eager = true)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      // contributions: shuffled-hash join (rank side builds; edge side
+      // streams from cache, already partitioned on src) + 12-dp DECIMAL
+      // partial/final aggregate — the round's one E-row shuffle
+      val contrib = ed
+        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("dst").as("node"),
+          round(col("rank") / col("outdeg").cast("double"), 12)
+            .cast(DecimalType(38, 12)).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val joined = nodesDf
+        .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("s").cast("double"), lit(0.0)).as("sd"))
+      // dangling mass: a ONE-ROW aggregate cross-joined into the
+      // update — the scalar stays inside the plan, no driver collect
+      val withDm =
+        if (danglingCorrection) {
+          val dm = ranks.join(danglingDf, Seq("node"), "left_semi")
+            .agg(coalesce(
+              sum(round(col("rank"), 12).cast(DecimalType(38, 12))),
+              lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)))
+              .as("dms"))
+            .select((col("dms").cast("double") / lit(n)).as("dmn"))
+          joined.crossJoin(broadcast(dm))
+        } else joined.withColumn("dmn", lit(0.0))
+      // sd + 0.0 == sd for the non-dangling path (contributions are
+      // ≥ 0, so no -0.0 edge), keeping the two bodies bit-identical
+      val next = withDm
+        .select(col("node"),
+          round(lit(baseTerm) + lit(damping) * (col("sd") + col("dmn")), 9)
+            .as("rank"))
+        .localCheckpoint(eager = true)
+      converged = epsilon.exists { eps =>
+        // bounded scalar action (one row), the K-Means-convergence
+        // category — only paid when an epsilon is requested
+        val prev = ranks.select(col("node"), col("rank").as("prev_rank"))
+        next.join(prev, Seq("node"))
+          .agg(max(abs(col("rank") - col("prev_rank"))).as("d"))
+          .head().getDouble(0) <= eps
+      }
+      // the previous round's checkpoint blocks are dead once the next
+      // round is materialized (and the epsilon diff has run)
+      releaseCheckpoint(ranks)
+      ranks = next
+      it += 1
+    }
+    ed.unpersist()
+    nodesDf.unpersist()
+    if (danglingDf != null) danglingDf.unpersist()
+    // the returned frame reads the final round's checkpoint blocks —
+    // pinned while reachable, reclaimed by the ContextCleaner after
+    ranks.select(col("node"), col("rank"))
+      .orderBy(desc("rank"), col("node"))
+  }
+
+  /** Unpersist the cached RDD behind an eager `localCheckpoint`ed
+    * frame (Dataset.unpersist only reaches CacheManager entries, not
+    * checkpoint blocks). Only safe once nothing will read the frame
+    * again — a local checkpoint has no lineage to recompute from. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 class GraphSpec extends SparkSpec {
@@ -104,5 +106,136 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(a === b)
     assert(math.abs(a.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  // ------------------------------------------- distributed rank table
+
+  test("distributedRanks is bit-identical to the driver loop (undirected)") {
+    import spark.implicits._
+    val driver = Graph.pageRank(
+        edges.toDF("src", "dst").repartition(3), "src", "dst", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val dist = Graph.pageRank(
+        edges.toDF("src", "dst").repartition(3), "src", "dst", iters = 8,
+        distributedRanks = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(dist === driver)
+  }
+
+  test("distributedRanks is bit-identical to the driver loop (dangling)") {
+    import spark.implicits._
+    val driver = Graph.pageRank(directed.toDF("src", "dst"), "src", "dst",
+        iters = 6, danglingCorrection = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val dist = Graph.pageRank(directed.toDF("src", "dst"), "src", "dst",
+        iters = 6, danglingCorrection = true, distributedRanks = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(dist === driver)
+  }
+
+  test("distributedRanks parity holds on a 300-node seeded random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random digraph with sinks: every node gets
+    // 1-4 out-edges except multiples of 17 (pure sinks)
+    val rnd = new scala.util.Random(42)
+    val g = (0L until 300L).flatMap { s =>
+      if (s % 17 == 0) Seq.empty
+      else (0 until (1 + rnd.nextInt(4))).map(_ => s -> rnd.nextInt(300).toLong)
+    }.distinct
+    val driver = Graph.pageRank(g.toDF("src", "dst").repartition(5),
+        "src", "dst", iters = 7, danglingCorrection = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val dist = Graph.pageRank(g.toDF("src", "dst").repartition(5),
+        "src", "dst", iters = 7, danglingCorrection = true,
+        distributedRanks = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(dist === driver)
+    assert(math.abs(dist.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  test("distributed loop performs zero driver-side collects") {
+    import spark.implicits._
+    val recorded = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { recorded.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // distributed path: build+loop runs inside; the returned frame is
+      // NOT collected here, so any "collect" would come from the loop
+      Graph.pageRank(directed.toDF("src", "dst"), "src", "dst", iters = 4,
+        danglingCorrection = true, distributedRanks = true)
+      // sentinel: the listener bus is FIFO, so once the sentinel's
+      // "collect" arrives every loop event has been delivered
+      spark.range(1).collect()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!recorded.asScala.contains("collect") &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      val collects = recorded.asScala.count(_ == "collect")
+      assert(collects === 1, s"loop collected: ${recorded.asScala.toList}")
+
+      // contrast: the driver-resident loop collects every round
+      recorded.clear()
+      Graph.pageRank(directed.toDF("src", "dst"), "src", "dst", iters = 4,
+        danglingCorrection = true)
+      val deadline2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (recorded.asScala.count(_ == "collect") < 4 &&
+          System.nanoTime() < deadline2) Thread.sleep(50)
+      assert(recorded.asScala.count(_ == "collect") >= 4)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  // ----------------------------------------------- epsilon convergence
+
+  /** Replica round-by-round: rank maps after each round (index 0 = the
+    * uniform start), for epsilon-stop expectations. */
+  private def bruteRounds(
+      edges: Seq[(Long, Long)], iters: Int, d: Double,
+      dangling: Boolean): Seq[Map[Long, Double]] =
+    (0 to iters).map(r =>
+      if (r == 0) {
+        val e = edges.distinct
+        val nodes =
+          (if (dangling) e.flatMap(p => Seq(p._1, p._2)) else e.map(_._1))
+            .distinct
+        nodes.map(_ -> 1.0 / nodes.size).toMap
+      } else brute(edges, r, d, dangling))
+
+  test("epsilon stop: inclusive <= boundary, driver and distributed") {
+    import spark.implicits._
+    val rounds = bruteRounds(directed, 10, 0.85, dangling = true)
+    val deltas = (1 to 10).map(r =>
+      rounds(r).map { case (k, v) => math.abs(v - rounds(r - 1)(k)) }.max)
+    // eps exactly equal to round-3's delta: the inclusive boundary must
+    // stop at the FIRST round whose delta <= eps
+    val eps = deltas(2) // delta after round 3 (0-indexed seq of rounds 1..10)
+    val stopRound = (1 to 10).find(r => deltas(r - 1) <= eps).get
+    assert(rounds(stopRound) !== rounds(stopRound + 1),
+      "degenerate fixture: ranks already stationary")
+    for (dist <- Seq(false, true)) {
+      val got = Graph.pageRank(directed.toDF("src", "dst"), "src", "dst",
+          iters = 10, danglingCorrection = true, distributedRanks = dist,
+          epsilon = Some(eps))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === rounds(stopRound), s"distributedRanks=$dist")
+    }
+  }
+
+  test("epsilon stop: iters cap binds when epsilon is never reached") {
+    import spark.implicits._
+    for (dist <- Seq(false, true)) {
+      val capped = Graph.pageRank(directed.toDF("src", "dst"), "src", "dst",
+          iters = 3, danglingCorrection = true, distributedRanks = dist,
+          epsilon = Some(1e-18))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(capped === brute(directed, 3, 0.85, dangling = true),
+        s"distributedRanks=$dist")
+    }
   }
 }
