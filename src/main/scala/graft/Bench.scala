@@ -62,15 +62,36 @@ object Bench {
     val pass1 = names.map(n => n -> force(n, sfDir)).toMap
     cleanup()
     val pass2 = names.map(n => n -> force(n, sfDir)).toMap
+    // contention gate (BASELINE.md's judgeability rule, enforced here
+    // instead of trusted to the reader): pass totals that disagree by
+    // more than 20% mean a co-scheduled process inflated one pass —
+    // run a THIRD pass and take min-of-3, and if even the two closest
+    // totals still disagree >20%, say so in the record itself via
+    // "contended": true rather than publishing a silently-bad number.
+    def disagree(a: Double, b: Double): Boolean =
+      math.abs(a - b) / math.min(a, b) > 0.20
+    val retried = disagree(pass1.values.sum, pass2.values.sum)
+    val pass3: Option[Map[String, Double]] =
+      if (retried) {
+        System.err.println("[bench] pass totals disagree >20% — " +
+          "contended host suspected, running a third pass")
+        cleanup()
+        Some(names.map(n => n -> force(n, sfDir)).toMap)
+      } else None
     val load1 = loadAvg()
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+    val passes = Seq(pass1, pass2) ++ pass3
+    val passTotals = passes.map(_.values.sum)
+    val bestTwo = passTotals.sorted.take(2)
+    val contended = disagree(bestTwo(0), bestTwo(1))
+    val results = names.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val p1 = pass1.values.sum; val p2 = pass2.values.sum
+    val pts = passTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        f""""pass_totals":[$p1%.1f,$p2%.1f],"load_avg":[$load0%.1f,$load1%.1f],""" +
+        s""""pass_totals":$pts,"retried":$retried,"contended":$contended,""" +
+        f""""load_avg":[$load0%.1f,$load1%.1f],""" +
         s""""sf":"$sfDir"}"""
     println(line)
     // capture-proof copy: BENCH_r05's stdout tail was truncated by the
