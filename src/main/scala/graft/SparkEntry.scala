@@ -1670,6 +1670,57 @@ object SparkEntry {
       operators.Graph.pageRank(edges, "src", "dst", iters = 10,
         assumeDistinct = true, danglingCorrection = true,
         distributedRanks = true).limit(20)
+    }),
+
+    // q105's sessions via Spark's native session_window (plain
+    // aggregate, no analytic windows; Spark's inclusive session merge
+    // matches the inclusive gap boundary exactly) — same oracle as
+    // q105 proves the twins equal.
+    "q108_session_window" -> ((s, dir) =>
+      operators.TimeSeries.sessionizeNative(T(s, dir, "events"),
+        "user_id", "ts", gapSeconds = 1800)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("duration_sec"))
+        .orderBy("user_id", "start_us")),
+
+    // REAL ImageIO decode under oracle check: deterministic 8×1 PNGs
+    // built per doc (pixel x = gray (id·31+x·97) mod 251), decoded by
+    // the production imageDecodeFeatures path; one pixel per strip
+    // makes the strip-mean luminance exactly v/255, so the oracle
+    // replays the decode bit-for-bit without parsing PNG in SQL.
+    "q109_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id =>
+          (id, operators.Multimodal.pngPayload(id, 8))))
+        .toDF("media_id", "payload")
+      operators.Multimodal.extractFeatures(media, dim = 8,
+          imageDecode = true)
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+        .orderBy("media_id", "feat_idx")
+    }),
+
+    // REAL javax.sound WAV decode under oracle check: 64-sample PCM-16
+    // fixtures (sample j = (id·7919+j·104729) mod 65536 − 32768),
+    // per-strip RMS with exact Long sum-of-squares — only the final
+    // correctly-rounded div+sqrt touches floating point, so the
+    // feature replays bit-for-bit in SQL.
+    "q110_audio_rms" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id =>
+          (id, operators.Multimodal.wavPayload(id, 64))))
+        .toDF("media_id", "payload")
+      operators.Multimodal.extractFeatures(media, dim = 8,
+          audioDecode = true)
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("strip", "rms")))
+        .orderBy("media_id", "strip")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1724,6 +1775,26 @@ object SparkEntry {
       |)
       |SELECT node, rank FROM pr WHERE it = 10
       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+
+  /** 30-min-gap sessionization replay, shared by q105 (window +
+    * running-sum form) and q108 (native session_window form — equal
+    * row-for-row by the +1µs boundary device, TimeSeriesSpec). */
+  private val sessionizeOracle: String =
+    """WITH d AS (
+      |SELECT user_id, ts, event_id,
+      |CASE WHEN lag(ts) OVER w IS NULL
+      |OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+      |THEN 1 ELSE 0 END AS is_start
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |SELECT user_id, ts, sum(is_start) OVER
+      |(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |AS sid FROM d)
+      |SELECT user_id, epoch_us(min(ts)) AS start_us,
+      |epoch_us(max(ts)) AS end_us, count(*) AS n_events,
+      |CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+      |AS duration_sec
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_sum" ->
@@ -2946,22 +3017,37 @@ object SparkEntry {
     // exactly the engine's nanos->micros truncation, so the boundary
     // decision agrees at any ns remainder (q21's INTERVAL form relies
     // on the data having none near the gap edge; this one doesn't)
-    "q105_batch_sessionize" ->
-      """WITH d AS (
-        |SELECT user_id, ts, event_id,
-        |CASE WHEN lag(ts) OVER w IS NULL
-        |OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
-        |THEN 1 ELSE 0 END AS is_start
-        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), s AS (
-        |SELECT user_id, ts, sum(is_start) OVER
-        |(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-        |AS sid FROM d)
-        |SELECT user_id, epoch_us(min(ts)) AS start_us,
-        |epoch_us(max(ts)) AS end_us, count(*) AS n_events,
-        |CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
-        |AS duration_sec
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q105_batch_sessionize" -> sessionizeOracle,
+
+    // the native session_window twin computes the SAME sessions
+    // (Spark's session merge is inclusive at the gap edge, matching
+    // the split-strictly-past-the-gap rule — TimeSeriesSpec proves
+    // the ±1µs boundary), so it shares q105's oracle
+    "q108_session_window" -> sessionizeOracle,
+
+    // the engine decodes REAL PNGs; the oracle replays the pixel
+    // recipe instead (PNG is lossless, one pixel per strip → feature
+    // is exactly v/255 as a correctly-rounded float in both engines)
+    "q109_image_decode" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS feat_idx,
+        |CAST(CAST((doc_id*31 + i*97) % 251 AS DOUBLE)/255.0 AS FLOAT)
+        |AS feat_val
+        |FROM documents CROSS JOIN range(0, 8) r(i)
+        |ORDER BY media_id, feat_idx""".stripMargin,
+
+    // the engine decodes REAL WAVs; the oracle replays the sample
+    // recipe — sum of squares is exact integer arithmetic in both
+    // engines, and div+sqrt are correctly rounded, so the RMS float
+    // is bit-identical
+    "q110_audio_rms" ->
+      """WITH j AS (SELECT doc_id, unnest(range(0, 64)) AS j
+        |FROM documents),
+        |s AS (SELECT doc_id, CAST(j // 8 AS INT) AS strip,
+        |(doc_id*7919 + j*104729) % 65536 - 32768 AS smp FROM j)
+        |SELECT doc_id AS media_id, strip,
+        |CAST(sqrt(CAST(sum(smp*smp) AS DOUBLE) / (8 * 1073741824.0))
+        |AS FLOAT) AS rms
+        |FROM s GROUP BY 1, 2 ORDER BY media_id, strip""".stripMargin,
 
     "q106_random_projection" -> rpOracleSql(seed = 2027L, outDim = 8, dim = 64),
 

@@ -99,16 +99,127 @@ object Multimodal {
     }
   }
 
+  /** Deterministic dim×1 grayscale PNG: pixel x has gray level
+    * `(id·31 + x·97) mod 251`. One pixel per strip means the decoded
+    * strip-mean luminance is EXACTLY `v/255` (a single Rec.601 term on
+    * a gray pixel, no accumulation), so the real-decode pipeline has a
+    * bit-exact SQL oracle: `CAST(CAST(v AS DOUBLE)/255.0 AS REAL)` —
+    * PNG is lossless, so the codec roundtrip preserves every level. */
+  def pngPayload(id: Long, dim: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      dim, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < dim) {
+      val v = ((id * 31 + x * 97) % 251).toInt
+      img.setRGB(x, 0, (v << 16) | (v << 8) | v)
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic mono 16-bit PCM WAV: sample j is
+    * `(id·7919 + j·104729) mod 65536 − 32768` — the audio twin of
+    * [[pngPayload]], replayable in SQL for the q110 oracle. Encoded
+    * through `javax.sound.sampled` (JDK-public, like ImageIO), so the
+    * decode spec exercises a REAL codec container roundtrip. */
+  def wavPayload(id: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var j = 0
+    while (j < nSamples) {
+      val s = (((id * 7919L + j * 104729L) % 65536L) - 32768L).toInt
+      pcm(2 * j) = (s & 0xff).toByte
+      pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode behind the same batch interface:
+    * `javax.sound.sampled` (WAV/AIFF/AU — JDK-public, no external
+    * codec libs) decodes the payload and feature i is the RMS
+    * amplitude of the i-th sample strip, in [0,1]. The strip's
+    * sum-of-squares accumulates in exact Long arithmetic (order-free),
+    * and only the final `sqrt(sumSq / (cnt·32768²))` touches floating
+    * point — division and sqrt are both correctly rounded, so the
+    * feature is bit-identical to any engine evaluating the same tree
+    * (the q110 oracle device). Non-PCM-16/mono payloads and non-audio
+    * bytes fall back to [[stubDecodeFeatures]], keeping the operator
+    * total — the crawl-data posture of [[imageDecodeFeatures]]. */
+  def audioDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val samples: Array[Int] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.isBigEndian ||
+              fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            val out = new Array[Int](n)
+            var j = 0
+            while (j < n) {
+              out(j) = ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8))
+              j += 1
+            }
+            out
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (samples == null || samples.isEmpty) stubDecodeFeatures(payload, dim)
+    else {
+      val n = samples.length
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val j0 = (i.toLong * n / dim).toInt
+        val j1 = math.max(j0 + 1, ((i + 1).toLong * n / dim).toInt)
+        var sumSq = 0L
+        var cnt = 0
+        var j = j0
+        while (j < j1 && j < n) {
+          sumSq += samples(j).toLong * samples(j)
+          cnt += 1
+          j += 1
+        }
+        // 32768² = 1073741824; cnt·2³⁰ and sumSq (≤ cnt·2³⁰) are exact
+        // doubles, so the quotient and sqrt are correctly rounded
+        out(i) = math.sqrt(sumSq / (cnt * 1073741824.0)).toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Per-partition batched feature extraction (the `mapInPandas` shape:
     * one iterator of rows per partition, amortizing any per-batch codec
     * setup across the partition). Output: (media_id, features[dim]).
-    * `imageDecode = true` routes through the real ImageIO path (stub
-    * fallback per payload); false keeps the deterministic stub twin the
-    * oracles replay byte-for-byte. */
+    * `imageDecode = true` routes through the real ImageIO path,
+    * `audioDecode = true` through the real javax.sound one (stub
+    * fallback per payload in both); neither flag keeps the
+    * deterministic stub twin the oracles replay byte-for-byte. */
   def extractFeatures(
       media: DataFrame,
       dim: Int = 8,
-      imageDecode: Boolean = false): DataFrame = {
+      imageDecode: Boolean = false,
+      audioDecode: Boolean = false): DataFrame = {
+    require(!(imageDecode && audioDecode),
+      "pick one decoder: imageDecode or audioDecode")
     val spark = media.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Float])] =
@@ -119,6 +230,7 @@ object Multimodal {
           it.map { case (id, bytes) =>
             (id,
               if (imageDecode) imageDecodeFeatures(bytes, dim)
+              else if (audioDecode) audioDecodeFeatures(bytes, dim)
               else stubDecodeFeatures(bytes, dim))
           }
         }

@@ -252,6 +252,40 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental maintenance: append a batch to a persisted IVF index
+    * WITHOUT re-fitting the coarse quantizer — the q87 delta-probe
+    * precedent applied to ANN. New rows are assigned to cells with the
+    * index's existing centroids (the same codegen'd argmin CASE chain
+    * the build used) and appended to the cell-partitioned parquet;
+    * dynamic partition append touches only the cells the batch lands
+    * in, and existing files are never rewritten. Probes after an
+    * append see old + new rows through the same partition pruning,
+    * and equal `assignCol` inputs give equal cells, so
+    * append-then-probe ≡ assign-union-then-probe for unchanged
+    * centroids (IvfSpec proves it).
+    *
+    * Re-fit policy (runbook): appends skew cell sizes as the data
+    * distribution drifts — re-fit the quantizer and rebuild when the
+    * largest cell outgrows its build-time share by ~4× or probe
+    * latency SLOs slip; until then append cost is ∝ batch, not corpus. */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cluster", "centroid")
+      .orderBy("cluster")
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    batch
+      .select(col(idCol), col(embCol))
+      .withColumn("cell", assignCol(col(embCol), cents))
+      .write.partitionBy("cell").mode("append")
+      .parquet(s"$path/assigned")
+  }
+
   /** Re-open a persisted IVF index. Probes on the result prune to the
     * probed cell partitions (assert-able via PartitionFilters in the
     * scan node). */

@@ -124,4 +124,44 @@ object TimeSeries {
           unix_micros(col("session_start"))) / lit(1000000L))
           .cast("long").as("duration_sec"))
   }
+
+  /** [[sessionize]]'s declarative twin on Spark's built-in
+    * `session_window` — same output contract (key, session_start,
+    * session_end, n_events, duration_sec), same inclusive-gap
+    * semantics, chosen over the window+running-sum form when the
+    * downstream plan benefits from a plain aggregate (no analytic
+    * windows for Catalyst to fence optimizations around).
+    *
+    * Boundary parity: Spark's session merge is INCLUSIVE — an event
+    * whose time equals the open session's end (previous event + gap)
+    * still merges (`UpdatingSessionsIterator` keeps a session alive
+    * while `start <= latestEnd`), which is exactly [[sessionize]]'s
+    * split-only-strictly-past-the-gap rule (t2 − t1 <= gap stays
+    * together). So the native gap is `gapSeconds` verbatim and the two
+    * operators are equal row-for-row, not just approximately
+    * (TimeSeriesSpec proves it on the exact gap edge, ±1 µs).
+    *
+    * Scale shape: one hash exchange on the key; Spark sorts each
+    * partition by (key, start) and merges sessions in a single pass
+    * (UpdatingSessions + partial/final session aggregate) — per-key
+    * state is one open session, same as the streaming form.
+    */
+  def sessionizeNative(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    events
+      .groupBy(col(keyCol),
+        session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_start"), col("session_end"),
+        col("n_events"),
+        ((unix_micros(col("session_end")) -
+          unix_micros(col("session_start"))) / lit(1000000L))
+          .cast("long").as("duration_sec"))
+  }
 }

@@ -76,6 +76,49 @@ class IvfSpec extends SparkSpec {
     } finally built.unpersist()
   }
 
+  test("append-then-probe equals assign-union-then-probe (no re-fit)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = emb.orderBy("vec_id").limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    // base corpus = even ids, delta batch = odd ids
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+    val built = Similarity.buildIvfIndex(base, nlist = 4,
+      initCentroids = Some(init))
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    try {
+      Similarity.writeIvfIndex(built, dir)
+      Similarity.appendToIvfIndex(spark, dir, delta)
+      val appended = Similarity.readIvfIndex(spark, dir)
+      // same centroids as the base build — the quantizer was NOT re-fit
+      assert(appended.centroids.map(_.toSeq).toSeq ===
+        built.centroids.map(_.toSeq).toSeq)
+      val q = emb.where(col("vec_id") === 5).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      // expected: the union corpus assigned with the SAME centroids
+      val unionIdx = Similarity.IvfIndex(built.centroids,
+        emb.select(col("vec_id"), col("embedding"))
+          .withColumn("cell",
+            graft.functions.VectorFunctions.assignCol(
+              col("embedding"), built.centroids)),
+        "vec_id", "embedding")
+      val got = appended.probe(q, 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = unionIdx.probe(q, 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === want)
+      // delta rows are findable and pruning still holds after append
+      assert(got.nonEmpty && got.map(_._1).exists(_ % 2 == 1))
+      val plan = appended.probe(q, 10, nprobe = 2)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val partLine = plan.linesIterator
+        .find(_.contains("PartitionFilters")).getOrElse("")
+      assert(partLine.contains("cell"), plan)
+    } finally built.unpersist()
+  }
+
   test("ivfTopK with nprobe = nlist equals exact brute-force top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select(col("embedding"))

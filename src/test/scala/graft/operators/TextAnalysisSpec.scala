@@ -138,6 +138,61 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L).map(f => (f._2, f._3)).toSeq.sorted === Seq((0, 0), (1, 64)))
     assert(byId(2L).map(f => (f._2, f._3)).toSeq === Seq((0, 0)))
   }
+
+  test("pngPayload roundtrips through the real decoder bit-exactly") {
+    // feature i must be EXACTLY ((id·31 + i·97) mod 251)/255 as a
+    // correctly-rounded float — the q109 oracle's contract
+    for (id <- Seq(0L, 1L, 17L, 499L)) {
+      val got = imageDecodeFeatures(pngPayload(id, 8), 8)
+      val want = (0 until 8).map(i =>
+        (((id * 31 + i * 97) % 251) / 255.0).toFloat)
+      assert(got.toSeq === want, s"id=$id")
+    }
+  }
+
+  test("wavPayload roundtrips through the real audio decoder bit-exactly") {
+    // strip RMS must be EXACTLY sqrt(sumSq/(8·32768²)) over the sample
+    // recipe — the q110 oracle's contract
+    for (id <- Seq(0L, 1L, 17L, 499L)) {
+      val got = audioDecodeFeatures(wavPayload(id, 64), 8)
+      val want = (0 until 8).map { i =>
+        val sumSq = (8 * i until 8 * (i + 1)).map { j =>
+          val s = ((id * 7919L + j * 104729L) % 65536L) - 32768L
+          s * s
+        }.sum
+        math.sqrt(sumSq / (8 * 1073741824.0)).toFloat
+      }
+      assert(got.toSeq === want, s"id=$id")
+    }
+  }
+
+  test("audioDecodeFeatures falls back to the stub on non-audio bytes") {
+    val junk = "definitely not a wav".getBytes("UTF-8")
+    assert(audioDecodeFeatures(junk, 4).toSeq ===
+      stubDecodeFeatures(junk, 4).toSeq)
+    // and on a real but non-PCM16-mono container (8-bit WAV)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val pcm8 = Array.tabulate[Byte](16)(i => (i * 10).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), fmt, 16L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav8 = bos.toByteArray
+    assert(audioDecodeFeatures(wav8, 4).toSeq ===
+      stubDecodeFeatures(wav8, 4).toSeq)
+  }
+
+  test("extractFeatures(audioDecode = true) runs javax.sound in the batch") {
+    import spark.implicits._
+    val wav = wavPayload(5L, 64)
+    val media = Seq((5L, wav), (6L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = extractFeatures(media, dim = 8, audioDecode = true).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got(5L) === audioDecodeFeatures(wav, 8).toSeq)
+    assert(got(6L) === stubDecodeFeatures("junk".getBytes("UTF-8"), 8).toSeq)
+  }
 }
 
 class SourcesSpec extends SparkSpec {

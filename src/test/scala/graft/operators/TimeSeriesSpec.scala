@@ -157,4 +157,56 @@ class TimeSeriesSpec extends SparkSpec {
       .findAllIn(plan).length
     assert(exchanges === 1, plan)
   }
+
+  test("sessionizeNative keeps the inclusive gap edge (twin of sessionize)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = 1700000000000000L // epoch micros
+    val ev = Seq( // the sessionize edge fixture: exactly-gap stays
+      (1L, 0L, 1L),
+      (1L, 600L * 1000000L, 2L),         // exactly gap: same session
+      (1L, 1200L * 1000000L + 1L, 3L),   // gap + 1us: new session
+      (2L, 0L, 4L))
+      .toDF("u", "off", "id")
+      .select(col("u"), timestamp_micros(col("off") + base).as("ts"),
+        col("id"))
+      .repartition(3)
+    val got = TimeSeries.sessionizeNative(ev, "u", "ts", gapSeconds = 600)
+      .orderBy("u", "session_start")
+      .select(col("u"), unix_micros(col("session_start")) - base,
+        unix_micros(col("session_end")) - base, col("n_events"),
+        col("duration_sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (1L, 0L, 600000000L, 2L, 600L),
+      (1L, 1200000001L, 1200000001L, 1L, 0L),
+      (2L, 0L, 0L, 1L, 0L)))
+  }
+
+  test("sessionizeNative equals sessionize row-for-row on testdata") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"),
+        col("duration_sec"))
+      .orderBy("user_id", "s")
+      .collect().map(_.toString).toSeq
+    val ev = graft.sources.Tables(spark, dir, "events")
+    val a = norm(TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 1800))
+    val b = norm(TimeSeries.sessionizeNative(ev, "user_id", "ts", 1800))
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("sessionizeNative plans one exchange and no analytic window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq((1L, 1700000000000000L, 1L)).toDF("u", "us", "id")
+      .select(col("u"), timestamp_micros(col("us")).as("ts"), col("id"))
+    val plan = TimeSeries.sessionizeNative(ev, "u", "ts", 600)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
