@@ -60,6 +60,36 @@ object SparkEntry {
       base
     })
 
+  // ---- deterministic media fixtures shared by q109 (PNG decode) and
+  // ---- q110 (WAV decode): encoded ONCE per (JVM, sf dir) and
+  // ---- parquet'd — the fixture ENCODE is corpus preparation, not the
+  // ---- operator under test (a pipeline's blobs arrive already
+  // ---- encoded). The build lands in Bench's untimed warmup pass (the
+  // ---- pqIndexPath precedent), so the timed lines measure the DECODE.
+
+  private val mediaFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mediaFixturePath(s: SparkSession, dir: String): String =
+    mediaFixtureCache.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_media_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode))
+      val ids = T(s, dir, "documents").select(col("doc_id").cast("long"))
+      ids.as[Long]
+        .mapPartitions(_.map(id =>
+          (id, operators.Multimodal.pngPayload(id, 8))))
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(s"$base/png")
+      ids.as[Long]
+        .mapPartitions(_.map(id =>
+          (id, operators.Multimodal.wavPayload(id, 64))))
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(s"$base/wav")
+      base
+    })
+
   // ---- near-dup pair graph shared by q17 (pairs) and q66 (components):
   // ---- ONE Scala builder and ONE oracle CTE so the two queries cannot
   // ---- silently drift apart when the shingle/threshold tuning changes
@@ -1686,57 +1716,69 @@ object SparkEntry {
         .orderBy("user_id", "start_us")),
 
     // REAL ImageIO decode under oracle check: deterministic 8×1 PNGs
-    // built per doc (pixel x = gray (id·31+x·97) mod 251), decoded by
-    // the production imageDecodeFeatures path; one pixel per strip
-    // makes the strip-mean luminance exactly v/255, so the oracle
-    // replays the decode bit-for-bit without parsing PNG in SQL.
-    "q109_image_decode" -> ((s, dir) => {
-      import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id").cast("long"))
-        .as[Long]
-        .mapPartitions(_.map(id =>
-          (id, operators.Multimodal.pngPayload(id, 8))))
-        .toDF("media_id", "payload")
-      operators.Multimodal.extractFeatures(media, dim = 8,
+    // (pixel x = gray (id·31+x·97) mod 251), parquet'd once per
+    // (JVM, sf) by mediaFixturePath and DECODED here by the
+    // production imageDecodeFeatures path; one pixel per strip makes
+    // the strip-mean luminance exactly v/255, so the oracle replays
+    // the decode bit-for-bit without parsing PNG in SQL.
+    "q109_image_decode" -> ((s, dir) =>
+      operators.Multimodal.extractFeatures(
+          s.read.parquet(s"${mediaFixturePath(s, dir)}/png"), dim = 8,
           imageDecode = true)
         .select(col("media_id"),
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
-        .orderBy("media_id", "feat_idx")
-    }),
+        .orderBy("media_id", "feat_idx")),
 
     // REAL javax.sound WAV decode under oracle check: 64-sample PCM-16
-    // fixtures (sample j = (id·7919+j·104729) mod 65536 − 32768),
-    // per-strip RMS with exact Long sum-of-squares — only the final
-    // correctly-rounded div+sqrt touches floating point, so the
-    // feature replays bit-for-bit in SQL.
-    "q110_audio_rms" -> ((s, dir) => {
-      import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id").cast("long"))
-        .as[Long]
-        .mapPartitions(_.map(id =>
-          (id, operators.Multimodal.wavPayload(id, 64))))
-        .toDF("media_id", "payload")
-      operators.Multimodal.extractFeatures(media, dim = 8,
+    // fixtures (sample j = (id·7919+j·104729) mod 65536 − 32768) from
+    // the same per-(JVM, sf) fixture parquet; per-strip RMS with
+    // exact Long sum-of-squares — only the final correctly-rounded
+    // div+sqrt touches floating point, so the feature replays
+    // bit-for-bit in SQL.
+    "q110_audio_rms" -> ((s, dir) =>
+      operators.Multimodal.extractFeatures(
+          s.read.parquet(s"${mediaFixturePath(s, dir)}/wav"), dim = 8,
           audioDecode = true)
         .select(col("media_id"),
           posexplode(col("features")).as(Seq("strip", "rms")))
-        .orderBy("media_id", "strip")
+        .orderBy("media_id", "strip")),
+
+    // Epsilon-stop PageRank under oracle check: the loop halts at the
+    // first round whose max |Δrank| <= eps (inclusive — the A7
+    // fixpoint discipline), cap 12. The oracle replays all 12 rounds,
+    // derives the stop round FROM THE DATA (min it with delta <= eps,
+    // else the cap) and selects that round's ranks — so engine and
+    // oracle agree at any sf by construction. 10%-sampled edge feed
+    // (o_orderkey % 10 = 0) keeps the bench line light.
+    "q111_pagerank_eps" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      operators.Graph.pageRank(edges, "src", "dst", iters = 12,
+        assumeDistinct = true, danglingCorrection = true,
+        epsilon = Some(2e-3)).limit(20)
     }))
 
   // --------------------------------------------------------- oracle SQL
 
-  /** q98's 10-iteration recursive-CTE replay plus the dangling term:
+  /** Recursive-CTE replay of the directed+dangling PageRank loop:
     * dm = (DOUBLE)(Σ DECIMAL(38,12) round(rank,12) over sinks) / N,
     * cross-joined into every node's damped update — the third
-    * reference to the recursive table is fine in DuckDB. Shared by
-    * q102 (driver-resident loop) and q107 (distributed rank table):
-    * the two loop bodies compute the same fixpoint (GraphSpec proves
-    * bit-identity), so they answer to the same oracle. */
-  private val pagerankDirectedOracle: String =
-    """WITH RECURSIVE
+    * reference to the recursive table is fine in DuckDB.
+    * `edgeWhere` filters the order side; `cap` is the round cap;
+    * `finalSelect` picks which round's ranks to emit. */
+  private def pagerankDirectedCte(
+      edgeWhere: String, cap: Int, finalSelect: String): String =
+    s"""WITH RECURSIVE
       |base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
       |  l.l_suppkey + 10000000 AS p
-      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  $edgeWhere),
       |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM base),
       |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e
       |  GROUP BY 1),
@@ -1771,10 +1813,30 @@ object SparkEntry {
       |      / (SELECT n FROM nn) AS v
       |    FROM pr d JOIN dang ON dang.node = d.node
       |  ) dm
-      |  WHERE old.it + 1 <= 10
+      |  WHERE old.it + 1 <= $cap
       |)
-      |SELECT node, rank FROM pr WHERE it = 10
-      |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+      |$finalSelect""".stripMargin
+
+  /** Shared by q102 (driver-resident loop) and q107 (distributed rank
+    * table): the two loop bodies compute the same fixpoint (GraphSpec
+    * proves bit-identity), so they answer to the same oracle. */
+  private val pagerankDirectedOracle: String =
+    pagerankDirectedCte("", 10,
+      """SELECT node, rank FROM pr WHERE it = 10
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin)
+
+  /** q111: replay all 12 capped rounds, derive the stop round FROM THE
+    * DATA (first round whose max |Δrank| <= eps, else the cap — the
+    * engine's inclusive A7 boundary), and emit that round's ranks. */
+  private val pagerankEpsilonOracle: String =
+    pagerankDirectedCte("WHERE o.o_orderkey % 10 = 0", 12,
+      """, del AS (SELECT a.it AS it, max(abs(a.rank - b.rank)) AS delta
+        |  FROM pr a JOIN pr b ON b.node = a.node AND b.it = a.it - 1
+        |  GROUP BY a.it),
+        |stp AS (SELECT coalesce(min(it), 12) AS r FROM del
+        |  WHERE delta <= CAST(2e-3 AS DOUBLE))
+        |SELECT node, rank FROM pr CROSS JOIN stp WHERE pr.it = stp.r
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin)
 
   /** 30-min-gap sessionization replay, shared by q105 (window +
     * running-sum form) and q108 (native session_window form — equal
@@ -2968,6 +3030,11 @@ object SparkEntry {
     // the distributed-rank-table body computes the SAME fixpoint
     // (GraphSpec bit-identity), so it answers to the same oracle
     "q107_pagerank_dist" -> pagerankDirectedOracle,
+
+    // epsilon stop: the oracle derives the stop round from the data
+    // (first round with max |Δrank| <= eps, else the cap), so engine
+    // and oracle agree at any sf by construction
+    "q111_pagerank_eps" -> pagerankEpsilonOracle,
 
     // string grams stand in for the engine's xxhash64 grams (counts
     // equal absent 64-bit collisions — the q17 argument); per-doc
