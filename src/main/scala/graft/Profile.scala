@@ -11,6 +11,8 @@ object Profile {
       case Some("queries") => profileQueries(args.drop(1))
       case Some("pagerank") => pagerankPhases(
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      case Some("pagerank-dist") => pagerankDistPhases(
+        args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case _ => microbench(args.headOption.getOrElse("/root/testdata/sf0.01"))
     }
   }
@@ -123,6 +125,85 @@ object Profile {
         ranks.orderBy(desc("rank"), col("node")).limit(20).collect()
       }
       ed.unpersist(); nodes.unpersist()
+    }
+    spark.stop()
+  }
+
+  /** Phase attribution for the q107 DISTRIBUTED-rank PageRank loop
+    * (the q102 feed): replicates Graph.pageRankDistributed's phases
+    * with per-round timing — build (co-partitioned edge cache, node
+    * cache, dangling set), then each round's shuffled-hash join +
+    * DECIMAL agg + node left-join + dangling 1-row crossJoin +
+    * localCheckpoint. */
+  def pagerankDistPhases(dir: String): Unit = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.storage.StorageLevel
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    (1 to 2).foreach { rep =>
+      println(s"[prof] === rep $rep")
+      val o = sources.Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = sources.Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      val od = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ed = t("build:edges repartition(src)+degree-join persist") {
+        val ed = edges.join(broadcast(od), "src")
+          .repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK); ed.count(); ed
+      }
+      val srcNodes = edges.select(col("src").as("node")).distinct()
+      val nodesDf = t("build:nodes repartition(node) persist") {
+        val nd = srcNodes
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .repartition(col("node"))
+          .persist(StorageLevel.MEMORY_AND_DISK); nd.count(); nd
+      }
+      val n = nodesDf.count().toDouble
+      val danglingDf = t("build:dangling anti-join persist") {
+        val d = nodesDf.join(srcNodes, Seq("node"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK); d.count(); d
+      }
+      var ranks = nodesDf.withColumn("rank", lit(1.0 / n))
+        .localCheckpoint(eager = true)
+      (1 to 10).foreach { i =>
+        t(f"iter$i%02d") {
+          val contrib = ed
+            .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+            .select(col("dst").as("node"),
+              round(col("rank") / col("outdeg").cast("double"), 12)
+                .cast(DecimalType(38, 12)).as("c"))
+            .groupBy("node").agg(sum(col("c")).as("s"))
+          val joined = nodesDf
+            .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("s").cast("double"), lit(0.0)).as("sd"))
+          val dm = ranks.join(danglingDf, Seq("node"), "left_semi")
+            .agg(coalesce(
+              sum(round(col("rank"), 12).cast(DecimalType(38, 12))),
+              lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)))
+              .as("dms"))
+            .select((col("dms").cast("double") / lit(n)).as("dmn"))
+          ranks = joined.crossJoin(broadcast(dm))
+            .select(col("node"),
+              round(lit(0.15 / n) + lit(0.85) * (col("sd") + col("dmn")), 9)
+                .as("rank"))
+            .localCheckpoint(eager = true)
+        }
+      }
+      t("final orderBy+collect") {
+        ranks.orderBy(desc("rank"), col("node")).limit(20).collect()
+      }
+      ed.unpersist(); nodesDf.unpersist(); danglingDf.unpersist()
     }
     spark.stop()
   }
