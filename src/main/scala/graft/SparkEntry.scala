@@ -1762,6 +1762,32 @@ object SparkEntry {
       operators.Graph.pageRank(edges, "src", "dst", iters = 12,
         assumeDistinct = true, danglingCorrection = true,
         epsilon = Some(2e-3)).limit(20)
+    }),
+
+    // q21's sessions via Spark's NATIVE streaming session_window
+    // (declarative: no custom state function; watermark bounds state)
+    // — fourth member of the sessionization family, same oracle.
+    "q112_stream_session_native" -> ((s, dir) =>
+      EventWindows.sessionizeNative(s, dir, gapMinutes = 30)
+        .orderBy("user_id", "start_us")),
+
+    // Personalized PageRank: reset + dangling mass ride the SEED
+    // distribution (customers 1-50), so rank measures proximity to
+    // the seed set — built on the distributed rank-table body (no
+    // driver collect, GraphSpec-asserted); 10 iterations replayed in
+    // the recursive-CTE oracle.
+    "q113_ppr" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      val seeds = T(s, dir, "orders")
+        .select(col("o_custkey").as("node"))
+        .where(col("node") <= 50).distinct()
+      operators.Graph.personalizedPageRank(edges, "src", "dst", seeds,
+        iters = 10, assumeDistinct = true).limit(20)
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1837,6 +1863,22 @@ object SparkEntry {
         |  WHERE delta <= CAST(2e-3 AS DOUBLE))
         |SELECT node, rank FROM pr CROSS JOIN stp WHERE pr.it = stp.r
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin)
+
+  /** q21/q112 oracle: 30-min-gap sessionization without the duration
+    * column (the streaming surface emits user, start, end, count). */
+  private val streamSessionizeOracle: String =
+    """WITH d AS (
+      |SELECT user_id, ts,
+      |CASE WHEN lag(ts) OVER w IS NULL
+      |OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS is_start
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |SELECT user_id, ts, sum(is_start) OVER
+      |(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |FROM d)
+      |SELECT user_id, epoch_us(min(ts)) AS start_us,
+      |epoch_us(max(ts)) AS end_us, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
 
   /** 30-min-gap sessionization replay, shared by q105 (window +
     * running-sum form) and q108 (native session_window form — equal
@@ -1981,19 +2023,12 @@ object SparkEntry {
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
-    "q21_sessionize" ->
-      """WITH d AS (
-        |SELECT user_id, ts,
-        |CASE WHEN lag(ts) OVER w IS NULL
-        |OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS is_start
-        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), s AS (
-        |SELECT user_id, ts, sum(is_start) OVER
-        |(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |FROM d)
-        |SELECT user_id, epoch_us(min(ts)) AS start_us,
-        |epoch_us(max(ts)) AS end_us, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q21_sessionize" -> streamSessionizeOracle,
+
+    // the native streaming session_window twin computes the SAME
+    // sessions (inclusive merge boundary; single-batch delivery in
+    // the verification run), so it shares q21's oracle
+    "q112_stream_session_native" -> streamSessionizeOracle,
 
     "q22_asof_join" ->
       """WITH ord AS (SELECT o_custkey, o_orderdate,
@@ -3035,6 +3070,54 @@ object SparkEntry {
     // (first round with max |Δrank| <= eps, else the cap), so engine
     // and oracle agree at any sf by construction
     "q111_pagerank_eps" -> pagerankEpsilonOracle,
+
+    // PPR: reset weights r(v)=1/|S| on seed nodes (<=50) join every
+    // damped update; dangling mass rides r too (NOT divided by N) —
+    // same 12-dp DECIMAL / 9-dp round devices as the q102 replay
+    "q113_ppr" ->
+      """WITH RECURSIVE
+        |base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+        |  l.l_suppkey + 10000000 AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM base),
+        |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e
+        |  GROUP BY 1),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |dang AS MATERIALIZED (SELECT node FROM nodes
+        |  WHERE node NOT IN (SELECT src FROM e)),
+        |ks AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS k
+        |  FROM nodes WHERE node <= 50),
+        |rv AS MATERIALIZED (SELECT node,
+        |  CASE WHEN node <= 50
+        |  THEN CAST(1.0 AS DOUBLE) / (SELECT k FROM ks)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS r FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS it, node, r AS rank FROM rv
+        |  UNION ALL
+        |  SELECT old.it + 1, old.node,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * rv.r
+        |      + CAST(0.85 AS DOUBLE)
+        |        * (CAST(coalesce(agg.s, 0) AS DOUBLE) + dm.v * rv.r),
+        |      9)
+        |  FROM pr old
+        |  JOIN rv ON rv.node = old.node
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(w.rank / CAST(od.outdeg AS DOUBLE), 12)
+        |        AS DECIMAL(38,12))) AS s
+        |    FROM pr w JOIN e ON e.src = w.node JOIN od ON od.src = e.src
+        |    GROUP BY e.dst
+        |  ) agg ON agg.node = old.node
+        |  CROSS JOIN (
+        |    SELECT CAST(coalesce(sum(CAST(round(d.rank, 12)
+        |        AS DECIMAL(38,12))), 0) AS DOUBLE) AS v
+        |    FROM pr d JOIN dang ON dang.node = d.node
+        |  ) dm
+        |  WHERE old.it + 1 <= 10
+        |)
+        |SELECT node, rank FROM pr WHERE it = 10
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
     // string grams stand in for the engine's xxhash64 grams (counts
     // equal absent 64-bit collisions — the q17 argument); per-doc

@@ -300,6 +300,124 @@ object Graph {
       .orderBy(desc("rank"), col("node"))
   }
 
+  /** Personalized (topic-sensitive) PageRank: the reset mass lands on
+    * the `seeds` distribution instead of uniformly — rank measures
+    * proximity to the seed set (the standard seed-biased relevance
+    * device: related-document discovery from a trusted subset,
+    * authority propagation from labeled-good domains in a curation
+    * pipeline). Semantics per Haveliwala 2002 / the standard PPR
+    * formulation:
+    *
+    *   rank'(v) = (1−d)·r(v) + d·(Σ_{u→v} rank(u)/outdeg(u) + dm·r(v))
+    *
+    * with r(v) = 1/|S| for v ∈ S else 0, and dm = the total dangling
+    * (sink) mass — redistributed over the SEED distribution, so rank
+    * mass is conserved and teleports never leak to unrelated nodes.
+    * Initial ranks are r itself.
+    *
+    * Scale posture: built directly on the DISTRIBUTED rank-table body
+    * — ranks live as a hash-partitioned, per-round-checkpointed
+    * DataFrame carrying the per-node reset weight alongside (computed
+    * once from a seed semi-join; seeds are a DataFrame, not a driver
+    * collection, so the seed set itself can be large); per round one
+    * shuffled-hash join against the cached co-partitioned edges, a
+    * DECIMAL partial/final agg, and a one-row dangling aggregate
+    * cross-joined into the update. No driver collect anywhere
+    * (GraphSpec's listener assertion covers this path too).
+    *
+    * Determinism: the same 12-dp DECIMAL contribution sums and 9-dp
+    * HALF_UP damped update as [[pageRank]], with the fixed association
+    * `(1−d)·r + d·(s + dm·r)` — bit-replayable in any IEEE engine
+    * (the q113 oracle).
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      assumeDistinct: Boolean = false,
+      epsilon: Option[Double] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    epsilon.foreach(e => require(e >= 0.0, s"epsilon must be >= 0, got $e"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (assumeDistinct) e0 else e0.distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(broadcast(od), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcNodes = e.select(col("src").as("node")).distinct()
+    val seedsDf = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    // node list with the per-node reset weight attached ONCE: 1/|S| on
+    // seed nodes (seeds outside the graph are ignored), 0 elsewhere
+    val nodesRaw = srcNodes.union(e.select(col("dst").as("node"))).distinct()
+    val k = nodesRaw.join(seedsDf, Seq("node"), "left_semi").count()
+    require(k > 0, "no seed node appears in the graph")
+    val rv0 = 1.0 / k
+    val nodesDf = nodesRaw
+      .join(seedsDf.withColumn("_g_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_g_seed").isNotNull, lit(rv0)).otherwise(lit(0.0)).as("rv"))
+      .repartition(col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodesDf.count()
+    val danglingDf = nodesDf.select("node")
+      .join(srcNodes, Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    danglingDf.count()
+    ed.count()
+    e.unpersist()
+
+    var ranks = nodesDf.select(col("node"), col("rv").as("rank"))
+      .localCheckpoint(eager = true)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val contrib = ed
+        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("dst").as("node"),
+          round(col("rank") / col("outdeg").cast("double"), 12)
+            .cast(DecimalType(38, 12)).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val joined = nodesDf
+        .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"), col("rv"),
+          coalesce(col("s").cast("double"), lit(0.0)).as("sd"))
+      // total sink mass (NOT divided by N — it rides the reset
+      // distribution), as a one-row aggregate cross-joined in
+      val dm = ranks.join(danglingDf, Seq("node"), "left_semi")
+        .agg(coalesce(
+          sum(round(col("rank"), 12).cast(DecimalType(38, 12))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)))
+          .as("dms"))
+        .select(col("dms").cast("double").as("dmt"))
+      val next = joined.crossJoin(broadcast(dm))
+        .select(col("node"),
+          round(lit(1.0 - damping) * col("rv") +
+            lit(damping) * (col("sd") + col("dmt") * col("rv")), 9)
+            .as("rank"))
+        .localCheckpoint(eager = true)
+      converged = epsilon.exists { eps =>
+        val prev = ranks.select(col("node"), col("rank").as("prev_rank"))
+        next.join(prev, Seq("node"))
+          .agg(max(abs(col("rank") - col("prev_rank"))).as("d"))
+          .head().getDouble(0) <= eps
+      }
+      releaseCheckpoint(ranks)
+      ranks = next
+      it += 1
+    }
+    ed.unpersist()
+    nodesDf.unpersist()
+    danglingDf.unpersist()
+    ranks.select(col("node"), col("rank"))
+      .orderBy(desc("rank"), col("node"))
+  }
+
   /** Unpersist the cached RDD behind an eager `localCheckpoint`ed
     * frame (Dataset.unpersist only reaches CacheManager entries, not
     * checkpoint blocks). Only safe once nothing will read the frame

@@ -227,6 +227,111 @@ object EventWindows {
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
   }
 
+  /** Two-file stream directory for [[sessionizeNative]]: the events
+    * table rewritten as file 1, plus a single far-future sentinel row
+    * (user −1) as file 2 with a later mtime. With
+    * `maxFilesPerTrigger = 1` the sentinel arrives in its own batch
+    * and advances the watermark past every real session's close, so
+    * append mode flushes them all — the bounded-input analog of a
+    * production stream where later traffic closes earlier sessions.
+    * Built once per (JVM, sf dir, gap), the fixture-cache precedent. */
+  private val sessionStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sessionStreamDir(
+      spark: SparkSession, dir: String, gapMinutes: Int): String =
+    sessionStreamDirs.computeIfAbsent(s"$dir#$gapMinutes", _ => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val base = graft.TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_sessstream_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(s"$dir#$gapMinutes".hashCode))
+      val target = Paths.get(base)
+      Files.createDirectories(target)
+      val ev = graft.sources.Tables(spark, dir, "events")
+      // fixed, strictly-increasing PAST mtimes — the proven
+      // EventWindowsMultiBatchSpec device; FileStreamSource ingests in
+      // mtime order and future-dated files are not reliably listed
+      def writeOne(df: DataFrame, name: String, seq: Int): Unit = {
+        val stage = s"$base/_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = {
+          val l = Files.list(Paths.get(stage))
+          try l.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst().get()
+          finally l.close()
+        }
+        val dest = target.resolve(name)
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + seq * 60000L))
+        if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+          System.err.println(s"[sessfix] $name rows=" +
+            spark.read.parquet(dest.toString).count() + " schema=" +
+            spark.read.parquet(dest.toString).schema.simpleString)
+      }
+      writeOne(ev, "a_events.parquet", 0)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val flushUs = maxUs + (gapMinutes + 120L) * 60L * 1000000L
+      // TWO sentinel batches: emission in batch N uses the watermark
+      // committed after batch N−1, so the first sentinel's watermark
+      // (past every real close) takes effect in the second sentinel's
+      // batch — without relying on a trailing no-data micro-batch
+      // racing processAllAvailable
+      writeOne(ev.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", timestamp_micros(lit(flushUs))),
+        "b_flush.parquet", 1)
+      writeOne(ev.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", timestamp_micros(lit(flushUs + 7200L * 1000000L))),
+        "c_flush2.parquet", 2)
+      base
+    })
+
+  /** Streaming sessionization on Spark's NATIVE `session_window`
+    * aggregation — the declarative twin of [[sessionize]]'s
+    * `flatMapGroupsWithState` form, completing the sessionization
+    * family (batch window-form q105, batch native q108, streaming
+    * custom q21, streaming native this): no custom state function,
+    * Spark's UpdatingSessions/MergingSessions operators keep ONE open
+    * session per key and merge on arrival; the watermark both bounds
+    * state and drives emission (append mode — the only mode streaming
+    * session aggregation supports), so a session emits exactly once,
+    * after the watermark passes its close. The inclusive-merge
+    * boundary matches the split-strictly-past-the-gap rule, so the
+    * family answers to one oracle (TimeSeries.sessionizeNative
+    * documents the edge).
+    *
+    * The bounded verification input is delivered via
+    * [[sessionStreamDir]]'s sentinel-flush device; the sentinel user's
+    * own (never-flushed) session is filtered out below. */
+  def sessionizeNative(
+      spark: SparkSession,
+      dir: String,
+      gapMinutes: Int): DataFrame = {
+    val sdir = sessionStreamDir(spark, dir, gapMinutes)
+    // the sentinel filter must NOT be part of the streaming frame: a
+    // predicate on a grouping column pushes through the aggregate and
+    // the watermark into the SCAN, which would strip the sentinel rows
+    // before they ever advance the watermark (observed: the last
+    // gap+delay of real sessions then never flush) — so it runs on the
+    // collected batch result instead
+    runToMemory(spark, "append", statePartitions = 16) { s =>
+      eventsStream(s, sdir, glob = "*.parquet", maxFilesPerTrigger = 1)
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$gapMinutes minutes"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"))
+    }.where(col("user_id") >= 0L)
+  }
+
   /** Streaming model scoring (SURVEY §7.5: streaming J1 against a
     * broadcast model): the embeddings table driven as a file stream,
     * every arriving vector labeled with its nearest centroid via the

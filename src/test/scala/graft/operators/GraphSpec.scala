@@ -227,6 +227,104 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------- personalized PageRank
+
+  /** In-memory PPR replica: reset mass on the seed distribution,
+    * dangling mass riding the same distribution, same 12-dp/9-dp
+    * rounding devices. */
+  private def brutePpr(
+      edges: Seq[(Long, Long)], seedSet: Set[Long], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val e = edges.distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val k = nodes.count(seedSet)
+    val rv = nodes.map(v =>
+      v -> (if (seedSet(v)) 1.0 / k else 0.0)).toMap
+    var r = rv
+    (1 to iters).foreach { _ =>
+      val dmt = nodes.filterNot(out.contains)
+        .map(v => BigDecimal(r(v))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val sums = e
+        .map { case (u, v) =>
+          v -> BigDecimal(r(u) / out(u).toDouble)
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map { v =>
+        val s = sums.getOrElse(v, BigDecimal(0)).toDouble
+        v -> BigDecimal((1.0 - d) * rv(v) + d * (s + dmt * rv(v)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank matches the replica and conserves mass") {
+    import spark.implicits._
+    val got = Graph.personalizedPageRank(
+        directed.toDF("src", "dst").repartition(3), "src", "dst",
+        Seq(1L).toDF("node"), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === brutePpr(directed, Set(1L), 6, 0.85))
+    // sink mass recycles to the seed: total mass stays ~1
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+    // the seed outranks everything it feeds only indirectly
+    assert(got(1L) > got(2L))
+  }
+
+  test("personalizedPageRank parity on the 300-node random digraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val g = (0L until 300L).flatMap { s =>
+      if (s % 17 == 0) Seq.empty
+      else (0 until (1 + rnd.nextInt(4))).map(_ => s -> rnd.nextInt(300).toLong)
+    }.distinct
+    val seeds = (0L until 300L by 10).toSet
+    val got = Graph.personalizedPageRank(
+        g.toDF("src", "dst").repartition(5), "src", "dst",
+        seeds.toSeq.toDF("node"), iters = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === brutePpr(g, seeds, 7, 0.85))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("personalizedPageRank rejects seed sets disjoint from the graph") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(directed.toDF("src", "dst"),
+        "src", "dst", Seq(99L).toDF("node"), iters = 3)
+    }
+    assert(ex.getMessage.contains("seed"), ex.getMessage)
+  }
+
+  test("personalized loop performs zero driver-side collects") {
+    import spark.implicits._
+    val recorded = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { recorded.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Graph.personalizedPageRank(directed.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), iters = 4)
+      spark.range(1).collect() // FIFO sentinel
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!recorded.asScala.contains("collect") &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(recorded.asScala.count(_ == "collect") === 1,
+        s"loop collected: ${recorded.asScala.toList}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("epsilon stop: iters cap binds when epsilon is never reached") {
     import spark.implicits._
     for (dist <- Seq(false, true)) {
