@@ -291,6 +291,22 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  test("PPR with all nodes as seeds equals uniform dangling PageRank") {
+    import spark.implicits._
+    // r(v) = 1/N uniformly and dm·r = dm/N, so the updates coincide —
+    // up to one ulp from (1−d)·(1/N) vs (1−d)/N association, which
+    // the 9-dp round absorbs (deterministically on this fixed
+    // fixture). A consistency pin tying the two operators together.
+    val allNodes = directed.flatMap(p => Seq(p._1, p._2)).distinct
+    val ppr = Graph.personalizedPageRank(directed.toDF("src", "dst"),
+        "src", "dst", allNodes.toDF("node"), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val uniform = Graph.pageRank(directed.toDF("src", "dst"), "src", "dst",
+        iters = 6, danglingCorrection = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(ppr === uniform)
+  }
+
   test("personalizedPageRank rejects seed sets disjoint from the graph") {
     import spark.implicits._
     val ex = intercept[IllegalArgumentException] {
