@@ -346,17 +346,23 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = (if (assumeDistinct) e0 else e0.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(broadcast(od), "src")
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val srcNodes = e.select(col("src").as("node")).distinct()
     val seedsDf = seeds.select(col(seeds.columns.head).as("node")).distinct()
     // node list with the per-node reset weight attached ONCE: 1/|S| on
     // seed nodes (seeds outside the graph are ignored), 0 elsewhere
     val nodesRaw = srcNodes.union(e.select(col("dst").as("node"))).distinct()
-    val k = nodesRaw.join(seedsDf, Seq("node"), "left_semi").count()
-    require(k > 0, "no seed node appears in the graph")
+    // seed precondition checked BEFORE any further cache is registered
+    // — a repeated misconfigured call must not accumulate persists
+    val k =
+      try {
+        val k0 = nodesRaw.join(seedsDf, Seq("node"), "left_semi").count()
+        require(k0 > 0, "no seed node appears in the graph")
+        k0
+      } catch { case t: Throwable => e.unpersist(blocking = false); throw t }
+    val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(broadcast(od), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val rv0 = 1.0 / k
     val nodesDf = nodesRaw
       .join(seedsDf.withColumn("_g_seed", lit(true)), Seq("node"), "left")

@@ -167,6 +167,15 @@ class GraphSpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
+      // drain the bus first: a collect() from a PREVIOUS test can be
+      // delivered after this listener registers — flush with a
+      // sentinel, then clear, so the measured region starts clean
+      spark.range(1).collect()
+      val drain = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!recorded.asScala.contains("collect") &&
+          System.nanoTime() < drain) Thread.sleep(50)
+      Thread.sleep(200)
+      recorded.clear()
       // distributed path: build+loop runs inside; the returned frame is
       // NOT collected here, so any "collect" would come from the loop
       Graph.pageRank(directed.toDF("src", "dst"), "src", "dst", iters = 4,
@@ -330,6 +339,14 @@ class GraphSpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
+      // drain stray events from previous tests (see the distributed
+      // listener test), then measure
+      spark.range(1).collect()
+      val drain = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!recorded.asScala.contains("collect") &&
+          System.nanoTime() < drain) Thread.sleep(50)
+      Thread.sleep(200)
+      recorded.clear()
       Graph.personalizedPageRank(directed.toDF("src", "dst"), "src", "dst",
         Seq(1L).toDF("node"), iters = 4)
       spark.range(1).collect() // FIFO sentinel
