@@ -1788,6 +1788,21 @@ object SparkEntry {
         .where(col("node") <= 50).distinct()
       operators.Graph.personalizedPageRank(edges, "src", "dst", seeds,
         iters = 10, assumeDistinct = true).limit(20)
+    }),
+
+    // HITS hubs/authorities (Jacobi variant) on the directed purchase
+    // graph: customers are pure sources (hubs), suppliers pure sinks
+    // (authorities); 12-dp DECIMAL gathers + exact L1 totals + 9-dp
+    // scores make 5 rounds bit-replayable; top-20 authorities.
+    "q114_hits" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      operators.Graph.hits(edges, "src", "dst", iters = 5,
+        assumeDistinct = true).limit(20)
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -3118,6 +3133,55 @@ object SparkEntry {
         |)
         |SELECT node, rank FROM pr WHERE it = 10
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    // Jacobi HITS: both scores from the previous round, 12-dp DECIMAL
+    // gathers, L1 totals computed over the edge list (≡ the engine's
+    // sum-of-per-node-sums — DECIMAL addition is associative), 9-dp
+    // normalized scores
+    "q114_hits" ->
+      """WITH RECURSIVE
+        |base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+        |  l.l_suppkey + 10000000 AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM base),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n
+        |  FROM nodes),
+        |hs AS (
+        |  SELECT 0 AS it, node,
+        |    CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS auth,
+        |    CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS hub
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT old.it + 1, old.node,
+        |    round(CAST(coalesce(ar.s, 0) AS DOUBLE) / ta.v, 9),
+        |    round(CAST(coalesce(hr.s, 0) AS DOUBLE) / th.v, 9)
+        |  FROM hs old
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(w.hub, 12) AS DECIMAL(38,12))) AS s
+        |    FROM hs w JOIN e ON e.src = w.node GROUP BY e.dst
+        |  ) ar ON ar.node = old.node
+        |  LEFT JOIN (
+        |    SELECT e.src AS node,
+        |      sum(CAST(round(w.auth, 12) AS DECIMAL(38,12))) AS s
+        |    FROM hs w JOIN e ON e.dst = w.node GROUP BY e.src
+        |  ) hr ON hr.node = old.node
+        |  CROSS JOIN (
+        |    SELECT CAST(sum(CAST(round(w.hub, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS v
+        |    FROM hs w JOIN e ON e.src = w.node
+        |  ) ta
+        |  CROSS JOIN (
+        |    SELECT CAST(sum(CAST(round(w.auth, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS v
+        |    FROM hs w JOIN e ON e.dst = w.node
+        |  ) th
+        |  WHERE old.it + 1 <= 5
+        |)
+        |SELECT node, auth, hub FROM hs WHERE it = 5
+        |ORDER BY auth DESC, node LIMIT 20""".stripMargin,
 
     // string grams stand in for the engine's xxhash64 grams (counts
     // equal absent 64-bit collisions — the q17 argument); per-doc

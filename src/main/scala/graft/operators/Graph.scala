@@ -424,6 +424,90 @@ object Graph {
       .orderBy(desc("rank"), col("node"))
   }
 
+  /** HITS (hubs & authorities), Kleinberg 1999 — the Jacobi
+    * (simultaneous-update) variant: each round computes BOTH scores
+    * from the previous round's values,
+    *
+    *   auth'(v) = N₁( Σ_{u→v} hub(u) ),   hub'(v) = N₁( Σ_{v→w} auth(w) )
+    *
+    * with N₁ = L1 normalization (divide by the global sum, so each
+    * score vector stays a distribution). The Gauss–Seidel textbook
+    * ordering (hub from the NEW auth) converges to the same principal
+    * singular vectors; the Jacobi form is chosen because every round
+    * is a pure function of the previous one — replayable row-wise in
+    * a recursive-CTE oracle (the q114 device), and the natural shape
+    * for a distributed engine anyway (no intra-round dependency).
+    *
+    * Scale posture: the distributed rank-table body again — the edge
+    * list is cached TWICE, co-partitioned on src (hub gather) and on
+    * dst (auth gather), so per round only the two N-row score tables
+    * move; contributions are 12-dp DECIMAL sums (exact, associative),
+    * the L1 totals are one-row aggregates cross-joined in (a plan,
+    * not a collect), scores are 9-dp rounded and the frame is
+    * per-round `localCheckpoint`ed. No driver collect anywhere.
+    *
+    * Returns (node, auth, hub), authorities first. */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (assumeDistinct) e0 else e0.distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edSrc = e.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edDst = e.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesDf = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodesDf.count().toDouble
+    edSrc.count(); edDst.count()
+    e.unpersist()
+
+    val dec0 = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12))
+    var scores = nodesDf
+      .select(col("node"), lit(1.0 / n).as("auth"), lit(1.0 / n).as("hub"))
+      .localCheckpoint(eager = true)
+    (1 to iters).foreach { _ =>
+      // auth gather: hubs flow src -> dst (12-dp DECIMAL partial/final)
+      val authRaw = edSrc
+        .join(scores.select(col("node"), col("hub")).hint("shuffle_hash"),
+          col("src") === col("node"))
+        .select(col("dst").as("node"),
+          round(col("hub"), 12).cast(DecimalType(38, 12)).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("sa"))
+      // hub gather: auths flow dst -> src
+      val hubRaw = edDst
+        .join(scores.select(col("node"), col("auth")).hint("shuffle_hash"),
+          col("dst") === col("node"))
+        .select(col("src").as("node"),
+          round(col("auth"), 12).cast(DecimalType(38, 12)).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("sh"))
+      // L1 totals as one-row aggregates, cross-joined (no collect)
+      val tots = authRaw.agg(coalesce(sum(col("sa")), dec0).as("ta"))
+        .crossJoin(hubRaw.agg(coalesce(sum(col("sh")), dec0).as("th")))
+      val next = nodesDf
+        .join(authRaw.hint("shuffle_hash"), Seq("node"), "left")
+        .join(hubRaw.hint("shuffle_hash"), Seq("node"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("node"),
+          round(coalesce(col("sa").cast("double"), lit(0.0)) /
+            col("ta").cast("double"), 9).as("auth"),
+          round(coalesce(col("sh").cast("double"), lit(0.0)) /
+            col("th").cast("double"), 9).as("hub"))
+        .localCheckpoint(eager = true)
+      releaseCheckpoint(scores)
+      scores = next
+    }
+    edSrc.unpersist(); edDst.unpersist(); nodesDf.unpersist()
+    scores.orderBy(desc("auth"), col("node"))
+  }
+
   /** Unpersist the cached RDD behind an eager `localCheckpoint`ed
     * frame (Dataset.unpersist only reaches CacheManager entries, not
     * checkpoint blocks). Only safe once nothing will read the frame

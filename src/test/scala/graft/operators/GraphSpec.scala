@@ -358,6 +358,64 @@ class GraphSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  // --------------------------------------------------------------- HITS
+
+  /** In-memory Jacobi-HITS replica: 12-dp DECIMAL gathers, exact L1
+    * totals, 9-dp rounded normalized scores. */
+  private def bruteHits(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, (Double, Double)] = {
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    var auth = nodes.map(_ -> 1.0 / n).toMap
+    var hub = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val ar = nodes.map(v =>
+        v -> e.filter(_._2 == v).map(p => r12(hub(p._1))).sum).toMap
+      val hr = nodes.map(v =>
+        v -> e.filter(_._1 == v).map(p => r12(auth(p._2))).sum).toMap
+      val ta = ar.values.sum.toDouble
+      val th = hr.values.sum.toDouble
+      auth = nodes.map(v => v -> r9(ar(v).toDouble / ta)).toMap
+      hub = nodes.map(v => v -> r9(hr(v).toDouble / th)).toMap
+    }
+    nodes.map(v => v -> (auth(v), hub(v))).toMap
+  }
+
+  test("hits matches the replica; sink hubs and source auths are zero") {
+    import spark.implicits._
+    val got = Graph.hits(directed.toDF("src", "dst").repartition(3),
+        "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got === bruteHits(directed, 5))
+    // L1-normalized: each score vector sums to ~1
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-6)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-6)
+    // node 3 is a pure sink (best authority, zero hub); 1 a pure source
+    assert(got(3L)._2 === 0.0)
+    assert(got(1L)._1 === 0.0)
+    assert(got(3L)._1 > got(2L)._1)
+  }
+
+  test("hits parity on the 300-node random digraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val g = (0L until 300L).flatMap { s =>
+      if (s % 17 == 0) Seq.empty
+      else (0 until (1 + rnd.nextInt(4))).map(_ => s -> rnd.nextInt(300).toLong)
+    }.distinct
+    val got = Graph.hits(g.toDF("src", "dst").repartition(5),
+        "src", "dst", iters = 6)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got === bruteHits(g, 6))
+  }
+
   test("epsilon stop: iters cap binds when epsilon is never reached") {
     import spark.implicits._
     for (dist <- Seq(false, true)) {
