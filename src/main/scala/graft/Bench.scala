@@ -28,12 +28,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a failed query would otherwise register as a near-zero time and
+    // silently deflate a pass total — count failures and refuse to
+    // publish a clean record when any timed pass had one
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
     def force(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
+          failures.incrementAndGet()
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -51,6 +56,7 @@ object Bench {
     val load0 = loadAvg()
     // untimed warmup pass at the target SF (codegen/JIT/ICU/reader init)
     names.foreach(force(_, sfDir))
+    failures.set(0) // only TIMED-pass failures taint the record
     // per-query time = min of 2 measured runs: single runs showed up to
     // ~15× run-to-run variance from GC/OS noise on sub-second queries;
     // min-of-N is the steady-state cost the plan actually has
@@ -68,8 +74,12 @@ object Bench {
     // run a THIRD pass and take min-of-3, and if even the two closest
     // totals still disagree >20%, say so in the record itself via
     // "contended": true rather than publishing a silently-bad number.
+    // NaN-proof: a degenerate pass total (zero, negative, NaN — e.g.
+    // from systemic failures) must read as disagreement, not slip
+    // through the `NaN > x == false` trapdoor
     def disagree(a: Double, b: Double): Boolean =
-      math.abs(a - b) / math.min(a, b) > 0.20
+      !(a > 0.0) || !(b > 0.0) ||
+        !(math.abs(a - b) / math.min(a, b) <= 0.20)
     val retried = disagree(pass1.values.sum, pass2.values.sum)
     val pass3: Option[Map[String, Double]] =
       if (retried) {
@@ -82,7 +92,10 @@ object Bench {
     val passes = Seq(pass1, pass2) ++ pass3
     val passTotals = passes.map(_.values.sum)
     val bestTwo = passTotals.sorted.take(2)
-    val contended = disagree(bestTwo(0), bestTwo(1))
+    val nFailed = failures.get()
+    // any timed-pass failure taints the record: per-query mins are no
+    // longer comparable, so say so instead of publishing silently
+    val contended = disagree(bestTwo(0), bestTwo(1)) || nFailed > 0
     val results = names.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -91,6 +104,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""pass_totals":$pts,"retried":$retried,"contended":$contended,""" +
+        s""""failures":$nFailed,""" +
         f""""load_avg":[$load0%.1f,$load1%.1f],""" +
         s""""sf":"$sfDir"}"""
     println(line)
@@ -103,5 +117,8 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: $e") }
     spark.stop()
+    // re-print AFTER spark.stop(): if the driver keeps only a tail of
+    // stdout, the record is the last line and survives the truncation
+    println(line)
   }
 }

@@ -239,6 +239,112 @@ object Curation {
       .toDF("bucket", idCol, "n_tokens", "pack_id")
   }
 
+  /** GLOBAL deterministic sequence packing — [[packSequences]]'s scale
+    * twin. The per-hash-bucket greedy packer's bin quality depends on
+    * how ids happened to land in buckets; this form instead packs
+    * first-fit-decreasing WITHIN HARMONIC LENGTH CLASSES, which is
+    * both globally deterministic (assignment depends only on the
+    * (length desc, id) total order, never on partitioning) and
+    * closed-form replayable in SQL:
+    *
+    *  - class of a doc = `capacity div max(n_tokens, 1)` — the largest
+    *    k such that k docs of this length always fit one pack (class 0
+    *    = docs longer than capacity, each its own overflow pack, the
+    *    [[packSequences]] semantics). Within one class, true FFD
+    *    degenerates to "k docs per pack in sorted order": every
+    *    earlier pack already holds k docs each at least as long, so
+    *    first-fit never revisits it.
+    *  - rank docs within their class by (n_tokens desc, id), pack =
+    *    class base + rank div k.
+    *
+    * Quality bound (CurationSpec): every pack except the last of each
+    * class is > half full (k docs each > capacity/(k+1) → fill >
+    * k/(k+1) · capacity ≥ capacity/2), so total packs ≤
+    * 2·⌈Σn/capacity⌉ + #classes — the classic harmonic guarantee,
+    * independent of partitioning, vs. the per-bucket greedy whose
+    * worst case degrades with bucket skew.
+    *
+    * Shape at scale: the doc texts never move — only (id, n, class)
+    * triples (24 bytes) go through ONE range exchange on
+    * (class, n desc, id). The within-class global rank is computed
+    * WITHOUT a window over the class (a single-partition scale killer
+    * when one class dominates): the range-partitioned triples are
+    * localCheckpoint'ed (pinning the partition layout), per-partition
+    * per-class counts (≤ partitions × classes rows, with #classes ≤
+    * capacity — driver-bounded) come back once, prefix sums give each
+    * (partition, class) its rank offset, and a second map-only pass
+    * assigns packs. Returns `(cls, idCol, n_tokens, pack_id)`. */
+  def packSequencesGlobal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sized = df.select(
+      col(idCol).cast("long").as("id"),
+      size(tokens(col(textCol))).cast("long").as("n"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, n, capacity / math.max(n, 1L)) }
+      .toDF("id", "n", "cls")
+    // ONE range exchange on the packing order; localCheckpoint pins
+    // the materialized partition layout so the count pass and the
+    // assign pass see identical (partition -> rows) mappings
+    val parted = sized
+      .repartitionByRange(col("cls"), col("n").desc, col("id"))
+      .sortWithinPartitions(col("cls"), col("n").desc, col("id"))
+      .localCheckpoint(eager = true)
+    // bounded driver table: (partition, class, count)
+    val counts: Array[(Int, Long, Long)] = parted
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid", "cls").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val totals = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val classes = totals.keys.toArray.sorted
+    // global pack-id base per class (classes laid out ascending)
+    val classBase: Map[Long, Long] = {
+      var acc = 0L
+      classes.map { c =>
+        val k = math.max(c, 1L)
+        val b = c -> acc
+        acc += (totals(c) + k - 1) / k
+        b
+      }.toMap
+    }
+    // within-class rank offset of each partition: docs of the same
+    // class in lower partitions (range partitions are ordered, so
+    // lower partition = earlier in the (cls, n desc, id) total order)
+    val offsets: Map[(Int, Long), Long] = counts.groupBy(_._2)
+      .flatMap { case (c, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, cnt) =>
+          val o = (pid, c) -> acc
+          acc += cnt
+          o
+        }
+      }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val bBase = spark.sparkContext.broadcast(classBase)
+    parted.as[(Long, Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur = Long.MinValue
+      var idx = 0L
+      var started = false
+      it.map { case (id, n, cls) =>
+        if (!started || cls != cur) {
+          cur = cls
+          idx = bOff.value((pid, cls))
+          started = true
+        }
+        val k = math.max(cls, 1L)
+        val pack = bBase.value(cls) + idx / k
+        idx += 1
+        (cls, id, n, pack)
+      }
+    }.toDF("cls", idCol, "n_tokens", "pack_id")
+  }
+
   /** Train/test decontamination: train documents sharing at least
     * `minShared` distinct word `n`-grams with ANY held-out (test)
     * document — the overlap check run before training on a scraped

@@ -2,14 +2,195 @@ package graft.operators
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
+/** Prebuilt graph scaffolding: the distinct (optionally weighted) edge
+  * list with per-source out-weight totals attached, the node list with
+  * a source flag, and the three counts every algorithm needs. Build it
+  * once ([[Graph.buildGraphTable]]), or persist it as a parquet
+  * artifact ([[Graph.writeGraphTable]] / [[Graph.readGraphTable]] —
+  * the persisted PQ/IVF-index precedent applied to graphs) and run
+  * every iterative algorithm against the same artifact: at 100 TB the
+  * distinct+degree+node-list scaffolding is a full pass over the edge
+  * pipeline, and a deployment builds it once and iterates many, not
+  * once per query.
+  *
+  * Schema contract (what [[Graph.readGraphTable]] expects):
+  *  - `edges`:  (src, dst, w DOUBLE, wout DOUBLE) — distinct pairs;
+  *    `w` is 1.0 for unweighted graphs, `wout` = Σw over the source's
+  *    out-edges (12-dp DECIMAL sum cast to double — exact and
+  *    order-independent; for unweighted graphs exactly the out-degree).
+  *  - `nodes`:  (node, is_src BOOLEAN) — src ∪ dst nodes; a node with
+  *    `is_src = false` has in-edges but no out-edges (a sink).
+  *
+  * `cached` records whether the frames are persisted (built in-memory)
+  * or plain parquet reads (loaded artifact); algorithms that re-scan
+  * the edge list per round persist their own view when it is false.
+  */
+final case class GraphTable(
+    edges: DataFrame,
+    nodes: DataFrame,
+    numNodes: Long,
+    numSrcNodes: Long,
+    numEdges: Long,
+    cached: Boolean) {
+
+  /** Sinks: nodes with in-edges but no out-edges. */
+  def numDangling: Long = numNodes - numSrcNodes
+
+  def pageRank(
+      iters: Int,
+      damping: Double = 0.85,
+      danglingCorrection: Boolean = false,
+      distributedRanks: Option[Boolean] = None,
+      epsilon: Option[Double] = None): DataFrame =
+    Graph.pageRankImpl(this, iters, damping, danglingCorrection,
+      distributedRanks, epsilon)
+
+  def personalizedPageRank(
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      epsilon: Option[Double] = None): DataFrame =
+    Graph.personalizedPageRankImpl(this, seeds, iters, damping, epsilon)
+
+  def hits(iters: Int, epsilon: Option[Double] = None): DataFrame =
+    Graph.hitsImpl(this, iters, epsilon)
+
+  def labelPropagation(iters: Int): DataFrame =
+    Graph.labelPropagationImpl(this, iters)
+
+  /** Release the build-time caches (no-op on a loaded artifact). */
+  def unpersist(): Unit =
+    if (cached) {
+      edges.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      ()
+    }
+}
+
 /** Iterative graph analytics over plain edge DataFrames (the
   * connected-components sibling lives in [[Components]]). */
 object Graph {
+
+  private val Dec12 = DecimalType(38, 12)
+
+  /** Node count above which [[pageRank]] auto-selects the distributed
+    * rank-table loop body (the rank table must fit the driver/broadcast
+    * envelope on the driver-resident body — ~16 bytes a row broadcast
+    * plus map overhead driver-side, so 2M nodes ≈ tens of MB broadcast
+    * and a few hundred MB of driver heap: comfortably inside a default
+    * driver, and well past the point where the distributed body's
+    * per-round overhead has amortized). Override with
+    * `spark.graft.graph.maxDriverRankNodes`. */
+  def maxDriverRankNodes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.maxDriverRankNodes")
+      .map(_.toLong).getOrElse(2000000L)
+
+  // ------------------------------------------------------ graph table
+
+  /** Build the reusable scaffolding from a raw edge list: distinct the
+    * pairs (skippable via `assumeDistinct`; with a `weightCol`,
+    * parallel edges instead COMBINE by weight sum — 12-dp DECIMAL, so
+    * the combined weight is partition-order-independent), attach the
+    * per-source out-weight total via a broadcast of the one-row-per-
+    * source totals (the E-row side never shuffles), and flag source
+    * nodes. Frames come back persisted (MEMORY_AND_DISK) and counted;
+    * release with [[GraphTable.unpersist]] when done. */
+  def buildGraphTable(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: Option[String] = None,
+      assumeDistinct: Boolean = false): GraphTable = {
+    val e0 = weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      case Some(w) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(w).cast("double").as("w"))
+    }
+    val eD = (if (assumeDistinct) e0
+      else weightCol match {
+        case None => e0.distinct()
+        case Some(_) =>
+          e0.groupBy("src", "dst")
+            .agg(sum(round(col("w"), 12).cast(Dec12)).cast("double")
+              .as("w"))
+      }).persist(StorageLevel.MEMORY_AND_DISK)
+    val withW =
+      if (weightCol.isDefined) eD else eD.withColumn("w", lit(1.0))
+    // out-weight totals are one row per source node — broadcast them
+    // back onto the edge list so the E-row side never shuffles
+    val od = weightCol match {
+      case None =>
+        eD.groupBy("src")
+          .agg(count(lit(1)).cast("double").as("wout"))
+      case Some(_) =>
+        eD.groupBy("src")
+          .agg(sum(round(col("w"), 12).cast(Dec12)).cast("double")
+            .as("wout"))
+    }
+    val edgesFull = withW.join(broadcast(od), "src")
+      .select(col("src"), col("dst"), col("w"), col("wout"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcN = eD.select(col("src").as("node")).distinct()
+    val nodesDf = srcN.select(col("node"), lit(true).as("is_src"))
+      .unionByName(
+        eD.select(col("dst").as("node")).distinct()
+          .join(srcN, Seq("node"), "left_anti")
+          .select(col("node"), lit(false).as("is_src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val numEdges = edgesFull.count() // also materializes the eD cache
+    val cnts = nodesDf
+      .agg(count(lit(1)).as("n"),
+        count(when(col("is_src"), lit(1))).as("ns"))
+      .head()
+    eD.unpersist(blocking = false)
+    GraphTable(edgesFull, nodesDf, cnts.getLong(0), cnts.getLong(1),
+      numEdges, cached = true)
+  }
+
+  /** Write the scaffolding as a parquet artifact at `path`
+    * (`edges/`, `nodes/`, one-row `meta/`) — build once, iterate many:
+    * the artifact read replays NO distinct/degree/node shuffles, only
+    * column-pruned scans. */
+  def writeGraphTable(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      path: String,
+      weightCol: Option[String] = None,
+      assumeDistinct: Boolean = false): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val gt = buildGraphTable(edges, srcCol, dstCol, weightCol,
+      assumeDistinct)
+    try {
+      gt.edges.write.mode("overwrite").parquet(s"$path/edges")
+      gt.nodes.write.mode("overwrite").parquet(s"$path/nodes")
+      Seq((gt.numNodes, gt.numSrcNodes, gt.numEdges))
+        .toDF("n_nodes", "n_src", "n_edges")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally gt.unpersist()
+  }
+
+  /** Re-open a persisted graph artifact. Counts come from `meta/`
+    * (one row), so preconditions (sink check, body auto-selection)
+    * cost nothing at query time. */
+  def readGraphTable(spark: SparkSession, path: String): GraphTable = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select("n_nodes", "n_src", "n_edges").head()
+    GraphTable(
+      spark.read.parquet(s"$path/edges"),
+      spark.read.parquet(s"$path/nodes"),
+      m.getLong(0), m.getLong(1), m.getLong(2), cached = false)
+  }
+
+  // -------------------------------------------------------- PageRank
 
   /** Damped PageRank over a directed edge list.
     *
@@ -20,26 +201,37 @@ object Graph {
     * participate as first-class nodes); with it false (the cheap path
     * for graphs that cannot have sinks, e.g. an undirected graph fed
     * as both edge directions), the operator REQUIRES the no-sink
-    * precondition up front (`assumeNoSinks` skips the check for
-    * callers whose construction proves it) and fails loudly instead of
-    * silently producing wrong ranks on the first directed feed.
+    * precondition and fails loudly instead of silently producing wrong
+    * ranks on the first directed feed. (The check reads
+    * [[GraphTable.numDangling]], already counted at build time, so it
+    * is free; `assumeNoSinks` is retained for callers whose
+    * construction proves it but no longer buys anything.)
     *
-    * Scale posture — TWO loop bodies behind one set of semantics:
+    * With `weightCol` set, a contribution is rank·w/Σw over the
+    * source's out-edges instead of rank/outdeg (uniform weights
+    * reproduce the unweighted ranks bit-for-bit: w = 1 makes
+    * rank·1.0/Σ1.0 the same IEEE expression as rank/outdeg).
     *
-    *  - `distributedRanks = false` (default, the small-N fast path):
-    *    each round broadcasts the N-row rank table into the edge
-    *    partitions (the edges never move) and partial/final-aggregates
-    *    the contributions — ONE job with one E-row shuffle per round.
-    *    The rank table lives on the driver between rounds:
-    *    broadcasting it already collects all N ranks driver-side every
-    *    round, so driver residency adds no new constraint — it just
-    *    deletes the per-round rank-update join and eager
-    *    localCheckpoint jobs the DataFrame-resident loop pays
-    *    (measured ~2× the round cost at sf0.1). Cap: N must fit the
-    *    driver/executor broadcast envelope.
+    * Scale posture — TWO loop bodies behind one set of semantics,
+    * auto-selected by node count unless `distributedRanks` pins one
+    * (`Some(false)`/`Some(true)`); the threshold is
+    * `spark.graft.graph.maxDriverRankNodes` (default 2M — see
+    * [[maxDriverRankNodes]]):
     *
-    *  - `distributedRanks = true` (the 100-TB path): the rank table
-    *    NEVER visits the driver. Edges (+ out-degrees) are
+    *  - driver-resident (the small-N fast path): each round broadcasts
+    *    the N-row rank table into the edge partitions (the edges never
+    *    move) and partial/final-aggregates the contributions — ONE job
+    *    with one E-row shuffle per round. The rank table lives on the
+    *    driver between rounds: broadcasting it already collects all N
+    *    ranks driver-side every round, so driver residency adds no new
+    *    constraint — it just deletes the per-round rank-update join
+    *    and eager localCheckpoint jobs the DataFrame-resident loop
+    *    pays (measured ~2× the round cost at sf0.1). Cap: N must fit
+    *    the driver/executor broadcast envelope — which is exactly what
+    *    the auto-switch threshold encodes.
+    *
+    *  - distributed rank table (the 100-TB path): the rank table NEVER
+    *    visits the driver. Edges (out-weights pre-attached) are
     *    hash-repartitioned on `src` and persisted once; ranks live as
     *    a DataFrame hash-partitioned on `node`, `localCheckpoint`ed
     *    per round (the [[Components]] lineage-truncation device, with
@@ -90,81 +282,79 @@ object Graph {
       assumeDistinct: Boolean = false,
       danglingCorrection: Boolean = false,
       assumeNoSinks: Boolean = false,
-      distributedRanks: Boolean = false,
-      epsilon: Option[Double] = None): DataFrame = {
+      distributedRanks: Option[Boolean] = None,
+      epsilon: Option[Double] = None,
+      weightCol: Option[String] = None): DataFrame = {
+    val gt = buildGraphTable(edges, srcCol, dstCol, weightCol,
+      assumeDistinct)
+    try pageRankImpl(gt, iters, damping, danglingCorrection,
+      distributedRanks, epsilon)
+    finally gt.unpersist()
+  }
+
+  private[operators] def pageRankImpl(
+      gt: GraphTable,
+      iters: Int,
+      damping: Double,
+      danglingCorrection: Boolean,
+      distributedRanks: Option[Boolean],
+      epsilon: Option[Double]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
     epsilon.foreach(e => require(e >= 0.0, s"epsilon must be >= 0, got $e"))
-    val spark = edges.sparkSession
-    // persist the edge list FIRST: out-degrees, the degree join and the
-    // node list all consume it, and without the cache the caller's
-    // (possibly expensive) edge pipeline re-runs three times.
-    // `assumeDistinct` skips the dedup shuffle when the caller already
-    // guarantees distinct pairs.
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = (if (assumeDistinct) e0 else e0.distinct())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // out-degrees are one row per node — broadcast them back onto the
-    // edge list so the E-row side never shuffles for the degree join
-    val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edRaw = e.join(broadcast(od), "src")
-    val srcNodes = e.select(col("src").as("node")).distinct()
-    val nodesRaw =
-      if (danglingCorrection)
-        srcNodes.union(e.select(col("dst").as("node"))).distinct()
-      else srcNodes
-    if (!danglingCorrection && !assumeNoSinks) {
-      // cheap path's precondition, checked LOUDLY: a sink here would
-      // silently leak rank mass every round. `assumeNoSinks` skips
-      // the one-off distinct(dst) anti-join for callers whose
-      // construction proves it (an undirected double-edged feed has
-      // src set = dst set) — the assumeDistinct contract for sinks.
-      val leaked = e.select(col("dst").as("node")).distinct()
-        .join(srcNodes, Seq("node"), "left_anti").count()
-      require(leaked == 0L,
-        s"$leaked node(s) have in-edges but no out-edges; their " +
-          "rank mass would silently leak. Pass danglingCorrection" +
-          " = true (uniform redistribution) or feed sinks their " +
-          "back-edges.")
-    }
-    if (distributedRanks)
-      pageRankDistributed(edRaw, srcNodes, nodesRaw, e, iters, damping,
-        danglingCorrection, epsilon)
+    require(gt.numNodes > 0, "graph has no nodes")
+    if (!danglingCorrection)
+      // cheap path's precondition: a sink here would silently leak
+      // rank mass every round. Free — the counts were taken at build.
+      require(gt.numDangling == 0,
+        s"${gt.numDangling} node(s) have in-edges but no out-edges; " +
+          "their rank mass would silently leak. Pass " +
+          "danglingCorrection = true (uniform redistribution) or feed " +
+          "sinks their back-edges.")
+    // ranks are defined over src nodes on the cheap path (sink-free ⇒
+    // src set ⊇ dst set), over src ∪ dst with the correction
+    val n = if (danglingCorrection) gt.numNodes else gt.numSrcNodes
+    val distributed =
+      distributedRanks.getOrElse(
+        n > maxDriverRankNodes(gt.edges.sparkSession))
+    if (distributed)
+      pageRankDistributed(gt, n, iters, damping, danglingCorrection,
+        epsilon)
     else
-      pageRankDriver(edRaw, srcNodes, nodesRaw, e, iters, damping,
-        danglingCorrection, epsilon)
+      pageRankDriver(gt, iters, damping, danglingCorrection, epsilon)
   }
 
   /** Driver-resident loop (see scale posture above): ranks live in a
     * Map between rounds; one broadcast-join job per round. */
   private def pageRankDriver(
-      edRaw: DataFrame,
-      srcNodes: DataFrame,
-      nodesRaw: DataFrame,
-      e: DataFrame,
+      gt: GraphTable,
       iters: Int,
       damping: Double,
       danglingCorrection: Boolean,
       epsilon: Option[Double]): DataFrame = {
-    val spark = edRaw.sparkSession
-    val ed = edRaw.persist(StorageLevel.MEMORY_AND_DISK)
-    val nodesDf = nodesRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = gt.edges.sparkSession
+    // this body re-scans the edge list every round — persist it when
+    // the table was loaded from parquet (build-time tables already are)
+    val ed =
+      if (gt.cached) gt.edges
+      else gt.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesDf =
+      if (danglingCorrection) gt.nodes.select("node")
+      else gt.nodes.where(col("is_src")).select("node")
     // the node list and per-round ranks are driver-resident (see the
     // scale-posture note above — the broadcast already pays this)
     val nodeArr: Array[Any] = nodesDf.collect().map(_.get(0))
     val n = nodeArr.length.toDouble
     val danglingSet: Set[Any] =
       if (danglingCorrection)
-        nodesDf.join(srcNodes, Seq("node"), "left_anti")
+        gt.nodes.where(!col("is_src")).select("node")
           .collect().map(_.get(0)).toSet
       else Set.empty
-    ed.count() // materialize from the e cache, then drop it
-    e.unpersist()
-    nodesDf.unpersist()
 
     val rankSchema = StructType(Seq(
-      StructField("node", nodesDf.schema.fields(0).dataType, nullable = false),
+      StructField("node", gt.nodes.schema.fields(0).dataType,
+        nullable = false),
       StructField("rank", DoubleType, nullable = false)))
     def ranksDf(rank: Map[Any, Double]): DataFrame =
       spark.createDataFrame(
@@ -190,8 +380,8 @@ object Graph {
       val sums: Map[Any, java.math.BigDecimal] =
         ed.join(broadcast(ranksDf(rank)), col("src") === col("node"))
           .select(col("dst").as("cn"),
-            round(col("rank") / col("outdeg").cast("double"), 12)
-              .cast(DecimalType(38, 12)).as("c"))
+            round(col("rank") * col("w") / col("wout"), 12)
+              .cast(Dec12).as("c"))
           .groupBy("cn").agg(sum(col("c")).as("s"))
           .collect().map(r => r.get(0) -> r.getDecimal(1)).toMap
       val next = nodeArr.map { v =>
@@ -204,7 +394,7 @@ object Graph {
       rank = next
       it += 1
     }
-    ed.unpersist()
+    if (!gt.cached) ed.unpersist(blocking = false)
     ranksDf(rank).orderBy(desc("rank"), col("node"))
   }
 
@@ -212,32 +402,33 @@ object Graph {
     * a hash-partitioned, per-round-checkpointed DataFrame; the driver
     * never holds a rank. */
   private def pageRankDistributed(
-      edRaw: DataFrame,
-      srcNodes: DataFrame,
-      nodesRaw: DataFrame,
-      e: DataFrame,
+      gt: GraphTable,
+      nL: Long,
       iters: Int,
       damping: Double,
       danglingCorrection: Boolean,
       epsilon: Option[Double]): DataFrame = {
     // edges co-partitioned on src ONCE; every round's rank join reuses
     // the cached partitioning, so only the N-row rank side ever moves
-    val ed = edRaw.repartition(col("src"))
+    val ed = gt.edges.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node list co-partitioned on node: the per-round left join that
     // re-attaches zero-contribution nodes needs no exchange on it
-    val nodesDf = nodesRaw.repartition(col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodesDf.count().toDouble
+    val nodesDf =
+      (if (danglingCorrection) gt.nodes.select("node")
+       else gt.nodes.where(col("is_src")).select("node"))
+        .repartition(col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nL.toDouble
     val danglingDf =
       if (danglingCorrection) {
-        val d = nodesDf.join(srcNodes, Seq("node"), "left_anti")
+        val d = gt.nodes.where(!col("is_src")).select("node")
           .persist(StorageLevel.MEMORY_AND_DISK)
         d.count()
         d
       } else null
-    ed.count() // materialize from the e cache, then drop it
-    e.unpersist()
+    ed.count()
+    nodesDf.count()
 
     val baseTerm = (1.0 - damping) / n
     var ranks = nodesDf.withColumn("rank", lit(1.0 / n))
@@ -251,8 +442,8 @@ object Graph {
       val contrib = ed
         .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"),
-          round(col("rank") / col("outdeg").cast("double"), 12)
-            .cast(DecimalType(38, 12)).as("c"))
+          round(col("rank") * col("w") / col("wout"), 12)
+            .cast(Dec12).as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       val joined = nodesDf
         .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
@@ -264,8 +455,8 @@ object Graph {
         if (danglingCorrection) {
           val dm = ranks.join(danglingDf, Seq("node"), "left_semi")
             .agg(coalesce(
-              sum(round(col("rank"), 12).cast(DecimalType(38, 12))),
-              lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)))
+              sum(round(col("rank"), 12).cast(Dec12)),
+              lit(java.math.BigDecimal.ZERO).cast(Dec12))
               .as("dms"))
             .select((col("dms").cast("double") / lit(n)).as("dmn"))
           joined.crossJoin(broadcast(dm))
@@ -300,6 +491,8 @@ object Graph {
       .orderBy(desc("rank"), col("node"))
   }
 
+  // --------------------------------------- personalized PageRank
+
   /** Personalized (topic-sensitive) PageRank: the reset mass lands on
     * the `seeds` distribution instead of uniformly — rank measures
     * proximity to the seed set (the standard seed-biased relevance
@@ -308,12 +501,13 @@ object Graph {
     * pipeline). Semantics per Haveliwala 2002 / the standard PPR
     * formulation:
     *
-    *   rank'(v) = (1−d)·r(v) + d·(Σ_{u→v} rank(u)/outdeg(u) + dm·r(v))
+    *   rank'(v) = (1−d)·r(v) + d·(Σ_{u→v} rank(u)·w/Σw + dm·r(v))
     *
     * with r(v) = 1/|S| for v ∈ S else 0, and dm = the total dangling
     * (sink) mass — redistributed over the SEED distribution, so rank
     * mass is conserved and teleports never leak to unrelated nodes.
-    * Initial ranks are r itself.
+    * Initial ranks are r itself. Contributions are out-weight-
+    * normalized (rank/outdeg on unweighted graphs).
     *
     * Scale posture: built directly on the DISTRIBUTED rank-table body
     * — ranks live as a hash-partitioned, per-round-checkpointed
@@ -338,45 +532,46 @@ object Graph {
       iters: Int,
       damping: Double = 0.85,
       assumeDistinct: Boolean = false,
-      epsilon: Option[Double] = None): DataFrame = {
+      epsilon: Option[Double] = None,
+      weightCol: Option[String] = None): DataFrame = {
+    val gt = buildGraphTable(edges, srcCol, dstCol, weightCol,
+      assumeDistinct)
+    try personalizedPageRankImpl(gt, seeds, iters, damping, epsilon)
+    finally gt.unpersist()
+  }
+
+  private[operators] def personalizedPageRankImpl(
+      gt: GraphTable,
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double,
+      epsilon: Option[Double]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
     epsilon.foreach(e => require(e >= 0.0, s"epsilon must be >= 0, got $e"))
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = (if (assumeDistinct) e0 else e0.distinct())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val srcNodes = e.select(col("src").as("node")).distinct()
+    require(gt.numNodes > 0, "graph has no nodes")
     val seedsDf = seeds.select(col(seeds.columns.head).as("node")).distinct()
-    // node list with the per-node reset weight attached ONCE: 1/|S| on
-    // seed nodes (seeds outside the graph are ignored), 0 elsewhere
-    val nodesRaw = srcNodes.union(e.select(col("dst").as("node"))).distinct()
-    // seed precondition checked BEFORE any further cache is registered
-    // — a repeated misconfigured call must not accumulate persists
-    val k =
-      try {
-        val k0 = nodesRaw.join(seedsDf, Seq("node"), "left_semi").count()
-        require(k0 > 0, "no seed node appears in the graph")
-        k0
-      } catch { case t: Throwable => e.unpersist(blocking = false); throw t }
-    val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(broadcast(od), "src")
-      .repartition(col("src"))
+    // seed precondition checked BEFORE this call registers any cache —
+    // a repeated misconfigured call must not accumulate persists
+    val k = gt.nodes.join(seedsDf, Seq("node"), "left_semi").count()
+    require(k > 0, "no seed node appears in the graph")
+    val ed = gt.edges.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rv0 = 1.0 / k
-    val nodesDf = nodesRaw
+    // node list with the per-node reset weight attached ONCE: 1/|S| on
+    // seed nodes (seeds outside the graph are ignored), 0 elsewhere
+    val nodesDf = gt.nodes.select("node")
       .join(seedsDf.withColumn("_g_seed", lit(true)), Seq("node"), "left")
       .select(col("node"),
         when(col("_g_seed").isNotNull, lit(rv0)).otherwise(lit(0.0)).as("rv"))
       .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     nodesDf.count()
-    val danglingDf = nodesDf.select("node")
-      .join(srcNodes, Seq("node"), "left_anti")
+    val danglingDf = gt.nodes.where(!col("is_src")).select("node")
       .persist(StorageLevel.MEMORY_AND_DISK)
     danglingDf.count()
     ed.count()
-    e.unpersist()
 
     var ranks = nodesDf.select(col("node"), col("rv").as("rank"))
       .localCheckpoint(eager = true)
@@ -386,8 +581,8 @@ object Graph {
       val contrib = ed
         .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"),
-          round(col("rank") / col("outdeg").cast("double"), 12)
-            .cast(DecimalType(38, 12)).as("c"))
+          round(col("rank") * col("w") / col("wout"), 12)
+            .cast(Dec12).as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       val joined = nodesDf
         .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
@@ -397,8 +592,8 @@ object Graph {
       // distribution), as a one-row aggregate cross-joined in
       val dm = ranks.join(danglingDf, Seq("node"), "left_semi")
         .agg(coalesce(
-          sum(round(col("rank"), 12).cast(DecimalType(38, 12))),
-          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)))
+          sum(round(col("rank"), 12).cast(Dec12)),
+          lit(java.math.BigDecimal.ZERO).cast(Dec12))
           .as("dms"))
         .select(col("dms").cast("double").as("dmt"))
       val next = joined.crossJoin(broadcast(dm))
@@ -424,6 +619,8 @@ object Graph {
       .orderBy(desc("rank"), col("node"))
   }
 
+  // ------------------------------------------------------------- HITS
+
   /** HITS (hubs & authorities), Kleinberg 1999 — the Jacobi
     * (simultaneous-update) variant: each round computes BOTH scores
     * from the previous round's values,
@@ -437,6 +634,12 @@ object Graph {
     * is a pure function of the previous one — replayable row-wise in
     * a recursive-CTE oracle (the q114 device), and the natural shape
     * for a distributed engine anyway (no intra-round dependency).
+    *
+    * Convergence: `iters` is the hard round cap; with
+    * `epsilon = Some(eps)` the loop additionally stops at the first
+    * round where max over nodes of max(|Δauth|, |Δhub|) <= eps
+    * (inclusive — the same A7 fixpoint discipline as [[pageRank]]'s
+    * epsilon; the check is a one-row aggregate per round).
     *
     * Scale posture: the distributed rank-table body again — the edge
     * list is cached TWICE, co-partitioned on src (hub gather) and on
@@ -452,41 +655,51 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      epsilon: Option[Double] = None): DataFrame = {
+    val gt = buildGraphTable(edges, srcCol, dstCol, None, assumeDistinct)
+    try hitsImpl(gt, iters, epsilon)
+    finally gt.unpersist()
+  }
+
+  private[operators] def hitsImpl(
+      gt: GraphTable,
+      iters: Int,
+      epsilon: Option[Double]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = (if (assumeDistinct) e0 else e0.distinct())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    epsilon.foreach(e => require(e >= 0.0, s"epsilon must be >= 0, got $e"))
+    require(gt.numNodes > 0, "graph has no nodes")
+    val e = gt.edges.select("src", "dst")
     val edSrc = e.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edDst = e.repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodesDf = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodesDf = gt.nodes.select("node")
       .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodesDf.count().toDouble
-    edSrc.count(); edDst.count()
-    e.unpersist()
+    val n = gt.numNodes.toDouble
+    edSrc.count(); edDst.count(); nodesDf.count()
 
-    val dec0 = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12))
+    val dec0 = lit(java.math.BigDecimal.ZERO).cast(Dec12)
     var scores = nodesDf
       .select(col("node"), lit(1.0 / n).as("auth"), lit(1.0 / n).as("hub"))
       .localCheckpoint(eager = true)
-    (1 to iters).foreach { _ =>
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       // auth gather: hubs flow src -> dst (12-dp DECIMAL partial/final)
       val authRaw = edSrc
         .join(scores.select(col("node"), col("hub")).hint("shuffle_hash"),
           col("src") === col("node"))
         .select(col("dst").as("node"),
-          round(col("hub"), 12).cast(DecimalType(38, 12)).as("c"))
+          round(col("hub"), 12).cast(Dec12).as("c"))
         .groupBy("node").agg(sum(col("c")).as("sa"))
       // hub gather: auths flow dst -> src
       val hubRaw = edDst
         .join(scores.select(col("node"), col("auth")).hint("shuffle_hash"),
           col("dst") === col("node"))
         .select(col("src").as("node"),
-          round(col("auth"), 12).cast(DecimalType(38, 12)).as("c"))
+          round(col("auth"), 12).cast(Dec12).as("c"))
         .groupBy("node").agg(sum(col("c")).as("sh"))
       // L1 totals as one-row aggregates, cross-joined (no collect)
       val tots = authRaw.agg(coalesce(sum(col("sa")), dec0).as("ta"))
@@ -501,21 +714,111 @@ object Graph {
           round(coalesce(col("sh").cast("double"), lit(0.0)) /
             col("th").cast("double"), 9).as("hub"))
         .localCheckpoint(eager = true)
+      converged = epsilon.exists { eps =>
+        // one-row bounded scalar action per round, epsilon path only
+        val prev = scores.select(col("node"), col("auth").as("pa"),
+          col("hub").as("ph"))
+        next.join(prev, Seq("node"))
+          .agg(max(greatest(abs(col("auth") - col("pa")),
+            abs(col("hub") - col("ph")))).as("d"))
+          .head().getDouble(0) <= eps
+      }
       releaseCheckpoint(scores)
       scores = next
+      it += 1
     }
     edSrc.unpersist(); edDst.unpersist(); nodesDf.unpersist()
     scores.orderBy(desc("auth"), col("node"))
   }
 
+  // ---------------------------------------------- label propagation
+
+  /** Synchronous (Jacobi) label-propagation community detection,
+    * Raghavan et al. 2007 adapted to a deterministic simultaneous
+    * update: every node starts with its own id as label; each round,
+    * a node with at least one in-edge takes the most frequent label
+    * among its in-neighbors' PREVIOUS-round labels, ties broken to
+    * the smallest label; nodes with no in-edges keep their label. For
+    * community detection feed the graph undirected (both directions —
+    * in-neighbors = neighbors), the [[Components]] convention. Runs a
+    * fixed `iters` rounds: the Jacobi form plus deterministic
+    * tie-break makes every round a pure function of the previous one
+    * — row-replayable in a recursive-CTE oracle (the q117 device) —
+    * at the cost of possible 2-cycles on bipartite structures, which
+    * a fixed round count simply samples.
+    *
+    * Scale posture: the distributed rank-table body — the edge list
+    * cached co-partitioned on `src` once; per round one shuffled-hash
+    * join labels→edges, an exact (dst, label) count aggregate, a
+    * per-node argmax via one `min(struct(-cnt, label))` aggregate
+    * (no window, no collect — all counts are exact longs, so no
+    * rounding device is even needed), and a co-partitioned left join
+    * back onto the label table, `localCheckpoint`ed per round.
+    *
+    * Returns (node, label) ordered by node. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val gt = buildGraphTable(edges, srcCol, dstCol, None, assumeDistinct)
+    try labelPropagationImpl(gt, iters)
+    finally gt.unpersist()
+  }
+
+  private[operators] def labelPropagationImpl(
+      gt: GraphTable,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(gt.numNodes > 0, "graph has no nodes")
+    val ed = gt.edges.select("src", "dst").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ed.count()
+
+    var labels = gt.nodes.select(col("node"), col("node").as("lbl"))
+      .repartition(col("node"))
+      .localCheckpoint(eager = true)
+    (1 to iters).foreach { _ =>
+      // exact in-neighbor label counts (one E-row shuffle), then the
+      // deterministic argmax: min over (−count, label) structs picks
+      // the most frequent label, smallest on ties
+      val cnts = ed
+        .join(labels.hint("shuffle_hash"), col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val pick = cnts
+        .groupBy(col("dst").as("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+          .as("m"))
+        .select(col("node"), col("m").getField("l").as("new_lbl"))
+      val next = labels
+        .join(pick.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(eager = true)
+      releaseCheckpoint(labels)
+      labels = next
+    }
+    ed.unpersist()
+    labels.select(col("node"), col("lbl")).orderBy(col("node"))
+  }
+
   /** Unpersist the cached RDD behind an eager `localCheckpoint`ed
     * frame (Dataset.unpersist only reaches CacheManager entries, not
     * checkpoint blocks). Only safe once nothing will read the frame
-    * again — a local checkpoint has no lineage to recompute from. */
+    * again — a local checkpoint has no lineage to recompute from.
+    * A non-LogicalRDD plan here means a refactor inserted an operator
+    * between the checkpoint and this call — warn loudly so the
+    * resulting per-round block leak is visible instead of silent. */
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other =>
+        System.err.println(
+          "[graft] releaseCheckpoint: expected a bare LogicalRDD but " +
+            s"got ${other.getClass.getSimpleName} — checkpoint blocks " +
+            "will accumulate until the ContextCleaner reclaims them")
     }
 }

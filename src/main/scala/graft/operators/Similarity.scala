@@ -279,6 +279,18 @@ object Similarity {
       .orderBy("cluster")
       .collect()
       .map(_.getSeq[Float](1).toArray)
+    // fail loudly on a corrupt/empty index or a dimension-mismatched
+    // batch BEFORE any file lands — a parquet append is not atomic, so
+    // a half-written batch would be visible to concurrent probes.
+    // (Concurrency contract: appends must not run concurrently with
+    // each other; a probe racing an append may see a partial batch —
+    // serialize through the pipeline scheduler, the runbook note.)
+    require(cents.nonEmpty, s"$path/centroids is empty — not an IVF index")
+    val dim = cents(0).length
+    val mismatched = batch
+      .select(size(col(embCol)).as("d")).where(col("d") =!= dim).limit(1)
+    require(mismatched.isEmpty,
+      s"batch embedding dimension != index dimension $dim")
     batch
       .select(col(idCol), col(embCol))
       .withColumn("cell", assignCol(col(embCol), cents))

@@ -101,6 +101,70 @@ class CurationSpec extends SparkSpec {
       (1L, 1L, 12L, 0L), (1L, 3L, 5L, 1L), (1L, 5L, 5L, 1L)))
   }
 
+  test("packSequencesGlobal: harmonic classes, determinism, bounds") {
+    import spark.implicits._
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // capacity 10 → classes: 12-token doc → cls 0 (own pack);
+    // 6,7 → cls 1; 4,5 → cls 2; 3 → cls 3; 1,2 → cls ≥ 5
+    val docs = Seq(
+      (1L, words(12)), (2L, words(7)), (3L, words(6)), (4L, words(5)),
+      (5L, words(5)), (6L, words(4)), (7L, words(3)), (8L, words(3)),
+      (9L, words(3)), (10L, words(3)), (11L, words(1)))
+    val got = Curation.packSequencesGlobal(
+        docs.toDF("doc_id", "text"), "doc_id", "text", capacity = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2)
+    // expected: cls 0 (base 0): doc 1 pack 0; cls 1 (base 1): docs 2,7
+    //   by (n desc, id): 2→pack 1, 3→pack 2; cls 2 (base 3): 4,5,6 →
+    //   packs 3,3,4; cls 3 (base 5): 7,8,9,10 → packs 5,5,5,6;
+    //   cls 10 (base 7): 11 → pack 7
+    assert(got === Array(
+      (0L, 1L, 12L, 0L), (1L, 2L, 7L, 1L), (1L, 3L, 6L, 2L),
+      (2L, 4L, 5L, 3L), (2L, 5L, 5L, 3L), (2L, 6L, 4L, 4L),
+      (3L, 7L, 3L, 5L), (3L, 8L, 3L, 5L), (3L, 9L, 3L, 5L),
+      (3L, 10L, 3L, 6L), (10L, 11L, 1L, 7L)))
+    // invariant to input partitioning (the per-bucket greedy is not)
+    val re = Curation.packSequencesGlobal(
+        docs.toDF("doc_id", "text").repartition(7), "doc_id", "text",
+        capacity = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2)
+    assert(re === got)
+  }
+
+  test("packSequencesGlobal: capacity bound and pack-count guarantee") {
+    import spark.implicits._
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 500L).map(i => (i, words(1 + rnd.nextInt(120))))
+    val cap = 128L
+    val got = Curation.packSequencesGlobal(
+        docs.toDF("doc_id", "text"), "doc_id", "text", capacity = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 500)
+    assert(got.map(_._2).distinct.length === 500)
+    // every pack fits (no doc here exceeds the capacity)
+    val fills = got.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+    assert(fills.values.forall(_ <= cap))
+    // pack ids are dense 0..P-1
+    val packs = fills.keys.toSeq.sorted
+    assert(packs === (0L until packs.length.toLong))
+    // harmonic guarantee: packs ≤ 2·⌈Σn/cap⌉ + #classes
+    val total = got.map(_._3).sum
+    val nClasses = got.map(_._1).distinct.length
+    assert(packs.length <= 2 * ((total + cap - 1) / cap) + nClasses,
+      s"${packs.length} packs for total $total, $nClasses classes")
+    // uniform-length corpus packs optimally: k docs per pack exactly
+    val uni = (0L until 100L).map(i => (i, words(30)))
+    val uniPacks = Curation.packSequencesGlobal(
+        uni.toDF("doc_id", "text"), "doc_id", "text", capacity = 128L)
+      .collect().map(_.getLong(3)).distinct.length
+    assert(uniPacks === 25) // 4 per pack (cls = 128/30 = 4), 100/4
+  }
+
   test("normalizeText: NFC composition, control strip, collapse, trim") {
     import spark.implicits._
     val df = Seq(

@@ -117,7 +117,7 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     val dist = Graph.pageRank(
         edges.toDF("src", "dst").repartition(3), "src", "dst", iters = 8,
-        distributedRanks = true)
+        distributedRanks = Some(true))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(dist === driver)
   }
@@ -128,7 +128,7 @@ class GraphSpec extends SparkSpec {
         iters = 6, danglingCorrection = true)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     val dist = Graph.pageRank(directed.toDF("src", "dst"), "src", "dst",
-        iters = 6, danglingCorrection = true, distributedRanks = true)
+        iters = 6, danglingCorrection = true, distributedRanks = Some(true))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(dist === driver)
   }
@@ -147,7 +147,7 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     val dist = Graph.pageRank(g.toDF("src", "dst").repartition(5),
         "src", "dst", iters = 7, danglingCorrection = true,
-        distributedRanks = true)
+        distributedRanks = Some(true))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(dist === driver)
     assert(math.abs(dist.map(_._2).sum - 1.0) < 1e-6)
@@ -179,7 +179,7 @@ class GraphSpec extends SparkSpec {
       // distributed path: build+loop runs inside; the returned frame is
       // NOT collected here, so any "collect" would come from the loop
       Graph.pageRank(directed.toDF("src", "dst"), "src", "dst", iters = 4,
-        danglingCorrection = true, distributedRanks = true)
+        danglingCorrection = true, distributedRanks = Some(true))
       // sentinel: the listener bus is FIFO, so once the sentinel's
       // "collect" arrives every loop event has been delivered
       spark.range(1).collect()
@@ -229,7 +229,7 @@ class GraphSpec extends SparkSpec {
       "degenerate fixture: ranks already stationary")
     for (dist <- Seq(false, true)) {
       val got = Graph.pageRank(directed.toDF("src", "dst"), "src", "dst",
-          iters = 10, danglingCorrection = true, distributedRanks = dist,
+          iters = 10, danglingCorrection = true, distributedRanks = Some(dist),
           epsilon = Some(eps))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got === rounds(stopRound), s"distributedRanks=$dist")
@@ -420,11 +420,315 @@ class GraphSpec extends SparkSpec {
     import spark.implicits._
     for (dist <- Seq(false, true)) {
       val capped = Graph.pageRank(directed.toDF("src", "dst"), "src", "dst",
-          iters = 3, danglingCorrection = true, distributedRanks = dist,
+          iters = 3, danglingCorrection = true, distributedRanks = Some(dist),
           epsilon = Some(1e-18))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(capped === brute(directed, 3, 0.85, dangling = true),
         s"distributedRanks=$dist")
+    }
+  }
+
+  // --------------------------------------------- HITS epsilon stop
+
+  /** Round-by-round HITS replica for epsilon expectations. */
+  private def bruteHitsRounds(
+      edges: Seq[(Long, Long)],
+      iters: Int): Seq[Map[Long, (Double, Double)]] = {
+    val nodes = edges.distinct.flatMap(p => Seq(p._1, p._2)).distinct
+    val n = nodes.size.toDouble
+    val r0 = nodes.map(v => v -> (1.0 / n, 1.0 / n)).toMap
+    (0 to iters).map(r => if (r == 0) r0 else bruteHits(edges, r))
+  }
+
+  test("hits epsilon: inclusive <= boundary stops at the first round") {
+    import spark.implicits._
+    val rounds = bruteHitsRounds(directed, 8)
+    val deltas = (1 to 8).map { r =>
+      rounds(r).map { case (k, (a, h)) =>
+        math.max(math.abs(a - rounds(r - 1)(k)._1),
+          math.abs(h - rounds(r - 1)(k)._2))
+      }.max
+    }
+    // eps exactly equal to a mid-round delta: the inclusive boundary
+    // must stop at the FIRST round whose delta <= eps
+    val eps = deltas(1) // delta of round 2
+    val stopRound = (1 to 8).find(r => deltas(r - 1) <= eps).get
+    assert(rounds(stopRound) !== rounds(stopRound + 1),
+      "degenerate fixture: scores already stationary")
+    val got = Graph.hits(directed.toDF("src", "dst"), "src", "dst",
+        iters = 8, epsilon = Some(eps))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got === rounds(stopRound))
+  }
+
+  test("hits epsilon: iters cap binds when epsilon is never reached") {
+    import spark.implicits._
+    val got = Graph.hits(directed.toDF("src", "dst"), "src", "dst",
+        iters = 3, epsilon = Some(1e-18))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got === bruteHits(directed, 3))
+  }
+
+  test("hits rejects an empty graph loudly") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hits(Seq.empty[(Long, Long)].toDF("src", "dst"),
+        "src", "dst", iters = 2)
+    }
+    assert(ex.getMessage.contains("no nodes"), ex.getMessage)
+  }
+
+  // ------------------------------------------- weighted PageRank
+
+  /** Weighted replica: contribution r(s)·w/Σw, out-weight totals as
+    * 12-dp DECIMAL sums, same dangling + 9-dp update devices. */
+  private def bruteWeighted(
+      edges: Seq[(Long, Long, Double)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val wout = edges.groupBy(_._1).view
+      .mapValues(es => es.map(e => r12(e._3)).sum.toDouble).toMap
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val dmn = nodes.filterNot(wout.contains)
+        .map(v => r12(r(v))).sum.toDouble / n
+      val sums = edges
+        .map { case (s, t, w) => t -> r12(r(s) * w / wout(s)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map { v =>
+        val s = sums.getOrElse(v, BigDecimal(0)).toDouble
+        v -> BigDecimal((1.0 - d) / n + d * (s + dmn))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    r
+  }
+
+  private val weighted = Seq(
+    (1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 3L, 2.0), (2L, 1L, 0.5))
+
+  test("weighted pageRank matches the replica and conserves mass") {
+    import spark.implicits._
+    for (dist <- Seq(false, true)) {
+      val got = Graph.pageRank(
+          weighted.toDF("src", "dst", "w").repartition(3), "src", "dst",
+          iters = 6, danglingCorrection = true,
+          distributedRanks = Some(dist), weightCol = Some("w"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === bruteWeighted(weighted, 6, 0.85),
+        s"distributedRanks=$dist")
+      assert(math.abs(got.values.sum - 1.0) < 1e-6)
+      // node 2 receives the heavy 3.0 edge: it outranks node 1
+      assert(got(2L) > got(1L))
+    }
+  }
+
+  test("uniform weights reproduce the unweighted ranks bit-for-bit") {
+    import spark.implicits._
+    val uni = directed.map { case (s, t) => (s, t, 1.0) }
+    val plain = Graph.pageRank(directed.toDF("src", "dst"), "src", "dst",
+        iters = 6, danglingCorrection = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val w = Graph.pageRank(uni.toDF("src", "dst", "w"), "src", "dst",
+        iters = 6, danglingCorrection = true, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(w === plain)
+  }
+
+  test("parallel edges combine weights; uniform-weight PPR = plain PPR") {
+    import spark.implicits._
+    // two parallel (1,2) half-weight edges combine to the single
+    // full-weight edge — same fixpoint
+    val split = Seq((1L, 2L, 1.5), (1L, 2L, 1.5), (1L, 3L, 1.0),
+      (2L, 3L, 2.0), (2L, 1L, 0.5))
+    val got = Graph.pageRank(split.toDF("src", "dst", "w"), "src", "dst",
+        iters = 5, danglingCorrection = true, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val whole = Graph.pageRank(weighted.toDF("src", "dst", "w"),
+        "src", "dst", iters = 5, danglingCorrection = true,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got === whole)
+    // weighted PPR with uniform weights = unweighted PPR
+    val uni = directed.map { case (s, t) => (s, t, 1.0) }
+    val pprU = Graph.personalizedPageRank(uni.toDF("src", "dst", "w"),
+        "src", "dst", Seq(1L).toDF("node"), iters = 5,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val pprP = Graph.personalizedPageRank(directed.toDF("src", "dst"),
+        "src", "dst", Seq(1L).toDF("node"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(pprU === pprP)
+  }
+
+  // --------------------------------------------- label propagation
+
+  /** In-memory Jacobi LPA replica: most frequent in-neighbor label,
+    * min label on ties, keep-own when no in-edges. */
+  private def bruteLpa(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var lbl = nodes.map(v => v -> v).toMap
+    (1 to iters).foreach { _ =>
+      val inc = e.groupBy(_._2)
+      lbl = nodes.map { v =>
+        inc.get(v) match {
+          case None => v -> lbl(v)
+          case Some(es) =>
+            val cnt = es.map(p => lbl(p._1))
+              .groupBy(identity).view.mapValues(_.size).toMap
+            v -> cnt.toSeq.map { case (l, c) => (-c, l) }.min._2
+        }
+      }.toMap
+    }
+    lbl
+  }
+
+  test("labelPropagation matches the replica on two joined triangles") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the single bridge 3-4
+    val tri = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 6L,
+      6L -> 4L, 3L -> 4L)
+    val both = tri ++ tri.map(_.swap)
+    val got = Graph.labelPropagation(both.toDF("src", "dst").repartition(3),
+        "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === bruteLpa(both, 5))
+  }
+
+  test("labelPropagation parity on the 300-node random digraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val g = (0L until 300L).flatMap { s =>
+      if (s % 17 == 0) Seq.empty
+      else (0 until (1 + rnd.nextInt(4))).map(_ => s -> rnd.nextInt(300).toLong)
+    }.distinct
+    val got = Graph.labelPropagation(g.toDF("src", "dst").repartition(5),
+        "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === bruteLpa(g, 4))
+  }
+
+  // ------------------------------------------------ graph artifact
+
+  test("persisted graph artifact: load-then-iterate == inline-build") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gt_spec").toString
+    try {
+      Graph.writeGraphTable(directed.toDF("src", "dst"), "src", "dst",
+        s"$dir/d")
+      val gt = Graph.readGraphTable(spark, s"$dir/d")
+      assert(gt.numNodes === 3 && gt.numSrcNodes === 2 &&
+        gt.numEdges === 3 && gt.numDangling === 1)
+      // PageRank (both bodies), PPR, HITS, LPA all answer identically
+      // from the artifact and from the inline build
+      for (dist <- Seq(false, true)) {
+        val art = gt.pageRank(iters = 5, danglingCorrection = true,
+            distributedRanks = Some(dist))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+        val inl = Graph.pageRank(directed.toDF("src", "dst"), "src",
+            "dst", iters = 5, danglingCorrection = true,
+            distributedRanks = Some(dist))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+        assert(art === inl, s"distributedRanks=$dist")
+      }
+      val pprA = gt.personalizedPageRank(Seq(1L).toDF("node"), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      val pprI = Graph.personalizedPageRank(directed.toDF("src", "dst"),
+          "src", "dst", Seq(1L).toDF("node"), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      assert(pprA === pprI)
+      val hA = gt.hits(iters = 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val hI = Graph.hits(directed.toDF("src", "dst"), "src", "dst",
+          iters = 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      assert(hA === hI)
+      val lA = gt.labelPropagation(iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      val lI = Graph.labelPropagation(directed.toDF("src", "dst"),
+          "src", "dst", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      assert(lA === lI)
+      // the artifact carries the sink count: the cheap path fails fast
+      val ex = intercept[IllegalArgumentException](gt.pageRank(iters = 2))
+      assert(ex.getMessage.contains("rank mass"), ex.getMessage)
+    } finally
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("weighted artifact roundtrips wout exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gt_specw").toString
+    try {
+      Graph.writeGraphTable(weighted.toDF("src", "dst", "w"), "src",
+        "dst", s"$dir/w", weightCol = Some("w"))
+      val gt = Graph.readGraphTable(spark, s"$dir/w")
+      val art = gt.pageRank(iters = 6, danglingCorrection = true)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(art === bruteWeighted(weighted, 6, 0.85))
+    } finally
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+  }
+
+  // ------------------------------------------------ body auto-switch
+
+  test("pageRank auto-selects the loop body by node count") {
+    import spark.implicits._
+    val recorded = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { recorded.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val confKey = "spark.graft.graph.maxDriverRankNodes"
+    try {
+      // drain stray events (see the distributed listener test)
+      spark.range(1).collect()
+      val drain = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!recorded.asScala.contains("collect") &&
+          System.nanoTime() < drain) Thread.sleep(50)
+      Thread.sleep(200)
+
+      // 3 nodes > threshold 2 → the DISTRIBUTED body (zero collects)
+      spark.conf.set(confKey, "2")
+      recorded.clear()
+      Graph.pageRank(directed.toDF("src", "dst"), "src", "dst", iters = 4,
+        danglingCorrection = true)
+      spark.range(1).collect() // FIFO sentinel
+      val d1 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!recorded.asScala.contains("collect") &&
+          System.nanoTime() < d1) Thread.sleep(50)
+      assert(recorded.asScala.count(_ == "collect") === 1,
+        s"auto(distributed) collected: ${recorded.asScala.toList}")
+
+      // 3 nodes <= threshold 1000 → the DRIVER body (collect per round)
+      spark.conf.set(confKey, "1000")
+      recorded.clear()
+      Graph.pageRank(directed.toDF("src", "dst"), "src", "dst", iters = 4,
+        danglingCorrection = true)
+      val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (recorded.asScala.count(_ == "collect") < 4 &&
+          System.nanoTime() < d2) Thread.sleep(50)
+      assert(recorded.asScala.count(_ == "collect") >= 4)
+    } finally {
+      spark.conf.unset(confKey)
+      spark.listenerManager.unregister(listener)
     }
   }
 }
