@@ -144,6 +144,23 @@ object SparkEntry {
         .agg(count(lit(1)).cast("double").as("w"))
       operators.Graph.writeGraphTable(weighted, "src", "dst",
         s"$base/directed_w", weightCol = Some("w"), assumeDistinct = true)
+      // part↔part co-purchase graph (parts sharing an order), symmetric
+      // double-edged — the non-bipartite body for the structural tier:
+      // q119 (triangles) / q120 (clustering coeff) / q121 (k-core).
+      // The per-order pair expansion is bounded by order size (≤ C(13,2)
+      // pairs a row), never quadratic in the corpus.
+      val lp = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pp = lp.select(col("ok"), col("pk").as("p1"))
+        .join(lp.select(col("ok"), col("pk").as("p2")), "ok")
+        .where(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+        .distinct()
+      val copurchase = pp
+        .union(pp.select(col("dst").as("src"), col("src").as("dst")))
+      operators.Graph.writeGraphTable(copurchase, "src", "dst",
+        s"$base/copurchase", assumeDistinct = true)
       base
     })
 
@@ -1852,7 +1869,71 @@ object SparkEntry {
     "q118_pack_global" -> ((s, dir) =>
       operators.Curation.packSequencesGlobal(
         T(s, dir, "documents"), "doc_id", "text", capacity = 256)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Per-node triangle counts on the part↔part co-purchase graph via
+    // degree orientation (oriented out-degree O(√E) bounds the wedge
+    // set at O(E^1.5) under any skew); exact longs, no rounding device.
+    // Top-20 most-embedded parts.
+    "q119_triangles" -> ((s, dir) =>
+      graphTable(s, dir, "copurchase").triangleCounts()
+        .orderBy(desc("tri"), col("node")).limit(20)),
+
+    // Local clustering coefficient cc = 2·tri/(deg·(deg−1)) for every
+    // node — one double division of exact longs on top of the q119
+    // triangle pass, bit-identical in any engine.
+    "q120_clustering_coeff" -> ((s, dir) =>
+      graphTable(s, dir, "copurchase").clusteringCoefficient()
+        .orderBy("node")),
+
+    // k-core (k=80) by synchronous Jacobi peeling: each round drops
+    // ALL nodes with degree < k simultaneously — replayable round by
+    // round in the recursive-CTE oracle; the engine's early fixpoint
+    // stop equals the oracle's cap-round state because the fixpoint is
+    // stationary. Returns the surviving nodes with their in-core
+    // degrees.
+    "q121_kcore" -> ((s, dir) =>
+      graphTable(s, dir, "copurchase").kCore(k = 80, maxRounds = 10)),
+
+    // Cross-document span-level exact dedup (RefinedWeb/C4-style
+    // "remove duplicated spans"): 8-token spans, corpus-wide first
+    // occurrence by (doc, idx) wins, docs reassembled from surviving
+    // spans; 8-byte span fingerprints through the shuffle (the q09
+    // device).
+    "q122_span_dedup" -> ((s, dir) =>
+      operators.Curation.spanDedup(
+        T(s, dir, "documents"), "doc_id", "text", spanTokens = 8)),
+
+    // Personalized PageRank over the WEIGHTED purchase graph —
+    // proximity to the seed customers with purchase frequency as edge
+    // strength: contribution rank·w/Σw (12-dp DECIMAL out-weight
+    // totals), reset + sink mass riding the seed distribution; the
+    // q113 oracle shape with the q116 weighted-edge base.
+    "q123_ppr_weighted" -> ((s, dir) => {
+      val seeds = T(s, dir, "orders")
+        .select(col("o_custkey").as("node"))
+        .where(col("node") <= 50).distinct()
+      graphTable(s, dir, "directed_w")
+        .personalizedPageRank(seeds, iters = 10).limit(20)
+    }),
+
+    // Per-user EWMA over the event stream (α=1/4 — exact in binary):
+    // ewmaₜ = round₉(α·xₜ + (1−α)·ewmaₜ₋₁) in (ts, event_id) order —
+    // the 9-dp step round makes the recurrence replayable row-by-row
+    // in the recursive-CTE oracle; one hash exchange on the user, then
+    // a compiled linear scan per key (the recurrence is inherently
+    // sequential per key — one-key-per-task is maximal parallelism).
+    "q124_ewma" -> ((s, dir) =>
+      operators.TimeSeries.ewma(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", alpha = 0.25)),
+
+    // Streaming twin of q124: the same exact-decimal recurrence kept
+    // alive in GroupState across micro-batches (EwmaStreamSpec forces
+    // a 3-batch split and proves cross-batch carry); single-batch
+    // ingestion makes it ≡ the batch operator here, so the twins
+    // answer to the same oracle (the q105/q108 device).
+    "q125_stream_ewma" -> ((s, dir) =>
+      EventWindows.streamEwma(s, dir, alpha = 0.25)))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -1974,6 +2055,53 @@ object SparkEntry {
       |  WHERE old.it + 1 <= $cap
       |)
       |$finalSelect""".stripMargin
+
+  /** Shared base for the q119/q120 structural-graph oracles: the
+    * part↔part co-purchase graph (parts sharing an order), its
+    * symmetric degree table, and per-node triangle counts by the
+    * id-ordered three-way join — deliberately NOT the engine's degree
+    * orientation, so the check is algorithm-independent (exact longs
+    * either way). */
+  private val copurchaseCte: String =
+    """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+      |  FROM lineitem),
+      |pe AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS s1,
+      |  b.l_partkey AS s2
+      |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+      |  AND a.l_partkey < b.l_partkey),
+      |sym AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM pe
+      |  UNION ALL SELECT s2, s1 FROM pe),
+      |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+      |  FROM sym GROUP BY 1),
+      |tri AS MATERIALIZED (
+      |  SELECT node, count(*) AS tri FROM (
+      |    SELECT unnest([e1.s1, e1.s2, e2.s2]) AS node
+      |    FROM pe e1 JOIN pe e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
+      |    JOIN pe e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2)
+      |  GROUP BY 1)""".stripMargin
+
+  /** q124/q125 oracle: row-by-row recursive replay of the per-key EWMA
+    * recurrence in exact DECIMAL arithmetic. */
+  private val ewmaOracle: String =
+    """WITH RECURSIVE ev AS MATERIALIZED (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value, 6) AS DECIMAL(24,6)) AS v6,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, rn, event_id,
+      |    CAST(v6 AS DECIMAL(24,9)) AS ewma
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.event_id,
+      |    CAST(round(CAST(0.25 AS DECIMAL(3,2)) * e.v6
+      |      + CAST(0.75 AS DECIMAL(3,2)) * s.ewma, 9)
+      |      AS DECIMAL(24,9))
+      |  FROM st s JOIN ev e ON e.user_id = s.user_id
+      |    AND e.rn = s.rn + 1)
+      |SELECT user_id, event_id, CAST(ewma AS DOUBLE) AS ewma FROM st
+      |ORDER BY user_id, event_id""".stripMargin
 
   /** q21/q112 oracle: 30-min-gap sessionization without the duration
     * column (the streaming surface emits user, start, end, count). */
@@ -3364,6 +3492,144 @@ object SparkEntry {
         |  CAST(cb.base + rk // greatest(r.cls, 1) AS BIGINT) AS pack_id
         |FROM r JOIN cb ON cb.cls = r.cls
         |ORDER BY r.doc_id""".stripMargin,
+
+    // triangles are exact longs, so ANY correct count matches: the
+    // oracle uses the simple id-ordered three-way join (each triangle
+    // a<b<c counted once), independent of the engine's degree
+    // orientation — a genuinely independent check
+    "q119_triangles" ->
+      s"""$copurchaseCte
+        |SELECT d.node, d.deg, coalesce(t.tri, 0) AS tri
+        |FROM deg d LEFT JOIN tri t USING (node)
+        |ORDER BY tri DESC, node LIMIT 20""".stripMargin,
+
+    // cc = 2·tri/(deg·(deg−1)): one double division of exact longs —
+    // bit-identical across engines with no rounding device
+    "q120_clustering_coeff" ->
+      s"""$copurchaseCte
+        |SELECT d.node, d.deg, coalesce(t.tri, 0) AS tri,
+        |  CASE WHEN d.deg < 2 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE CAST(coalesce(t.tri, 0) AS DOUBLE) * 2.0
+        |    / (d.deg * (d.deg - 1)) END AS cc
+        |FROM deg d LEFT JOIN tri t USING (node)
+        |ORDER BY d.node""".stripMargin,
+
+    // k-core by synchronous peel, replayed round-by-round: round r+1
+    // keeps the edges whose BOTH endpoints have round-r degree >= k
+    // (two window counts on the symmetric edge state — degree = count
+    // as src = count as dst); the engine's early fixpoint stop equals
+    // the cap-round state because the fixpoint is stationary
+    "q121_kcore" ->
+      """WITH RECURSIVE
+        |lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |pe AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS s1,
+        |  b.l_partkey AS s2
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM pe
+        |  UNION ALL SELECT s2, s1 FROM pe),
+        |st AS (
+        |  SELECT 0 AS r, src, dst FROM sym
+        |  UNION ALL
+        |  SELECT r + 1, src, dst FROM (
+        |    SELECT r, src, dst,
+        |      count(*) OVER (PARTITION BY r, src) AS ds,
+        |      count(*) OVER (PARTITION BY r, dst) AS dd
+        |    FROM st)
+        |  WHERE r < 10 AND ds >= 80 AND dd >= 80)
+        |SELECT src AS node, count(*) AS deg FROM st WHERE r = 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // span strings stand in for the engine's xxhash64 span
+    // fingerprints (first-occurrence sets equal absent 64-bit
+    // collisions — the q09 argument); first occurrence = the
+    // (doc_id, idx)-minimal row of each span's partition
+    "q122_span_dedup" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |  ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |sp AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS span
+        |  FROM toks,
+        |    UNNEST(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT))) AS t(i)),
+        |keep AS (SELECT doc_id, idx, span,
+        |  row_number() OVER (PARTITION BY span ORDER BY doc_id, idx)
+        |    AS rn FROM sp)
+        |SELECT t.doc_id,
+        |  CAST(ceil(len(t.tk)/8.0) AS BIGINT) AS n_spans,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(span, ' ' ORDER BY idx) AS text_clean
+        |  FROM keep WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // the q113 PPR replay with the q116 weighted-edge base:
+    // contribution rank·w/wout (12-dp DECIMAL out-weight totals),
+    // reset + sink mass riding the seed distribution
+    "q123_ppr_weighted" ->
+      """WITH RECURSIVE
+        |base AS MATERIALIZED (SELECT o.o_custkey AS c,
+        |  l.l_suppkey + 10000000 AS p, CAST(count(*) AS DOUBLE) AS w
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT c AS src, p AS dst, w FROM base),
+        |od AS MATERIALIZED (SELECT src,
+        |  CAST(sum(CAST(round(w, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |    AS wout
+        |  FROM e GROUP BY 1),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |dang AS MATERIALIZED (SELECT node FROM nodes
+        |  WHERE node NOT IN (SELECT src FROM e)),
+        |ks AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS k
+        |  FROM nodes WHERE node <= 50),
+        |rv AS MATERIALIZED (SELECT node,
+        |  CASE WHEN node <= 50
+        |  THEN CAST(1.0 AS DOUBLE) / (SELECT k FROM ks)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS r FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS it, node, r AS rank FROM rv
+        |  UNION ALL
+        |  SELECT old.it + 1, old.node,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * rv.r
+        |      + CAST(0.85 AS DOUBLE)
+        |        * (CAST(coalesce(agg.s, 0) AS DOUBLE) + dm.v * rv.r),
+        |      9)
+        |  FROM pr old
+        |  JOIN rv ON rv.node = old.node
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(pw.rank * e.w / od.wout, 12)
+        |        AS DECIMAL(38,12))) AS s
+        |    FROM pr pw JOIN e ON e.src = pw.node
+        |    JOIN od ON od.src = e.src
+        |    GROUP BY e.dst
+        |  ) agg ON agg.node = old.node
+        |  CROSS JOIN (
+        |    SELECT CAST(coalesce(sum(CAST(round(d.rank, 12)
+        |        AS DECIMAL(38,12))), 0) AS DOUBLE) AS v
+        |    FROM pr d JOIN dang ON dang.node = d.node
+        |  ) dm
+        |  WHERE old.it + 1 <= 10
+        |)
+        |SELECT node, rank FROM pr WHERE it = 10
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    // row-by-row recursive replay of the per-key EWMA recurrence in
+    // EXACT DECIMAL arithmetic (inputs quantized at 6 dp, 9-dp HALF_UP
+    // state) — a decimal state that is a pure decimal function of the
+    // previous one carries no drift and none of the double-rounding
+    // boundary hazards of a float recurrence; the final CAST to DOUBLE
+    // is the same correctly-rounded conversion the engine emits.
+    // Shared by the batch operator (q124) and its streaming GroupState
+    // twin (q125) — one oracle proves the twins equal.
+    "q124_ewma" -> ewmaOracle,
+    "q125_stream_ewma" -> ewmaOracle,
 
     // string grams stand in for the engine's xxhash64 grams (counts
     // equal absent 64-bit collisions — the q17 argument); per-doc

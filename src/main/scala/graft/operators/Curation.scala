@@ -441,6 +441,64 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Cross-document span-level exact dedup (the RefinedWeb/C4-style
+    * "remove duplicated spans" curation step, on fixed-width token
+    * windows): the text is cut into consecutive `spanTokens`-token
+    * spans (last span may be shorter), every span occurrence after the
+    * corpus-wide FIRST one — ordered by (doc id, span index) — is
+    * dropped, and each document is reassembled from its surviving
+    * spans in order. A doc's own internal repeats are deduped too
+    * (the second occurrence is later in the same order).
+    *
+    * Scale posture: spans are grouped by their 8-byte xxhash64
+    * fingerprint (the q09/q39 exact-dedup device — 24-byte shuffle
+    * rows instead of span strings; exact absent 64-bit collisions),
+    * first-occurrence is a partial/final `min(struct(doc, idx))`
+    * aggregate (skew on a viral span folds map-side — never a
+    * corpus-wide window), and reassembly is a per-doc
+    * `array_sort(collect_list)` bounded by the document's own length.
+    * No driver collect, nothing holds more than one doc's spans.
+    *
+    * Returns (doc_id, n_spans, n_kept, text_clean) ordered by doc id;
+    * a fully-deduplicated document survives with n_kept = 0 and empty
+    * text. */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+      .withColumn("nsp",
+        ceil(size(col("tk")) / lit(spanTokens.toDouble)).cast("long"))
+    val sp = toks
+      .where(col("nsp") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), col("nsp") - 1),
+          i => concat_ws(" ",
+            slice(col("tk"), (i * spanTokens + 1).cast("int"),
+              lit(spanTokens))))).as(Seq("idx", "span")))
+      .withColumn("h", xxhash64(col("span")))
+    val firsts = sp.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val kept = sp.join(firsts, "h")
+      .where(struct(col("doc_id"), col("idx")) === col("f"))
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx").as("i"),
+          col("span").as("s")))),
+        x => x.getField("s")), " ").as("text_clean"))
+    toks.select(col("doc_id"), col("nsp").as("n_spans"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   def lmScore(
       docs: DataFrame,
       idCol: String,

@@ -63,6 +63,14 @@ final case class GraphTable(
   def labelPropagation(iters: Int): DataFrame =
     Graph.labelPropagationImpl(this, iters)
 
+  def triangleCounts(): DataFrame = Graph.triangleCountsImpl(this)
+
+  def clusteringCoefficient(): DataFrame =
+    Graph.clusteringCoefficientImpl(this)
+
+  def kCore(k: Int, maxRounds: Int): DataFrame =
+    Graph.kCoreImpl(this, k, maxRounds)
+
   /** Release the build-time caches (no-op on a loaded artifact). */
   def unpersist(): Unit =
     if (cached) {
@@ -802,6 +810,144 @@ object Graph {
     }
     ed.unpersist()
     labels.select(col("node"), col("lbl")).orderBy(col("node"))
+  }
+
+  // ------------------------------------------- triangles / k-core
+
+  /** Per-node triangle counts via degree orientation (the standard
+    * scale device — Schank & Wagner 2005 / Suri & Vassilvitskii 2011's
+    * MR adaptation): orient every undirected edge from its
+    * lexicographically smaller (degree, id) endpoint to the larger, so
+    * each triangle a≺b≺c appears exactly once as the wedge (a→b, a→c)
+    * closed by the oriented edge b→c. The oriented out-degree is
+    * O(√E), which bounds the wedge set by O(E^1.5) regardless of skew
+    * — a hub of degree d contributes d wedges as a spoke, never d²,
+    * because its own out-list is short. All counts are exact longs:
+    * no rounding device needed anywhere.
+    *
+    * Requires a symmetric double-edged feed (the [[Components]] /
+    * label-propagation convention) with no self-loops expected;
+    * self-loops are filtered defensively, and a directed feed fails
+    * the loud no-sink precondition instead of silently undercounting.
+    *
+    * Plan shape: degree attach is two N-row joins onto the E-row edge
+    * list (broadcast-eligible when N is small, shuffled-hash at
+    * scale); the wedge build is one self-join of the oriented list
+    * co-partitioned on the spoke `u`; closing is one join of the
+    * wedge set against the oriented list on (b, c). No window over
+    * the corpus, no driver collect.
+    *
+    * Returns (node, deg, tri) for EVERY node (tri = 0 when the node
+    * closes no triangle), ordered by node. */
+  private[operators] def triangleCountsImpl(gt: GraphTable): DataFrame = {
+    require(gt.numNodes > 0, "graph has no nodes")
+    require(gt.numDangling == 0,
+      "triangleCounts requires a symmetric double-edged feed " +
+        s"(found ${gt.numDangling} sink nodes)")
+    val e = gt.edges.where(col("src") =!= col("dst")).select("src", "dst")
+    // symmetric feed: degree = out-edge count (NOT the weight total —
+    // triangles are a structural count, so parallel-edge weights are
+    // irrelevant by construction: the edge list is already distinct)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val orient = e
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+      .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = orient.select(col("u"), col("v").as("b"), col("dv").as("db"))
+      .join(orient.select(col("u"), col("v").as("c"), col("dv").as("dc")),
+        "u")
+      .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("u"), col("b"), col("c"))
+    val tri = wedges
+      .join(orient.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    // materialize the N-row result, then release the E-row caches —
+    // the returned frame reads its own checkpoint blocks (pinned while
+    // reachable, reclaimed by the ContextCleaner), not the caches
+    val out = deg
+      .join(perNode.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .localCheckpoint(eager = true)
+    orient.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out.orderBy("node")
+  }
+
+  /** Local clustering coefficient cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    * (0 when deg < 2) on top of [[triangleCountsImpl]]. The quotient is
+    * a single double division of exact longs — bit-identical in any
+    * engine that evaluates the same expression, so no rounding device
+    * is needed. Returns (node, deg, tri, cc) ordered by node. */
+  private[operators] def clusteringCoefficientImpl(gt: GraphTable): DataFrame =
+    triangleCountsImpl(gt)
+      .withColumn("cc",
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(col("tri") * lit(2.0) /
+            (col("deg") * (col("deg") - lit(1)))))
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * (Seidman 1983), by synchronous (Jacobi) peeling: each round drops
+    * ALL nodes with current degree < k simultaneously — an edge
+    * survives iff both endpoints' round-r degrees are ≥ k. Converges
+    * to the same unique k-core as sequential peeling (degrees only
+    * shrink, the core is closed under both schedules), and the Jacobi
+    * form makes every round a pure function of the previous edge set —
+    * row-replayable in a recursive-CTE oracle (the q117 device). The
+    * loop stops at the first stationary round (edge count unchanged —
+    * the node set shrinks monotonically, so equal counts ⟺ fixpoint;
+    * a one-row bounded scalar per round, the A7 category) or at the
+    * `maxRounds` cap; because the fixpoint is stationary, the result
+    * equals the cap-round state of a full replay either way.
+    *
+    * Requires a symmetric double-edged feed. Scale posture: per round
+    * one degree aggregate co-partitioned on `src` and two semi-joins
+    * of the E-row edge list against the (shrinking) N-row keep list;
+    * the edge frame is `localCheckpoint`ed per round with the
+    * [[Components]] release bookkeeping. All counts exact longs.
+    *
+    * Returns surviving (node, deg) — degree WITHIN the core — ordered
+    * by node (empty when the k-core is empty). */
+  private[operators] def kCoreImpl(
+      gt: GraphTable, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(gt.numNodes > 0, "graph has no nodes")
+    require(gt.numDangling == 0,
+      "kCore requires a symmetric double-edged feed " +
+        s"(found ${gt.numDangling} sink nodes)")
+    var edges = gt.edges.where(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .repartition(col("src"))
+      .localCheckpoint(eager = true)
+    var m = edges.count()
+    var it = 0
+    var converged = m == 0L
+    while (it < maxRounds && !converged) {
+      val keep = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .where(col("d") >= k)
+        .select("node")
+      val next = edges
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(eager = true)
+      val m2 = next.count()
+      converged = m2 == m || m2 == 0L
+      releaseCheckpoint(edges)
+      edges = next
+      m = m2
+      it += 1
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy("node")
   }
 
   /** Unpersist the cached RDD behind an eager `localCheckpoint`ed

@@ -46,6 +46,72 @@ object TimeSeries {
     }
   }
 
+  /** Per-key exponentially-weighted moving average over the event
+    * stream — the online smoothing step behind rate/quality monitors:
+    *
+    *   ewma₀ = x₀,   ewmaₜ = round₉(α·xₜ + (1−α)·ewmaₜ₋₁)
+    *
+    * in (`tsCol`, `idCol`) order within each key (`idCol` makes the
+    * order total when timestamps tie).
+    *
+    * Determinism device: the recurrence runs in EXACT decimal
+    * arithmetic — inputs are quantized to 6 dp (lossless for any
+    * ≤6-dp source data), α is interpreted at its shortest decimal
+    * representation (so pick one that has a short one: 0.25, 0.1, …),
+    * and every state is rounded HALF_UP to a 9-dp decimal. A 9-dp
+    * decimal state that is a pure decimal function of the previous
+    * one replays bit-for-bit in any engine with exact DECIMAL
+    * arithmetic (the recursive-CTE oracle runs the same recurrence in
+    * DECIMAL), with none of the double-rounding boundary hazards a
+    * float recurrence has; the emitted double is the correctly-rounded
+    * cast of the decimal state — identical everywhere.
+    *
+    * Scale posture: one hash exchange on the key (`groupByKey`), then
+    * a compiled linear scan per key — the recurrence is inherently
+    * sequential PER KEY, so one-key-per-task is the maximal
+    * parallelism any engine can extract; per-task memory is one key's
+    * events (the packSequences per-group bound). No window over the
+    * corpus, no driver collect.
+    *
+    * Returns one row per event: (key, id, ewma) ordered by (key, id).
+    */
+  def ewma(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val a = java.math.BigDecimal.valueOf(alpha)
+    val b = java.math.BigDecimal.ONE.subtract(a)
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(idCol).cast("long").as("id"),
+        col(valCol).cast("double").as("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var prev: java.math.BigDecimal = null
+        rows.iterator.map { r =>
+          val x6 = java.math.BigDecimal.valueOf(r._4)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+          prev =
+            if (prev == null) x6.setScale(9)
+            else a.multiply(x6).add(b.multiply(prev))
+              .setScale(9, java.math.RoundingMode.HALF_UP)
+          (k, r._3, prev.doubleValue)
+        }
+      }
+      .toDF(keyCol, idCol, "ewma")
+      .orderBy(keyCol, idCol)
+  }
+
   /** SCD2 construction: collapse a per-key change log into validity
     * intervals — one row per RUN of equal `attrCol` values, valid from
     * the run's first timestamp until the next run starts (null

@@ -513,4 +513,66 @@ object EventWindows {
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Streaming twin of [[graft.operators.TimeSeries.ewma]]: the same
+    * exact-decimal recurrence (6-dp input quantization, 9-dp HALF_UP
+    * state, α at its shortest decimal representation) kept alive
+    * across micro-batches in `GroupState` — the online smoothing
+    * monitor as an actual stream job. Within a batch each user's rows
+    * are sorted by (event time, id); across batches the state carries
+    * the running decimal (stored as its scale-9 unscaled long —
+    * |ewma| < 9.2e9, far above any monitored rate), so batch
+    * boundaries that respect event-time order reproduce the batch
+    * operator row-for-row (EwmaStreamSpec forces a 3-batch split and
+    * proves it). An EWMA row is final the moment it is computed —
+    * later events never revise it — so Append mode is exact and the
+    * memory sink holds each event exactly once. Oracle equivalence
+    * has the usual single-batch caveat for out-of-order feeds.
+    *
+    * Returns (user_id, event_id, ewma) ordered by (user_id,
+    * event_id). */
+  def streamEwma(
+      spark: SparkSession,
+      dir: String,
+      alpha: Double,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val a = java.math.BigDecimal.valueOf(alpha)
+    val b = java.math.BigDecimal.ONE.subtract(a)
+
+    def step(
+        userId: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        state: GroupState[Long]): Iterator[(Long, Long, Double)] = {
+      val arr = rows.toArray.sortBy(r => (r._2, r._3))
+      var prev: java.math.BigDecimal =
+        if (state.exists) java.math.BigDecimal.valueOf(state.get, 9)
+        else null
+      val out = arr.map { r =>
+        val x6 = java.math.BigDecimal.valueOf(r._4)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        prev =
+          if (prev == null) x6.setScale(9)
+          else a.multiply(x6).add(b.multiply(prev))
+            .setScale(9, java.math.RoundingMode.HALF_UP)
+        (userId, r._3, prev.doubleValue)
+      }
+      if (prev != null) state.update(prev.unscaledValue().longValueExact())
+      out.iterator
+    }
+
+    runToMemory(spark, "append", statePartitions = 16) { s =>
+      eventsStream(s, dir, glob, maxFilesPerTrigger)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+        .toDF("user_id", "event_id", "ewma")
+    }
+      .orderBy("user_id", "event_id")
+  }
 }

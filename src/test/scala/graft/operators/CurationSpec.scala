@@ -267,4 +267,47 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got === Array((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
   }
+
+  // ------------------------------------------------- span-level dedup
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+  test("spanDedup keeps the corpus-wide first occurrence of each span") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g"), // spans(3): "a b c" "d e f" "g"
+      (1L, "a b c x y z"),   // "a b c" is doc0's — dropped
+      (2L, "p q r p q r"),   // internal repeat — second dropped
+      (3L, "d e f"),         // fully duplicated — survives empty
+      (4L, "")               // blank — zero spans
+    ).toDF("doc_id", "text")
+    val got = spanRows(Curation.spanDedup(docs, "doc_id", "text", 3))
+    assert(got === Seq(
+      (0L, 3L, 3L, "a b c d e f g"),
+      (1L, 2L, 1L, "x y z"),
+      (2L, 2L, 1L, "p q r"),
+      (3L, 1L, 0L, ""),
+      (4L, 0L, 0L, "")))
+  }
+
+  test("spanDedup is partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    val words = Vector("w0", "w1", "w2", "w3", "w4", "w5")
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill(6 + rnd.nextInt(10))(words(rnd.nextInt(6)))
+        .mkString(" ")))
+    val a = spanRows(Curation.spanDedup(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 2))
+    val b = spanRows(Curation.spanDedup(
+      docs.toDF("doc_id", "text").repartition(7), "doc_id", "text", 2))
+    assert(a === b)
+    // and a doc with no duplicated spans round-trips its text
+    val solo = spanRows(Curation.spanDedup(
+      Seq((9L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text"),
+      "doc_id", "text", 2))
+    assert(solo === Seq((9L, 3L, 3L, "u1 u2 u3 u4 u5")))
+  }
 }

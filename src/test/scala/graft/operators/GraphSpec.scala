@@ -731,4 +731,123 @@ class GraphSpec extends SparkSpec {
       spark.listenerManager.unregister(listener)
     }
   }
+
+  // ------------- structural tier: triangles / clustering coeff / k-core
+
+  /** Seeded random simple graph, returned as the symmetric
+    * double-edged feed. */
+  private def randomSym(n: Int, m: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val pairs = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+    while (pairs.size < m) {
+      val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+      if (a != b)
+        pairs += ((math.min(a, b).toLong, math.max(a, b).toLong))
+    }
+    pairs.toSeq ++ pairs.toSeq.map(_.swap)
+  }
+
+  /** Per-node triangle counts by direct neighborhood intersection —
+    * independent of the engine's degree orientation. */
+  private def bruteTriangles(sym: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adj.map { case (v, nb) =>
+      v -> nb.toSeq.sorted.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }.toLong
+    }
+  }
+
+  /** Jacobi peel replica (the k-core is unique, so the schedule does
+    * not matter — this mirrors the engine's simultaneous removal). */
+  private def bruteKCore(sym: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = sym.toSet
+    var changed = true
+    while (changed && es.nonEmpty) {
+      val deg = es.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("triangleCounts matches neighborhood intersection on a random graph") {
+    import spark.implicits._
+    val sym = randomSym(40, 150, seed = 7L)
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    try {
+      val got = gt.triangleCounts().collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val tri = bruteTriangles(sym)
+      assert(got.keySet === deg.keySet)
+      got.foreach { case (v, (d, t)) =>
+        assert(d === deg(v), s"deg of $v")
+        assert(t === tri(v), s"tri of $v")
+      }
+      // each triangle is credited to exactly its 3 corners
+      assert(got.values.map(_._2).sum % 3 === 0)
+    } finally gt.unpersist()
+  }
+
+  test("clusteringCoefficient: complete graph 1.0, path graph 0.0") {
+    import spark.implicits._
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)).toSeq
+    val g1 = Graph.buildGraphTable(k4.toDF("src", "dst"), "src", "dst",
+      assumeDistinct = true)
+    try {
+      val cc1 = g1.clusteringCoefficient().collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(cc1.values.forall(_ === 1.0), cc1)
+    } finally g1.unpersist()
+    val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val g2 = Graph.buildGraphTable(
+      (path ++ path.map(_.swap)).toDF("src", "dst"), "src", "dst",
+      assumeDistinct = true)
+    try {
+      val cc2 = g2.clusteringCoefficient().collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(cc2.values.forall(_ === 0.0), cc2)
+    } finally g2.unpersist()
+  }
+
+  test("triangleCounts refuses a directed (sink-bearing) feed") {
+    import spark.implicits._
+    val gt = Graph.buildGraphTable(
+      Seq(1L -> 2L).toDF("src", "dst"), "src", "dst")
+    try {
+      val e = intercept[IllegalArgumentException](gt.triangleCounts())
+      assert(e.getMessage.contains("symmetric"))
+    } finally gt.unpersist()
+  }
+
+  test("kCore matches the peel replica on a random graph") {
+    import spark.implicits._
+    val sym = randomSym(60, 220, seed = 11L)
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    try {
+      val k = 5
+      val got = gt.kCore(k, maxRounds = 50).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteKCore(sym, k))
+      // every surviving node really has in-core degree >= k
+      assert(got.values.forall(_ >= k))
+    } finally gt.unpersist()
+  }
+
+  test("kCore returns empty when k exceeds every degree") {
+    import spark.implicits._
+    val sym = randomSym(20, 40, seed = 3L)
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst"), "src", "dst", assumeDistinct = true)
+    try assert(gt.kCore(1000, maxRounds = 10).count() === 0L)
+    finally gt.unpersist()
+  }
 }

@@ -209,4 +209,58 @@ class TimeSeriesSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  // --------------------------------------------------------------- EWMA
+
+  /** Exact-decimal replica of the EWMA recurrence (6-dp input
+    * quantization, 9-dp HALF_UP state). */
+  private def bruteEwma(
+      rows: Seq[(Long, Long, Long, Double)], // (key, us, id, v)
+      alpha: Double): Seq[(Long, Long, Double)] = {
+    val a = BigDecimal(java.math.BigDecimal.valueOf(alpha))
+    val b = BigDecimal(1) - a
+    rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (k, g) =>
+      var prev: BigDecimal = null
+      g.sortBy(r => (r._2, r._3)).map { r =>
+        val x6 = BigDecimal(java.math.BigDecimal.valueOf(r._4))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        prev =
+          if (prev == null) x6.setScale(9)
+          else (a * x6 + b * prev)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        (k, r._3, prev.toDouble)
+      }.sortBy(_._2)
+    }
+  }
+
+  test("ewma matches the exact-decimal replica, ties broken by id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13L)
+    // duplicate timestamps on purpose: the id tie-break must decide
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(5).toLong, 1700000000000000L + rnd.nextInt(40) * 1000000L,
+        i.toLong, math.floor(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val df = rows.toDF("k", "us", "id", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"),
+        col("id"), col("v"))
+      .repartition(5)
+    val got = TimeSeries.ewma(df, "k", "ts", "id", "v", alpha = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got === bruteEwma(rows, 0.25))
+  }
+
+  test("ewma with alpha = 1 reproduces the quantized inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 1L, 1.23456789), (1L, 2L, 2.5))
+      .toDF("k", "id", "v")
+      .select(col("k"), timestamp_micros(col("id") * 1000000L).as("ts"),
+        col("id"), col("v"))
+    val got = TimeSeries.ewma(df, "k", "ts", "id", "v", alpha = 1.0)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(got === Seq(1.234568, 2.5))
+  }
 }
