@@ -1933,7 +1933,37 @@ object SparkEntry {
     // ingestion makes it ≡ the batch operator here, so the twins
     // answer to the same oracle (the q105/q108 device).
     "q125_stream_ewma" -> ((s, dir) =>
-      EventWindows.streamEwma(s, dir, alpha = 0.25)))
+      EventWindows.streamEwma(s, dir, alpha = 0.25)),
+
+    // ORC sink + source roundtrip (the second columnar format the
+    // warehouse tier speaks): lineitem written as ORC, read back with
+    // a pushed-down filter and pruned columns (PlanSpec asserts both
+    // reach the ORC scan), aggregated — the oracle computes the same
+    // aggregate over the original parquet, so the row pins ORC
+    // write/read fidelity end-to-end.
+    "q126_orc_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_orc_q126_${ProcessHandle.current().pid()}")
+      T(s, dir, "lineitem").write.mode("overwrite").orc(s"$base/orc")
+      s.read.orc(s"$base/orc")
+        .where(col("l_quantity") > 30.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // DOULION sampled triangle estimate — the 100-TB form of q119:
+    // each undirected co-purchase edge kept with p = 0.2 by the
+    // seeded-md5 coin (bit-reproducible under any partitioning or
+    // engine), exact triangle count on the sample, scaled by 1/p³.
+    // The oracle replays the identical sample predicate and the
+    // id-ordered count.
+    "q127_triangle_estimate" -> ((s, dir) =>
+      graphTable(s, dir, "copurchase")
+        .triangleCountEstimate(keepPct = 20, seed = 13L)))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -3630,6 +3660,37 @@ object SparkEntry {
     // twin (q125) — one oracle proves the twins equal.
     "q124_ewma" -> ewmaOracle,
     "q125_stream_ewma" -> ewmaOracle,
+
+    // the oracle aggregates the ORIGINAL parquet table — equality
+    // proves the ORC write+read preserved every row and value; the
+    // DECIMAL(18,2) sum is the repo's exact-summation device
+    "q126_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem WHERE l_quantity > 30.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical seeded-md5 coin (8 hex chars -> BIGINT, mod 100 < 20),
+    // id-ordered exact count on the sample, and the same
+    // tri·(10⁶/20³) = tri·125.0 scale (exact in IEEE)
+    "q127_triangle_estimate" ->
+      """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |pe AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS s1,
+        |  b.l_partkey AS s2
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey),
+        |sp AS MATERIALIZED (SELECT s1, s2 FROM pe
+        |  WHERE CAST(('0x' || substr(md5('13-' || s1 || '-' || s2), 1, 8))
+        |    AS BIGINT) % 100 < 20),
+        |tri AS (SELECT count(*) AS t
+        |  FROM sp e1 JOIN sp e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
+        |  JOIN sp e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2)
+        |SELECT (SELECT count(*) FROM sp) AS n_sampled_edges,
+        |  t AS tri_sampled,
+        |  CAST(t AS DOUBLE) * 125.0 AS est_triangles
+        |FROM tri""".stripMargin,
 
     // string grams stand in for the engine's xxhash64 grams (counts
     // equal absent 64-bit collisions — the q17 argument); per-doc

@@ -65,6 +65,9 @@ final case class GraphTable(
 
   def triangleCounts(): DataFrame = Graph.triangleCountsImpl(this)
 
+  def triangleCountEstimate(keepPct: Int, seed: Long): DataFrame =
+    Graph.triangleCountEstimateImpl(this, keepPct, seed)
+
   def clusteringCoefficient(): DataFrame =
     Graph.clusteringCoefficientImpl(this)
 
@@ -844,7 +847,17 @@ object Graph {
     require(gt.numDangling == 0,
       "triangleCounts requires a symmetric double-edged feed " +
         s"(found ${gt.numDangling} sink nodes)")
-    val e = gt.edges.where(col("src") =!= col("dst")).select("src", "dst")
+    triangleCore(
+      gt.edges.where(col("src") =!= col("dst")).select("src", "dst"))
+      .orderBy("node")
+  }
+
+  /** Degree-oriented per-node triangle counts over a symmetric,
+    * self-loop-free edge frame — the shared core of the exact counter
+    * and the DOULION sampled estimator. Returns an eagerly
+    * materialized (node, deg, tri) frame (checkpoint blocks, caches
+    * released). */
+  private def triangleCore(e: DataFrame): DataFrame = {
     // symmetric feed: degree = out-edge count (NOT the weight total —
     // triangles are a structural count, so parallel-edge weights are
     // irrelevant by construction: the edge list is already distinct)
@@ -877,7 +890,53 @@ object Graph {
       .localCheckpoint(eager = true)
     orient.unpersist(blocking = false)
     deg.unpersist(blocking = false)
-    out.orderBy("node")
+    out
+  }
+
+  /** DOULION (Tsourakakis, Kang & Faloutsos 2009): estimate the global
+    * triangle count from a sparsified graph — keep each undirected
+    * edge independently with probability keepPct/100 and scale the
+    * sample's exact triangle count by (100/keepPct)³. The 100-TB form
+    * of triangle counting: the wedge stage runs on p·E edges
+    * (p³ of the wedge volume), and the estimate is unbiased with
+    * variance that vanishes as p²·T grows.
+    *
+    * Determinism device: the "coin flip" is the seeded-md5 hash of the
+    * edge (the q54/q89 sampling device) — 8 hex chars parsed to a
+    * long, mod 100 < keepPct — so the sample, and therefore the whole
+    * estimate, is bit-reproducible under any partitioning, retry, or
+    * engine. The estimate tri·10⁶/keepPct³ is one exact-integer
+    * multiply and one double division — identical everywhere.
+    *
+    * Returns one row: (n_sampled_edges, tri_sampled, est_triangles).
+    */
+  private[operators] def triangleCountEstimateImpl(
+      gt: GraphTable, keepPct: Int, seed: Long): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100,
+      s"keepPct must be in [1, 100], got $keepPct")
+    require(gt.numNodes > 0, "graph has no nodes")
+    require(gt.numDangling == 0,
+      "triangleCountEstimate requires a symmetric double-edged feed " +
+        s"(found ${gt.numDangling} sink nodes)")
+    val pairs = gt.edges
+      .where(col("src") < col("dst"))
+      .where(conv(substring(
+          md5(concat(lit(s"$seed-"), col("src").cast("string"),
+            lit("-"), col("dst").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100 < keepPct)
+      .select("src", "dst")
+    val sym = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val perNode = triangleCore(sym)
+    val scale = 1000000.0 / (keepPct.toLong * keepPct * keepPct).toDouble
+    perNode
+      .agg(
+        coalesce((sum(col("deg")) / lit(2L)).cast("long"), lit(0L))
+          .as("n_sampled_edges"),
+        coalesce((sum(col("tri")) / lit(3L)).cast("long"), lit(0L))
+          .as("tri_sampled"))
+      .withColumn("est_triangles",
+        col("tri_sampled").cast("double") * lit(scale))
   }
 
   /** Local clustering coefficient cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))

@@ -218,4 +218,34 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q119: triangle wedge closure is hash joins, never a nested loop") {
+    val p = plan("q119_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("Window"), p)
+  }
+
+  test("q126: the roundtrip filter and pruning reach the ORC scan") {
+    val p = plan("q126_orc_roundtrip")
+    assert(p.contains("orc") || p.contains("Orc"), p)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_quantity"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") &&
+      !readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("spanDedup: first-occurrence is an aggregate on fingerprints, no window") {
+    val p = graft.operators.Curation
+      .spanDedup(graft.sources.Tables(spark, dir, "documents"),
+        "doc_id", "text", 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // a corpus-wide Window over span partitions would be the skew trap;
+    // the min(struct) groupBy folds map-side instead, keyed on the
+    // 8-byte xxhash64 fingerprint
+    assert(!p.contains("Window"), p)
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("partial_min") || "HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

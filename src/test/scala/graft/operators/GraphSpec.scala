@@ -842,6 +842,30 @@ class GraphSpec extends SparkSpec {
     } finally gt.unpersist()
   }
 
+  test("triangleCountEstimate: keepPct=100 is exact; sampling is deterministic") {
+    import spark.implicits._
+    val sym = randomSym(40, 150, seed = 7L)
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    try {
+      val exactTotal = bruteTriangles(sym).values.sum / 3
+      val full = gt.triangleCountEstimate(keepPct = 100, seed = 13L).head()
+      assert(full.getLong(0) === sym.size / 2)
+      assert(full.getLong(1) === exactTotal)
+      assert(full.getDouble(2) === exactTotal.toDouble)
+      // the seeded-md5 coin makes the sample partitioning-invariant
+      val s1 = gt.triangleCountEstimate(keepPct = 30, seed = 5L).head()
+      val gt2 = Graph.buildGraphTable(
+        sym.toDF("src", "dst").repartition(7), "src", "dst",
+        assumeDistinct = true)
+      try {
+        val s2 = gt2.triangleCountEstimate(keepPct = 30, seed = 5L).head()
+        assert(s1.toSeq === s2.toSeq)
+      } finally gt2.unpersist()
+    } finally gt.unpersist()
+  }
+
   test("kCore returns empty when k exceeds every degree") {
     import spark.implicits._
     val sym = randomSym(20, 40, seed = 3L)
