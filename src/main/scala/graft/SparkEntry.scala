@@ -1963,7 +1963,27 @@ object SparkEntry {
     // id-ordered count.
     "q127_triangle_estimate" -> ((s, dir) =>
       graphTable(s, dir, "copurchase")
-        .triangleCountEstimate(keepPct = 20, seed = 13L)))
+        .triangleCountEstimate(keepPct = 20, seed = 13L)),
+
+    // BFS hop levels from the seed customers over the undirected
+    // purchase graph — the "within-k-hops-of-known-good" curation
+    // primitive; exact-int levels with a unique fixpoint, replayed by
+    // a recursive-UNION oracle (DISTINCT recursion keeps the oracle
+    // polynomial, min(lvl) = first discovery).
+    "q128_bfs_levels" -> ((s, dir) => {
+      val seeds = T(s, dir, "orders")
+        .select(col("o_custkey").as("node"))
+        .where(col("node") <= 50).distinct()
+      graphTable(s, dir, "undirected").bfsLevels(seeds, maxDepth = 4)
+    }),
+
+    // Neighborhood Jaccard of every co-purchase edge's endpoints —
+    // tie strength for "related products": common neighbors = the
+    // triangles through the edge, so the computation rides the q119
+    // degree-oriented machinery and its O(E^1.5) bound; top-20
+    // strongest ties.
+    "q129_edge_jaccard" -> ((s, dir) =>
+      graphTable(s, dir, "copurchase").edgeJaccard().limit(20)))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -3691,6 +3711,60 @@ object SparkEntry {
         |  t AS tri_sampled,
         |  CAST(t AS DOUBLE) * 125.0 AS est_triangles
         |FROM tri""".stripMargin,
+
+    // recursive-UNION BFS replay: the DISTINCT recursion generates
+    // every (node, lvl <= 4) pair reachable by SOME walk, min(lvl)
+    // picks the first discovery — exactly the engine's anti-join
+    // frontier semantics; supplier ids are offset by 1e7, so
+    // node <= 50 seeds only customers
+    "q128_bfs_levels" ->
+      """WITH RECURSIVE
+        |base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+        |  l.l_suppkey + 10000000 AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM base
+        |  UNION ALL SELECT p, c FROM base),
+        |seeds AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+        |  WHERE src <= 50),
+        |lv AS (
+        |  SELECT node, 0 AS lvl FROM seeds
+        |  UNION
+        |  SELECT e.dst, lv.lvl + 1 FROM lv JOIN e ON e.src = lv.node
+        |  WHERE lv.lvl < 4)
+        |SELECT node, min(lvl) AS lvl FROM lv
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-edge common neighbors = the id-ordered triangle triples
+    // exploded onto their three (min, max) edges — the same exact
+    // longs as the engine's least/greatest explode; jac is one double
+    // division
+    "q129_edge_jaccard" ->
+      """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |pe AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS s1,
+        |  b.l_partkey AS s2
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM pe
+        |  UNION ALL SELECT s2, s1 FROM pe),
+        |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+        |  FROM sym GROUP BY 1),
+        |t3 AS MATERIALIZED (
+        |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        |  FROM pe e1 JOIN pe e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
+        |  JOIN pe e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
+        |pedge AS (SELECT src, dst, count(*) AS common FROM (
+        |  SELECT a AS src, b AS dst FROM t3
+        |  UNION ALL SELECT a, c FROM t3
+        |  UNION ALL SELECT b, c FROM t3) GROUP BY 1, 2)
+        |SELECT pe.s1 AS src, pe.s2 AS dst, d1.deg AS deg_src,
+        |  d2.deg AS deg_dst, coalesce(p.common, 0) AS common,
+        |  CAST(coalesce(p.common, 0) AS DOUBLE)
+        |    / (d1.deg + d2.deg - coalesce(p.common, 0)) AS jac
+        |FROM pe JOIN deg d1 ON d1.node = pe.s1
+        |JOIN deg d2 ON d2.node = pe.s2
+        |LEFT JOIN pedge p ON p.src = pe.s1 AND p.dst = pe.s2
+        |ORDER BY jac DESC, src, dst LIMIT 20""".stripMargin,
 
     // string grams stand in for the engine's xxhash64 grams (counts
     // equal absent 64-bit collisions — the q17 argument); per-doc

@@ -866,6 +866,55 @@ class GraphSpec extends SparkSpec {
     } finally gt.unpersist()
   }
 
+  test("bfsLevels matches an in-memory BFS; depth cap truncates") {
+    import spark.implicits._
+    val sym = randomSym(50, 120, seed = 19L)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = Seq(0L, 1L, 2L)
+    def bruteBfs(cap: Int): Map[Long, Int] = {
+      val lvl = scala.collection.mutable.Map[Long, Int]()
+      var frontier = seeds.filter(adj.contains).toSet
+      frontier.foreach(lvl(_) = 0)
+      var d = 0
+      while (d < cap && frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(adj(_)).filterNot(lvl.contains)
+        frontier.foreach(lvl(_) = d)
+      }
+      lvl.toMap
+    }
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    try {
+      Seq(2, 10).foreach { cap =>
+        val got = gt.bfsLevels(seeds.toDF("node"), maxDepth = cap)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got === bruteBfs(cap), s"cap $cap")
+      }
+    } finally gt.unpersist()
+  }
+
+  test("edgeJaccard matches the adjacency-set replica") {
+    import spark.implicits._
+    val sym = randomSym(40, 150, seed = 23L)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exp = sym.filter(e => e._1 < e._2).map { case (u, v) =>
+      val common = (adj(u) & adj(v)).size.toLong
+      (u, v, adj(u).size.toLong, adj(v).size.toLong, common,
+        common.toDouble / (adj(u).size + adj(v).size - common))
+    }.toSet
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    try {
+      val got = gt.edgeJaccard().collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+      assert(got === exp)
+    } finally gt.unpersist()
+  }
+
   test("kCore returns empty when k exceeds every degree") {
     import spark.implicits._
     val sym = randomSym(20, 40, seed = 3L)
