@@ -1983,7 +1983,34 @@ object SparkEntry {
     // degree-oriented machinery and its O(E^1.5) bound; top-20
     // strongest ties.
     "q129_edge_jaccard" -> ((s, dir) =>
-      graphTable(s, dir, "copurchase").edgeJaccard().limit(20)))
+      graphTable(s, dir, "copurchase").edgeJaccard().limit(20)),
+
+    // Graph-artifact APPEND lifecycle under oracle check: the
+    // artifact is built from 90% of the order feed, the remaining 10%
+    // is folded in via Graph.appendToGraphTable (one merge pass +
+    // staged swap — never the raw-feed extraction again), and
+    // PageRank over the appended artifact must be bit-identical to
+    // the q102 oracle over the FULL feed — append ≡ rebuild, proven
+    // end-to-end.
+    "q130_graph_append" -> ((s, dir) => {
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_gappend_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode))
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      def purchases(w: Column) =
+        l.join(o.where(w), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst"))
+          .distinct()
+      operators.Graph.writeGraphTable(
+        purchases(col("o_orderkey") % 10 =!= 0), "src", "dst", base,
+        assumeDistinct = true)
+      operators.Graph.appendToGraphTable(s, base,
+        purchases(col("o_orderkey") % 10 === 0), "src", "dst")
+      operators.Graph.readGraphTable(s, base)
+        .pageRank(iters = 10, danglingCorrection = true).limit(20)
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -3359,6 +3386,10 @@ object SparkEntry {
     // (first round with max |Δrank| <= eps, else the cap), so engine
     // and oracle agree at any sf by construction
     "q111_pagerank_eps" -> pagerankEpsilonOracle,
+
+    // append ≡ rebuild: the appended artifact covers the SAME full
+    // edge set as q102, so the same recursive-CTE replay is the oracle
+    "q130_graph_append" -> pagerankDirectedOracle,
 
     // PPR: reset weights r(v)=1/|S| on seed nodes (<=50) join every
     // damped update; dangling mass rides r too (NOT divided by N) —

@@ -194,6 +194,81 @@ object Graph {
     } finally gt.unpersist()
   }
 
+  /** Merge a new edge batch into a persisted graph artifact — the
+    * IVF-append lifecycle applied to graphs: a deployment builds the
+    * artifact once from the raw feed and then folds in edge deltas
+    * without re-running the raw-feed extraction pipeline (at 100 TB
+    * the joins/distincts producing the edge list from raw logs are
+    * the expensive part; the merge below is one pass over artifact +
+    * batch).
+    *
+    * Semantics mirror [[buildGraphTable]]'s: unweighted appends are
+    * SET UNION (re-appending a known edge is a no-op); weighted
+    * appends SUM the batch's pair weights into the existing ones
+    * (12-dp DECIMAL, partition-order-exact — the "purchase count
+    * increment" semantics), so append-then-read is bit-identical to
+    * rebuilding from the concatenated feeds (GraphSpec proves both).
+    * Out-weight totals, the node list, and the meta row are
+    * recomputed in the same pass.
+    *
+    * The new artifact is written to a staging dir and swapped in via
+    * three renames — like [[graft.operators.Similarity]]'s IVF
+    * append, NOT atomic: do not run concurrent appends or probes
+    * against the same path during the swap. */
+  def appendToGraphTable(
+      spark: SparkSession,
+      path: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: Option[String] = None): Unit = {
+    val existing =
+      try spark.read.parquet(s"$path/edges").select("src", "dst", "w")
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"no graph artifact at $path (${e.getMessage})")
+      }
+    val batch = weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .distinct().withColumn("w", lit(1.0))
+      case Some(w) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(w).cast("double").as("w"))
+          .groupBy("src", "dst")
+          .agg(sum(round(col("w"), 12).cast(Dec12)).cast("double").as("w"))
+    }
+    val merged = weightCol match {
+      case None =>
+        existing.select("src", "dst").union(batch.select("src", "dst"))
+          .distinct().withColumn("w", lit(1.0))
+      case Some(_) =>
+        existing.union(batch).groupBy("src", "dst")
+          .agg(sum(round(col("w"), 12).cast(Dec12)).cast("double").as("w"))
+    }
+    val gt = buildGraphTable(merged, "src", "dst",
+      weightCol = weightCol.map(_ => "w"), assumeDistinct = true)
+    val staging = s"$path/_staging"
+    try {
+      gt.edges.write.mode("overwrite").parquet(s"$staging/edges")
+      gt.nodes.write.mode("overwrite").parquet(s"$staging/nodes")
+      import spark.implicits._
+      Seq((gt.numNodes, gt.numSrcNodes, gt.numEdges))
+        .toDF("n_nodes", "n_src", "n_edges")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      Seq("edges", "nodes", "meta").foreach { d =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/$d")
+        fs.delete(dst, true)
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$staging/$d"), dst),
+          s"rename of $staging/$d failed")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    } finally gt.unpersist()
+  }
+
   /** Re-open a persisted graph artifact. Counts come from `meta/`
     * (one row), so preconditions (sink check, body auto-selection)
     * cost nothing at query time. */

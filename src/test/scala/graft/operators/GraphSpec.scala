@@ -915,6 +915,51 @@ class GraphSpec extends SparkSpec {
     } finally gt.unpersist()
   }
 
+  test("appendToGraphTable: append ≡ rebuild, unweighted and weighted") {
+    import spark.implicits._
+    def artDir(tag: String): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_gapp_$tag").toString
+      new java.io.File(d).deleteOnExit(); d
+    }
+    // unweighted: re-appending known edges must be a set-union no-op
+    val e1 = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val e2 = Seq(2L -> 3L, 3L -> 4L, 4L -> 1L) // overlaps e1 on (2,3)
+    val p1 = artDir("u")
+    Graph.writeGraphTable(e1.toDF("src", "dst"), "src", "dst", p1)
+    Graph.appendToGraphTable(spark, p1, e2.toDF("src", "dst"), "src", "dst")
+    val got = Graph.readGraphTable(spark, p1)
+    val want = Graph.buildGraphTable(
+      (e1 ++ e2).toDF("src", "dst"), "src", "dst")
+    try {
+      assert((got.numNodes, got.numSrcNodes, got.numEdges) ===
+        ((want.numNodes, want.numSrcNodes, want.numEdges)))
+      assert(got.edges.orderBy("src", "dst").collect().toSeq ===
+        want.edges.orderBy("src", "dst").collect().toSeq)
+    } finally want.unpersist()
+    // weighted: batch weights SUM into existing pair weights
+    val w1 = Seq((1L, 2L, 2.0), (2L, 3L, 1.0))
+    val w2 = Seq((1L, 2L, 3.0), (3L, 1L, 1.5))
+    val p2 = artDir("w")
+    Graph.writeGraphTable(w1.toDF("src", "dst", "w"), "src", "dst", p2,
+      weightCol = Some("w"))
+    Graph.appendToGraphTable(spark, p2, w2.toDF("src", "dst", "w"),
+      "src", "dst", weightCol = Some("w"))
+    val gotW = Graph.readGraphTable(spark, p2)
+    val wantW = Graph.buildGraphTable(
+      (w1 ++ w2).toDF("src", "dst", "w"), "src", "dst",
+      weightCol = Some("w"))
+    try {
+      assert(gotW.edges.orderBy("src", "dst").collect().toSeq ===
+        wantW.edges.orderBy("src", "dst").collect().toSeq)
+    } finally wantW.unpersist()
+    // missing artifact fails loudly
+    val e = intercept[IllegalArgumentException](
+      Graph.appendToGraphTable(spark, "/nonexistent/graft_gapp",
+        e1.toDF("src", "dst"), "src", "dst"))
+    assert(e.getMessage.contains("no graph artifact"))
+  }
+
   test("kCore returns empty when k exceeds every degree") {
     import spark.implicits._
     val sym = randomSym(20, 40, seed = 3L)
