@@ -2010,7 +2010,36 @@ object SparkEntry {
         purchases(col("o_orderkey") % 10 === 0), "src", "dst")
       operators.Graph.readGraphTable(s, base)
         .pageRank(iters = 10, danglingCorrection = true).limit(20)
-    }))
+    }),
+
+    // Per-key rolling window features (lag-1, rolling count, rolling
+    // mean over 5 rows): ONE window spec serves all three, the
+    // windowed sum runs in DECIMAL (frame-order-exact), the mean is
+    // one double division — the feature-engineering staple before any
+    // sequence model.
+    "q131_rolling_features" -> ((s, dir) =>
+      operators.Features.rollingFeatures(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", n = 5)),
+
+    // Leave-one-out target encoding of event_type against value —
+    // the leakage-free high-cardinality-categorical encoding:
+    // (Σ_cat − xᵢ)/(n_cat − 1), category sums exact DECIMAL,
+    // categories broadcast back so the row side never shuffles.
+    "q132_target_encode" -> ((s, dir) =>
+      operators.Features.targetEncodeLoo(T(s, dir, "events"),
+        "event_type", "event_id", "value")),
+
+    // GROUP-aware train/valid/test split: the seeded-md5 coin flips
+    // on the USER, so all of a user's rows land in one split — the
+    // leakage-hygiene property q54's per-row split cannot give;
+    // emitted as the per-split (rows, groups) summary.
+    "q133_group_split" -> ((s, dir) =>
+      operators.Features.groupSplit(T(s, dir, "events"),
+        "user_id", seed = 31L, trainPct = 80, validPct = 10)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_groups"))
+        .orderBy("split")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -3390,6 +3419,47 @@ object SparkEntry {
     // append ≡ rebuild: the appended artifact covers the SAME full
     // edge set as q102, so the same recursive-CTE replay is the oracle
     "q130_graph_append" -> pagerankDirectedOracle,
+
+    // the DECIMAL windowed sum is frame-order-exact in both engines;
+    // lag is an exact pass-through and the mean one double division
+    "q131_rolling_features" ->
+      """SELECT user_id, event_id,
+        |  lag(value, 1) OVER w AS v_lag1,
+        |  count(*) OVER wf AS roll_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER wf AS DOUBLE)
+        |    / count(*) OVER wf AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // category sums exact DECIMAL; (S − x) stays DECIMAL and only the
+    // final division touches doubles — bit-identical cross-engine
+    "q132_target_encode" ->
+      """WITH st AS (SELECT event_type,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS s, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  CASE WHEN st.n = 1 THEN NULL
+        |  ELSE CAST(st.s - CAST(e.value AS DECIMAL(18,4)) AS DOUBLE)
+        |    / (st.n - 1) END AS loo
+        |FROM events e JOIN st USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    // identical seeded-md5 coin on the GROUP key (8 hex chars ->
+    // BIGINT, mod 100), bucket thresholds 80/90
+    "q133_group_split" ->
+      """WITH b AS (SELECT user_id,
+        |  CAST(('0x' || substr(md5('31-' || user_id), 1, 8)) AS BIGINT)
+        |    % 100 AS bk
+        |  FROM events),
+        |s AS (SELECT CASE WHEN bk < 80 THEN 'train'
+        |  WHEN bk < 90 THEN 'valid' ELSE 'test' END AS split, user_id
+        |  FROM b)
+        |SELECT split, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_groups
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // PPR: reset weights r(v)=1/|S| on seed nodes (<=50) join every
     // damped update; dangling mass rides r too (NOT divided by N) —
