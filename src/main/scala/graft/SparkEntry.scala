@@ -2039,7 +2039,48 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("user_id")).as("n_groups"))
-        .orderBy("split")))
+        .orderBy("split")),
+
+    // Per-category z-score outliers with the EXACT-variance device
+    // (stronger than q48's 6-dp rounding): Σx and Σx² go through
+    // DECIMAL (2-dp inputs → 4-dp squares, both lossless), so mean,
+    // variance, stddev, and z are fixed-order double expressions of
+    // exact quantities — bit-identical cross-engine with NO rounding
+    // anywhere. Top-20 most anomalous events.
+    "q135_zscore_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val st = T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double")
+            .as("s"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 8)))
+            .cast("double").as("ssq"))
+        .select(col("event_type"), col("n"),
+          (col("s") / col("n")).as("m"),
+          sqrt((col("ssq") - col("s") * col("s") / col("n")) /
+            (col("n") - 1)).as("sd"))
+      T(s, dir, "events")
+        .join(broadcast(st), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - col("m")) / col("sd")).as("z"))
+        .orderBy(abs(col("z")).desc, col("event_id"))
+        .limit(20)
+    }),
+
+    // REAL decode→RESIZE→re-encode→decode under oracle check: the 8×1
+    // PNG fixtures are nearest-neighbor downscaled to 4 columns
+    // (srcX = 2·strip — exact pixel picks through PNG's lossless
+    // roundtrip), then featurized by the production decode path; the
+    // oracle replays the picked pixels' recipe directly.
+    "q136_image_resize" -> ((s, dir) =>
+      operators.Multimodal.extractFeatures(
+          operators.Multimodal.resizeImages(
+            s.read.parquet(s"${mediaFixturePath(s, dir)}/png"), outW = 4),
+          dim = 4, imageDecode = true)
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("strip", "lum")))
+        .orderBy("media_id", "strip")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -3446,6 +3487,32 @@ object SparkEntry {
         |    / (st.n - 1) END AS loo
         |FROM events e JOIN st USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    // exact-variance replay: DECIMAL sums of x and x² (2-dp inputs →
+    // both lossless), then the identical fixed-order double
+    // expressions — no rounding device needed anywhere
+    "q135_zscore_outliers" ->
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(value*value AS DECIMAL(28,8))) AS DOUBLE)
+        |    AS ssq
+        |  FROM events GROUP BY 1),
+        |sd AS (SELECT event_type, s/n AS m,
+        |  sqrt((ssq - s*s/n)/(n - 1)) AS sd FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - sd.m)/sd.sd AS z
+        |FROM events e JOIN sd USING (event_type)
+        |ORDER BY abs((e.value - sd.m)/sd.sd) DESC, e.event_id
+        |LIMIT 20""".stripMargin,
+
+    // the resized image's strip i is the EXACT source pixel 2i, so
+    // the oracle replays the fixture recipe at the picked columns
+    "q136_image_resize" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS strip,
+        |CAST(CAST((doc_id*31 + 2*i*97) % 251 AS DOUBLE)/255.0 AS FLOAT)
+        |AS lum
+        |FROM documents CROSS JOIN range(0, 4) r(i)
+        |ORDER BY media_id, strip""".stripMargin,
 
     // identical seeded-md5 coin on the GROUP key (8 hex chars ->
     // BIGINT, mod 100), bucket thresholds 80/90

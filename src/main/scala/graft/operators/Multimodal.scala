@@ -99,6 +99,56 @@ object Multimodal {
     }
   }
 
+  /** REAL resize kernel: nearest-neighbor downscale to `outW` columns
+    * (srcX = ⌊x·w/outW⌋ — pure integer picks, no interpolation
+    * arithmetic, so the resized image's pixels are EXACT copies of
+    * source pixels and the whole decode→resize→re-encode pipeline
+    * stays bit-replayable through PNG's lossless roundtrip), height
+    * preserved. Payloads ImageIO cannot decode pass through unchanged
+    * — the same totality posture as [[imageDecodeFeatures]]. */
+  def imageResizeNearest(payload: Array[Byte], outW: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) payload
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new java.awt.image.BufferedImage(
+        outW, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        var y = 0
+        while (y < h) {
+          out.setRGB(x, y, img.getRGB(sx, y))
+          y += 1
+        }
+        x += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Batch resize over a (media_id, payload) frame — the same
+    * mapPartitions batch shape as [[extractFeatures]] (codec setup
+    * amortized per partition, schema-stable output), feeding either
+    * the feature extractor or a thumbnail sink. */
+  def resizeImages(media: org.apache.spark.sql.DataFrame,
+      outW: Int): org.apache.spark.sql.DataFrame = {
+    require(outW >= 1, s"outW must be >= 1, got $outW")
+    val spark = media.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, imageResizeNearest(p, outW))
+      })
+      .toDF("media_id", "payload")
+  }
+
   /** Deterministic dim×1 grayscale PNG: pixel x has gray level
     * `(id·31 + x·97) mod 251`. One pixel per strip means the decoded
     * strip-mean luminance is EXACTLY `v/255` (a single Rec.601 term on

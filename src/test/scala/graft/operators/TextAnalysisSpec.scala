@@ -150,6 +150,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageResizeNearest picks exact source pixels; non-images pass through") {
+    // resizing the 8-wide fixture to 4 must make strip i EXACTLY the
+    // source pixel 2i's luminance — the q136 oracle's contract
+    for (id <- Seq(0L, 1L, 17L, 499L)) {
+      val resized = imageResizeNearest(pngPayload(id, 8), 4)
+      val got = imageDecodeFeatures(resized, 4)
+      val want = (0 until 4).map(i =>
+        (((id * 31 + (2 * i) * 97) % 251) / 255.0).toFloat)
+      assert(got.toSeq === want, s"id=$id")
+    }
+    val junk = Array[Byte](1, 2, 3, 4)
+    assert(imageResizeNearest(junk, 4).toSeq === junk.toSeq)
+  }
+
   test("wavPayload roundtrips through the real audio decoder bit-exactly") {
     // strip RMS must be EXACTLY sqrt(sumSq/(8·32768²)) over the sample
     // recipe — the q110 oracle's contract
