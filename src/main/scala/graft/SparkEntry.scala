@@ -144,6 +144,21 @@ object SparkEntry {
         .agg(count(lit(1)).cast("double").as("w"))
       operators.Graph.writeGraphTable(weighted, "src", "dst",
         s"$base/directed_w", weightCol = Some("w"), assumeDistinct = true)
+      // symmetric COST-weighted twin for q134 shortest paths: cost =
+      // 1 + floor(100/purchase_count), so frequent ties are cheap and
+      // path costs discriminate (raw counts would collapse min-paths
+      // to hop counts: almost every pair has a weight-1 edge). The
+      // cost is exact — integer-valued doubles from one IEEE division
+      // + floor, identical in any engine. Doubled directions stay
+      // disjoint by the supplier offset; the bipartite directed feed
+      // would dead-end every path at hop 1.
+      val weightedSym = weighted
+        .withColumn("w", lit(1.0) + floor(lit(100.0) / col("w")))
+      operators.Graph.writeGraphTable(
+        weightedSym.union(weightedSym
+          .select(col("dst").as("src"), col("src").as("dst"), col("w"))),
+        "src", "dst",
+        s"$base/undirected_w", weightCol = Some("w"), assumeDistinct = true)
       // part↔part co-purchase graph (parts sharing an order), symmetric
       // double-edged — the non-bipartite body for the structural tier:
       // q119 (triangles) / q120 (clustering coeff) / q121 (k-core).
@@ -2041,6 +2056,20 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_groups"))
         .orderBy("split")),
 
+    // Weighted single-source-set shortest paths (Bellman–Ford frontier
+    // relaxation, ≤4 edges per path) from the seed customers over the
+    // SYMMETRIC weighted purchase graph — the cost-proximity sibling
+    // of q128's hop levels. Purchase-count weights are integers, so
+    // every path cost is an exact double sum and min() needs no
+    // rounding device; the oracle replays 4 rounds with a zero-weight
+    // self-loop so each round is ONE min over in-edges.
+    "q134_shortest_paths" -> ((s, dir) => {
+      val seeds = T(s, dir, "orders")
+        .select(col("o_custkey").as("node"))
+        .where(col("node") <= 50).distinct()
+      graphTable(s, dir, "undirected_w").shortestPaths(seeds, maxRounds = 4)
+    }),
+
     // Per-category z-score outliers with the EXACT-variance device
     // (stronger than q48's 6-dp rounding): Σx and Σx² go through
     // DECIMAL (2-dp inputs → 4-dp squares, both lossless), so mean,
@@ -2080,7 +2109,18 @@ object SparkEntry {
           dim = 4, imageDecode = true)
         .select(col("media_id"),
           posexplode(col("features")).as(Seq("strip", "lum")))
-        .orderBy("media_id", "strip")))
+        .orderBy("media_id", "strip")),
+
+    // LEFT OUTER watermarked stream-stream join — q49's missing half:
+    // unmatched clicks emit with nulls exactly once, after the
+    // watermark passes their match window (state eviction doubles as
+    // the no-match verdict — the "abandoned funnel" feed). Bounded
+    // input closed by a TWO-SIDED sentinel-flush device (the
+    // watermark is the min across both filtered inputs). Single-batch
+    // real data ⇒ ≡ the batch LEFT JOIN.
+    "q137_stream_outer_join" -> ((s, dir) =>
+      EventWindows.streamClickPurchaseOuter(s, dir, windowMinutes = 30)
+        .orderBy("user_id")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -2651,6 +2691,20 @@ object SparkEntry {
         |ON c.user_id = p.user_id
         |AND c.event_type = 'click' AND p.event_type = 'purchase'
         |AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTES
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the outer twin: per-user clicks / matched pairs / unmatched
+    // clicks — the purchase-side predicates live in the ON clause so
+    // unmatched clicks survive with nulls
+    "q137_stream_outer_join" ->
+      """SELECT c.user_id AS user_id, count(*) AS n_rows,
+        |count(p.ts) AS n_matched,
+        |CAST(sum(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_unmatched
+        |FROM events c LEFT JOIN events p
+        |ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        |AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTES
+        |WHERE c.event_type = 'click'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q50_cube" ->
@@ -3527,6 +3581,36 @@ object SparkEntry {
         |SELECT split, count(*) AS n_rows,
         |  count(DISTINCT user_id) AS n_groups
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 4-round Bellman–Ford replay: the zero-weight self-loop row in
+    // `e` turns min(carry, relax) into ONE min over in-edges, so the
+    // recursive term references `d` once; costs are exact
+    // integer-valued doubles (1 + floor(100/count)) so min() is
+    // engine-independent with no rounding device
+    "q134_shortest_paths" ->
+      """WITH RECURSIVE
+        |base AS MATERIALIZED (SELECT o.o_custkey AS c,
+        |  l.l_suppkey + 10000000 AS p,
+        |  CAST(1 + floor(100.0 / count(*)) AS DOUBLE) AS w
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS src, p AS dst, w FROM base
+        |  UNION ALL SELECT p, c, w FROM base
+        |  UNION ALL SELECT node, node, CAST(0 AS DOUBLE) FROM
+        |    (SELECT DISTINCT c AS node FROM base
+        |     UNION SELECT DISTINCT p FROM base)),
+        |seeds AS MATERIALIZED (SELECT DISTINCT c AS node FROM base
+        |  WHERE c <= 50),
+        |d AS (
+        |  SELECT 0 AS r, node, CAST(0 AS DOUBLE) AS dist FROM seeds
+        |  UNION ALL
+        |  SELECT d.r + 1, e.dst, min(d.dist + e.w) AS dist
+        |  FROM d JOIN e ON e.src = d.node
+        |  WHERE d.r < 4
+        |  GROUP BY 1, 2)
+        |SELECT node, min(dist) AS dist FROM d WHERE r = 4
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // PPR: reset weights r(v)=1/|S| on seed nodes (<=50) join every
     // damped update; dangling mass rides r too (NOT divided by N) —

@@ -77,6 +77,9 @@ final case class GraphTable(
   def bfsLevels(seeds: DataFrame, maxDepth: Int): DataFrame =
     Graph.bfsLevelsImpl(this, seeds, maxDepth)
 
+  def shortestPaths(seeds: DataFrame, maxRounds: Int): DataFrame =
+    Graph.shortestPathsImpl(this, seeds, maxRounds)
+
   def edgeJaccard(): DataFrame = Graph.edgeJaccardImpl(this)
 
   /** Release the build-time caches (no-op on a loaded artifact). */
@@ -1149,6 +1152,76 @@ object Graph {
     ed.unpersist()
     releaseCheckpoint(frontier) // the levels union re-checkpointed it
     levels.orderBy("node")
+  }
+
+  /** Weighted single-source(-set) shortest paths — [[bfsLevelsImpl]]'s
+    * weighted sibling: Bellman–Ford frontier relaxation bounded at
+    * `maxRounds` edges per path, over the artifact's `w` column. The
+    * cost/proximity primitive behind "closest known-good document" and
+    * weighted within-k-hops curation filters.
+    *
+    * Determinism: with integer-valued weights (the purchase-count
+    * graphs), every path cost is an exact sum of integers in double
+    * (≤ 2^53) and `min` over exact values is engine-independent — no
+    * rounding device needed. The fixpoint is stationary (distances are
+    * monotone non-increasing and bounded), so the early-stopped engine
+    * table equals the oracle's cap-round replay (the q121 argument);
+    * the oracle replays rounds with a zero-weight self-loop added to
+    * the edge set, which turns `min(carry, relax)` into one `min` over
+    * in-edges — a single recursive reference.
+    *
+    * Scale posture: the edge list is cached co-partitioned on `src`
+    * once; per round only the IMPROVED (node, dist) rows join it
+    * (frontier shrinks as distances settle), the candidate min is a
+    * partial/final aggregate, and the cumulative table is refreshed by
+    * a union + min-aggregate on the node key. Both iteration frames
+    * are `localCheckpoint`ed per round with the [[Components]] release
+    * bookkeeping, so the analyzed plan stays O(1) across rounds.
+    *
+    * Returns (node, dist) for nodes reachable within `maxRounds` hops
+    * (seeds at 0.0), ordered by node. Seeds absent from the graph are
+    * ignored. */
+  private[operators] def shortestPathsImpl(
+      gt: GraphTable, seeds: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    require(gt.numNodes > 0, "graph has no nodes")
+    val seedsDf = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    val ed = gt.edges.select("src", "dst", "w").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ed.count()
+    var dist = gt.nodes.join(seedsDf, Seq("node"), "left_semi")
+      .select(col("node"), lit(0.0).as("dist"))
+      .repartition(col("node"))
+      .localCheckpoint(eager = true)
+    var frontier = dist.select("node", "dist")
+      .localCheckpoint(eager = true)
+    var round = 0
+    var frontierSize = frontier.count()
+    while (round < maxRounds && frontierSize > 0) {
+      round += 1
+      val relaxed = ed
+        .join(frontier.withColumnRenamed("node", "src")
+          .hint("shuffle_hash"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      val improved = relaxed
+        .join(dist.select(col("node"), col("dist").as("old")),
+          Seq("node"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select("node", "dist")
+        .localCheckpoint(eager = true)
+      frontierSize = improved.count()
+      val newDist = dist.unionByName(improved)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+      releaseCheckpoint(dist)
+      releaseCheckpoint(frontier)
+      dist = newDist
+      frontier = improved
+    }
+    ed.unpersist()
+    releaseCheckpoint(frontier)
+    dist.orderBy("node")
   }
 
   /** Neighborhood Jaccard of every edge's endpoints — the tie-strength

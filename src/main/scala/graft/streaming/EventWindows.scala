@@ -238,38 +238,44 @@ object EventWindows {
   private val sessionStreamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Write `df` as the single parquet file `base/name` with a fixed,
+    * strictly-increasing PAST mtime keyed by `seq` — the proven
+    * EventWindowsMultiBatchSpec device: FileStreamSource ingests in
+    * mtime order and future-dated files are not reliably listed. */
+  private def writeOrderedFile(
+      spark: SparkSession, base: String,
+      df: DataFrame, name: String, seq: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(base)
+    Files.createDirectories(target)
+    val stage = s"$base/_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = {
+      val l = Files.list(Paths.get(stage))
+      try l.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      finally l.close()
+    }
+    val dest = target.resolve(name)
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(
+        1700000000000L + seq * 60000L))
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      System.err.println(s"[streamfix] $name rows=" +
+        spark.read.parquet(dest.toString).count() + " schema=" +
+        spark.read.parquet(dest.toString).schema.simpleString)
+  }
+
   private def sessionStreamDir(
       spark: SparkSession, dir: String, gapMinutes: Int): String =
     sessionStreamDirs.computeIfAbsent(s"$dir#$gapMinutes", _ => {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
       val base = graft.TempCleanup.register(sys.props("java.io.tmpdir") +
         s"/graft_sessstream_${ProcessHandle.current().pid()}_" +
         Integer.toHexString(s"$dir#$gapMinutes".hashCode))
-      val target = Paths.get(base)
-      Files.createDirectories(target)
       val ev = graft.sources.Tables(spark, dir, "events")
-      // fixed, strictly-increasing PAST mtimes — the proven
-      // EventWindowsMultiBatchSpec device; FileStreamSource ingests in
-      // mtime order and future-dated files are not reliably listed
-      def writeOne(df: DataFrame, name: String, seq: Int): Unit = {
-        val stage = s"$base/_stage"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = {
-          val l = Files.list(Paths.get(stage))
-          try l.filter(p => p.getFileName.toString.startsWith("part-"))
-            .findFirst().get()
-          finally l.close()
-        }
-        val dest = target.resolve(name)
-        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1700000000000L + seq * 60000L))
-        if (sys.env.contains("GRAFT_STREAM_DEBUG"))
-          System.err.println(s"[sessfix] $name rows=" +
-            spark.read.parquet(dest.toString).count() + " schema=" +
-            spark.read.parquet(dest.toString).schema.simpleString)
-      }
+      def writeOne(df: DataFrame, name: String, seq: Int): Unit =
+        writeOrderedFile(spark, base, df, name, seq)
       writeOne(ev, "a_events.parquet", 0)
       val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       val flushUs = maxUs + (gapMinutes + 120L) * 60L * 1000000L
@@ -512,6 +518,92 @@ object EventWindows {
     }
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Stream dir for [[streamClickPurchaseOuter]]: the events parquet
+    * followed by TWO sentinel-flush batches, each carrying one click
+    * AND one purchase row (user −1) far past every real click's
+    * outer-emission deadline. Outer rows only emit once the watermark
+    * passes `c_ts + window`, and the query watermark is the MIN over
+    * both inputs — each input computes its watermark AFTER its
+    * event-type filter, so a click-only sentinel would leave the
+    * purchase side's watermark at the real max and stall the global
+    * one. Two batches for the committed-watermark lag, the
+    * [[sessionStreamDir]] device. */
+  private val joinStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def joinStreamDir(
+      spark: SparkSession, dir: String, windowMinutes: Int): String =
+    joinStreamDirs.computeIfAbsent(s"$dir#$windowMinutes", _ => {
+      val base = graft.TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_joinstream_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(s"$dir#$windowMinutes".hashCode))
+      val ev = graft.sources.Tables(spark, dir, "events")
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      // deadline for the latest possible click is maxUs + window; the
+      // watermark delay is 2 h; +60 min slack keeps emission strictly
+      // past every deadline (no boundary-semantics reliance)
+      val flushUs = maxUs + (120L + windowMinutes + 60L) * 60L * 1000000L
+      def sentinels(us: Long): DataFrame = {
+        val one = ev.limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", timestamp_micros(lit(us)))
+        one.withColumn("event_type", lit("click"))
+          .union(one.withColumn("event_type", lit("purchase")))
+      }
+      writeOrderedFile(spark, base, ev, "a_events.parquet", 0)
+      writeOrderedFile(spark, base, sentinels(flushUs),
+        "b_flush.parquet", 1)
+      writeOrderedFile(spark, base,
+        sentinels(flushUs + 7200L * 1000000L), "c_flush2.parquet", 2)
+      base
+    })
+
+  /** LEFT OUTER watermarked stream-stream join — the attribution shape
+    * [[streamClickPurchase]] cannot give: every click emits, matched
+    * ones with their purchase immediately, UNMATCHED ones with nulls
+    * exactly once, after the watermark passes their match window (the
+    * state-eviction deadline doubles as the no-match verdict — the
+    * "abandoned funnel" feed). State on both sides stays bounded by
+    * the same watermark + time-range condition as the inner form.
+    *
+    * The bounded verification input is closed by [[joinStreamDir]]'s
+    * two-sided sentinel device (the watermark is the min across BOTH
+    * filtered inputs); sentinel rows are filtered from the collected
+    * result, never from the streaming frame (the q112 rule: a
+    * predicate on the stream would push into the scan and strip the
+    * watermark-driving rows). Collapsed to per-user (clicks, matched
+    * pairs, unmatched clicks); single-batch real data, so the result
+    * equals the batch LEFT JOIN exactly. */
+  def streamClickPurchaseOuter(
+      spark: SparkSession,
+      dir: String,
+      windowMinutes: Int): DataFrame = {
+    val sdir = joinStreamDir(spark, dir, windowMinutes)
+    runToMemory(spark, "append", statePartitions = 8) { s =>
+      val clicks =
+        eventsStream(s, sdir, glob = "*.parquet", maxFilesPerTrigger = 1)
+          .where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+      val purchases =
+        eventsStream(s, sdir, glob = "*.parquet", maxFilesPerTrigger = 1)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+      clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") < col("c_ts") +
+            expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+    }
+      .where(col("c_user") >= 0L)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_ts")).as("n_matched"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
   }
 
   /** Streaming twin of [[graft.operators.TimeSeries.ewma]]: the same

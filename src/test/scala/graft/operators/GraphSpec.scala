@@ -895,6 +895,43 @@ class GraphSpec extends SparkSpec {
     } finally gt.unpersist()
   }
 
+  test("shortestPaths matches in-memory Bellman–Ford; round cap binds") {
+    import spark.implicits._
+    // deterministic integer costs 1..5 per directed pair
+    val we = randomSym(50, 120, seed = 29L)
+      .map { case (s, t) => (s, t, ((s * 31 + t * 17) % 5 + 1).toDouble) }
+    val seeds = Seq(0L, 1L, 2L, 999L) // 999 absent from the graph
+    def bruteSp(cap: Int): Map[Long, Double] = {
+      val present = we.flatMap(e => Seq(e._1, e._2)).toSet
+      var dist = seeds.filter(present).map(_ -> 0.0).toMap
+      (1 to cap).foreach { _ =>
+        val relax = we
+          .flatMap { case (s, t, w) => dist.get(s).map(d => t -> (d + w)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        dist = (dist.keySet ++ relax.keySet).map { n =>
+          n -> math.min(dist.getOrElse(n, Double.MaxValue),
+            relax.getOrElse(n, Double.MaxValue))
+        }.toMap
+      }
+      dist
+    }
+    val gt = Graph.buildGraphTable(
+      we.toDF("src", "dst", "w").repartition(3), "src", "dst",
+      weightCol = Some("w"), assumeDistinct = true)
+    try {
+      Seq(0, 2, 20).foreach { cap => // 20 > diameter: early-stop ≡ cap
+        val got = gt.shortestPaths(seeds.toDF("node"), maxRounds = cap)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got === bruteSp(cap), s"cap $cap")
+      }
+      // cheaper multi-hop detours must beat direct heavy edges: some
+      // node's distance strictly improves between cap 1 and fixpoint
+      assert(bruteSp(20).exists { case (n, d) =>
+        bruteSp(1).get(n).exists(_ > d)
+      })
+    } finally gt.unpersist()
+  }
+
   test("edgeJaccard matches the adjacency-set replica") {
     import spark.implicits._
     val sym = randomSym(40, 150, seed = 23L)
