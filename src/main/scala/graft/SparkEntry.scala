@@ -230,6 +230,25 @@ object SparkEntry {
     s"SELECT vec_id, $dots FROM embeddings ORDER BY vec_id"
   }
 
+  /** q138 oracle: the hashing-trick buckets/signs replayed with the
+    * identical seeded-md5 arithmetic, generated from one recipe so
+    * engine and oracle cannot drift. Feature expressions mirror the
+    * query's (event_type, prop_k = props.$.k). */
+  private def featureHashOracleSql(dim: Int, seed: Long): String = {
+    val feats = Seq(
+      "event_type" -> "event_type",
+      "prop_k" -> "json_extract_string(props, '$.k')")
+    val cols = (0 until dim).map { i =>
+      feats.map { case (n, e) =>
+        val m = s"md5('$seed-$n=' || $e)"
+        s"(CASE WHEN CAST(('0x' || substr($m, 1, 8)) AS BIGINT) " +
+          s"% $dim = $i THEN (CASE WHEN CAST(('0x' || substr($m, 9, 1)) " +
+          "AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END)"
+      }.mkString("CAST(", " + ", s" AS BIGINT) AS h$i")
+    }.mkString(",\n")
+    s"SELECT event_id, $cols FROM events ORDER BY event_id"
+  }
+
   // Fixed 1-D centroids on c_acctbal for the SQL-checkable assignment
   // queries (J1/A5 analogs). Non-round values so no data point ties.
   private val C0 = 211.73; private val C1 = 4387.21; private val C2 = 8842.02
@@ -2120,7 +2139,39 @@ object SparkEntry {
     // real data ⇒ ≡ the batch LEFT JOIN.
     "q137_stream_outer_join" -> ((s, dir) =>
       EventWindows.streamClickPurchaseOuter(s, dir, windowMinutes = 30)
-        .orderBy("user_id")))
+        .orderBy("user_id")),
+
+    // Hashing-trick featurizer over (event_type, props.k): fixed
+    // 16-bucket signed encoding with NO fitted dictionary — the
+    // unbounded-vocabulary categorical encoding; both hashes are the
+    // seeded-md5 device, so the vector is engine-replayable. Pure
+    // map-side codegen, zero shuffle.
+    "q138_feature_hash" -> ((s, dir) =>
+      operators.Features.hashFeatures(
+          T(s, dir, "events").withColumn("prop_k",
+            get_json_object(col("props"), "$.k")),
+          "event_id", Seq("event_type", "prop_k"), dim = 16, seed = 7L)
+        .orderBy("event_id")),
+
+    // Fit/transform scaler with a PERSISTED stats artifact (the
+    // PQ/IVF/graph build-once precedent applied to feature prep): one
+    // aggregate pass fits exact min/max + the q135 exact-variance
+    // sums per column, written as a parquet model; apply bakes the
+    // k-row artifact into literal map-side expressions — min-max and
+    // z-score features with no join and no rounding device.
+    "q139_fitted_scaler" -> ((s, dir) => {
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_scaler_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode))
+      val li = T(s, dir, "lineitem")
+      operators.Features.fitScaler(
+        li, Seq("l_quantity", "l_extendedprice"), s"$base/scaler")
+      operators.Features.applyScaler(li, s"$base/scaler")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_minmax"), col("l_quantity_z"),
+          col("l_extendedprice_minmax"), col("l_extendedprice_z"))
+        .orderBy("l_orderkey", "l_linenumber").limit(100)
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -2692,6 +2743,39 @@ object SparkEntry {
         |AND c.event_type = 'click' AND p.event_type = 'purchase'
         |AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTES
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical seeded-md5 bucket (first 8 hex chars mod dim) and
+    // sign (9th hex digit parity) per feature column, summed per
+    // bucket; a NULL feature falls to the ELSE 0 branch in both
+    // engines
+    "q138_feature_hash" -> featureHashOracleSql(dim = 16, seed = 7L),
+
+    // scaler replay: exact min/max + the q135 exact-variance sums in
+    // one CTE, then the identical fixed-order double expressions —
+    // the engine bakes the same stats in as driver literals
+    "q139_fitted_scaler" ->
+      """WITH st AS (SELECT
+        |  min(l_quantity) AS mn_q, max(l_quantity) AS mx_q,
+        |  min(l_extendedprice) AS mn_p, max(l_extendedprice) AS mx_p,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s_q,
+        |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,8)))
+        |    AS DOUBLE) AS ssq_q,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS s_p,
+        |  CAST(sum(CAST(l_extendedprice*l_extendedprice
+        |    AS DECIMAL(28,8))) AS DOUBLE) AS ssq_p
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  (l_quantity - mn_q)/(mx_q - mn_q) AS l_quantity_minmax,
+        |  (l_quantity - s_q/n)/sqrt((ssq_q - s_q*s_q/n)/(n-1))
+        |    AS l_quantity_z,
+        |  (l_extendedprice - mn_p)/(mx_p - mn_p)
+        |    AS l_extendedprice_minmax,
+        |  (l_extendedprice - s_p/n)/sqrt((ssq_p - s_p*s_p/n)/(n-1))
+        |    AS l_extendedprice_z
+        |FROM lineitem CROSS JOIN st
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
     // the outer twin: per-user clicks / matched pairs / unmatched
     // clicks — the purchase-side predicates live in the ON clause so

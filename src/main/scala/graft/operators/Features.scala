@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -78,6 +78,98 @@ object Features {
               .cast("double") / (col("_graft_n") - 1))
           .as("loo"))
       .orderBy(idCol)
+  }
+
+  /** Hashing-trick featurizer (Weinberger et al. 2009): each
+    * categorical column's value is hashed to one of `dim` buckets with
+    * a ±1 sign bit, and the row's feature vector is the signed bucket
+    * count — the fixed-width encoding for unbounded-vocabulary
+    * categoricals (no fitted dictionary, no vocabulary shuffle, new
+    * values at inference hash consistently). The sign bit keeps inner
+    * products unbiased under collisions.
+    *
+    * Both hashes ride the repo's seeded-md5 device (bucket = first 8
+    * hex chars mod `dim`, sign = 9th hex digit's parity), namespaced
+    * by column name — so the encoding is partition/retry/engine-
+    * invariant and SQL-replayable. A null value contributes nothing.
+    *
+    * Scale shape: pure per-row codegen'd expressions (dim × |cols|
+    * CASE terms), zero shuffle, zero state. Returns
+    * (`idCol`, h0..h{dim-1}) with LONG counts. */
+  def hashFeatures(
+      df: DataFrame,
+      idCol: String,
+      featureCols: Seq[String],
+      dim: Int,
+      seed: Long): DataFrame = {
+    require(dim >= 2 && dim <= 1024, s"dim must be in [2, 1024], got $dim")
+    require(featureCols.nonEmpty, "need at least one feature column")
+    def h(c: String): Column =
+      md5(concat(lit(s"$seed-$c="), col(c).cast("string")))
+    def bucket(c: String): Column =
+      conv(substring(h(c), 1, 8), 16, 10).cast("long") % dim
+    def sign(c: String): Column =
+      when(conv(substring(h(c), 9, 1), 16, 10).cast("long") % 2 === 0,
+        lit(1L)).otherwise(lit(-1L))
+    val hs = (0 until dim).map { i =>
+      featureCols.map(c =>
+          when(bucket(c) === i, sign(c)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"h$i")
+    }
+    df.select(col(idCol) +: hs: _*)
+  }
+
+  /** Fit per-column scaling statistics in ONE partial/final aggregate
+    * pass and persist them as a one-row-per-column parquet artifact at
+    * `path` — the fit half of the fit/transform split every trainer
+    * needs (fit on train, apply everywhere), and the persisted-model
+    * shape of the PQ/IVF/graph artifacts applied to feature prep.
+    * Stats: exact min/max, count, and the q135 exact-variance sums
+    * (Σx as DECIMAL(18,4), Σx² as DECIMAL(28,8) — lossless for 2-dp
+    * inputs), so mean/stddev derived downstream are fixed-order double
+    * expressions of exact quantities. */
+  def fitScaler(df: DataFrame, cols: Seq[String], path: String): Unit = {
+    require(cols.nonEmpty, "need at least one column to fit")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"${c}__mn"),
+      max(col(c).cast("double")).as(s"${c}__mx"),
+      count(col(c)).as(s"${c}__n"),
+      sum(col(c).cast(DecimalType(18, 4))).cast("double").as(s"${c}__s"),
+      sum((col(c) * col(c)).cast(DecimalType(28, 8))).cast("double")
+        .as(s"${c}__ssq")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    cols.map(c => one.select(lit(c).as("column"),
+        col(s"${c}__mn").as("mn"), col(s"${c}__mx").as("mx"),
+        col(s"${c}__n").as("n"), col(s"${c}__s").as("s"),
+        col(s"${c}__ssq").as("ssq")))
+      .reduce(_.unionByName(_))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Apply a persisted scaler artifact: for every fitted column, add
+    * `<col>_minmax` ((x−min)/(max−min)) and `<col>_z` ((x−mean)/sd,
+    * sample sd from the exact sums). The artifact is one row per
+    * column — collected (bounded by the fitted-column count) and baked
+    * into codegen'd literal expressions, so the transform is a pure
+    * map: no join, no shuffle, the scan side never moves. A constant
+    * column yields null `_minmax` (min = max) and null `_z` (sd = 0)
+    * rather than ±Inf/NaN. */
+  def applyScaler(df: DataFrame, path: String): DataFrame = {
+    val stats = df.sparkSession.read.parquet(path)
+      .select("column", "mn", "mx", "n", "s", "ssq").collect()
+    require(stats.nonEmpty, s"no scaler artifact at $path")
+    stats.foldLeft(df) { (d, r) =>
+      val (c, mn, mx) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val (n, s, ssq) = (r.getLong(3), r.getDouble(4), r.getDouble(5))
+      val mean = s / n
+      val sd = math.sqrt((ssq - s * s / n) / (n - 1))
+      d.withColumn(s"${c}_minmax",
+          if (mn == mx) lit(null).cast("double")
+          else (col(c) - mn) / (mx - mn))
+        .withColumn(s"${c}_z",
+          if (sd == 0.0 || sd.isNaN) lit(null).cast("double")
+          else (col(c) - mean) / sd)
+    }
   }
 
   /** Group-aware train/valid/test split: the seeded-md5 coin is

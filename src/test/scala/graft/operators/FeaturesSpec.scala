@@ -54,6 +54,72 @@ class FeaturesSpec extends SparkSpec {
       4L -> Some(7.0), 5L -> Some(5.0), 6L -> None))
   }
 
+  test("hashFeatures: signed bucket counts match an md5 replica; nulls drop") {
+    import spark.implicits._
+    val dim = 8
+    val df = Seq(
+      (1L, "click", "42"), (2L, "view", null), (3L, "click", "42"),
+      (4L, "purchase", "7")
+    ).toDF("event_id", "event_type", "prop_k").repartition(3)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def contrib(name: String, v: String): (Int, Long) = {
+      val h = md5hex(s"11-$name=$v")
+      val b = (java.lang.Long.parseLong(h.substring(0, 8), 16) % dim).toInt
+      val s = if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0)
+        1L else -1L
+      (b, s)
+    }
+    val exp = Seq(
+      (1L, Seq(contrib("event_type", "click"), contrib("prop_k", "42"))),
+      (2L, Seq(contrib("event_type", "view"))), // null prop_k drops
+      (3L, Seq(contrib("event_type", "click"), contrib("prop_k", "42"))),
+      (4L, Seq(contrib("event_type", "purchase"), contrib("prop_k", "7")))
+    ).map { case (id, cs) =>
+      id -> (0 until dim).map(i =>
+        cs.collect { case (b, s) if b == i => s }.sum).toVector
+    }.toMap
+    val got = Features.hashFeatures(
+        df, "event_id", Seq("event_type", "prop_k"), dim, seed = 11L)
+      .collect().map(r =>
+        r.getLong(0) -> (1 to dim).map(r.getLong).toVector).toMap
+    assert(got === exp)
+    // identical inputs encode identically
+    assert(got(1L) === got(3L))
+    // each non-null feature contributes exactly ±1 somewhere
+    assert(got(4L).map(math.abs).sum >= 1L)
+  }
+
+  test("fitScaler/applyScaler roundtrip: literal stats, exact formulas") {
+    import spark.implicits._
+    val vals = Seq(1.25, 2.5, 7.75, 4.0, 10.0, 0.5)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 3.0) } // c2 constant
+      .toDF("id", "v", "c2").repartition(4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scaler_spec_").toString
+    Features.fitScaler(df, Seq("v", "c2"), s"$dir/m")
+    val got = Features.applyScaler(df, s"$dir/m")
+      .orderBy("id")
+      .select("v_minmax", "v_z", "c2_minmax", "c2_z")
+      .collect()
+    val n = vals.size
+    val s = vals.map(BigDecimal(_)).sum.toDouble
+    val ssq = vals.map(v => BigDecimal(v * v)).sum.toDouble
+    val mean = s / n
+    val sd = math.sqrt((ssq - s * s / n) / (n - 1))
+    val (mn, mx) = (vals.min, vals.max)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i).getDouble(0) === (v - mn) / (mx - mn))
+      assert(got(i).getDouble(1) === (v - mean) / sd)
+      assert(got(i).isNullAt(2)) // constant column: minmax null, not Inf
+      assert(got(i).isNullAt(3)) // constant column: z null, not NaN
+    }
+  }
+
   test("groupSplit keeps every group in exactly one split, deterministically") {
     import spark.implicits._
     val rows = (0 until 500).map(i => (i.toLong % 60, i.toLong))
