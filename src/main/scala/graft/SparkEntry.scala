@@ -2171,7 +2171,43 @@ object SparkEntry {
           col("l_quantity_minmax"), col("l_quantity_z"),
           col("l_extendedprice_minmax"), col("l_extendedprice_z"))
         .orderBy("l_orderkey", "l_linenumber").limit(100)
-    }))
+    }),
+
+    // Bloom-gated incremental exact dedup: the corpus (docs < 450)
+    // gated by a persisted Bloom artifact; the batch re-sends 30
+    // known texts under new ids (the ingest-retry shape) plus the 50
+    // genuinely new docs. Misses pass map-side without joining;
+    // bloom hits get an exact fingerprint verify, so the result IS
+    // the anti-join (the oracle) at sketch cost.
+    "q140_bloom_gate" -> ((s, dir) => {
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_bloom_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode))
+      val docs = T(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 450)
+      val batch = docs.where(col("doc_id") >= 450)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+      Dedup.writeBloomGate(corpus, s"$base/bloom", fpp = 0.01)
+      Dedup.probeBloomGate(s, s"$base/bloom", corpus, batch)
+        .orderBy("doc_id")
+    }),
+
+    // REAL decode→DECIMATE→re-encode→decode for audio (q136's device):
+    // the 64-sample WAV fixtures downsampled 4× by pure index picks
+    // (sample j' = source 4·j' — no filter arithmetic, lossless PCM-16
+    // container roundtrip), then strip-RMS featurized by the
+    // production decode path; the oracle replays the picked samples'
+    // recipe directly.
+    "q141_audio_decimate" -> ((s, dir) =>
+      operators.Multimodal.extractFeatures(
+          operators.Multimodal.decimateAudio(
+            s.read.parquet(s"${mediaFixturePath(s, dir)}/wav"), factor = 4),
+          dim = 4, audioDecode = true)
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("strip", "rms")))
+        .orderBy("media_id", "strip")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -2743,6 +2779,20 @@ object SparkEntry {
         |AND c.event_type = 'click' AND p.event_type = 'purchase'
         |AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTES
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the gate's contract IS the anti-join (bloom false positives are
+    // removed by the exact verify): same corpus/batch construction,
+    // text equality standing in for the 64-bit fingerprints (the q17
+    // collision argument)
+    "q140_bloom_gate" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 450),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 450
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text FROM documents WHERE doc_id < 30)
+        |SELECT b.doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
 
     // identical seeded-md5 bucket (first 8 hex chars mod dim) and
     // sign (9th hex digit parity) per feature column, summed per
@@ -4179,6 +4229,19 @@ object SparkEntry {
         |(doc_id*7919 + j*104729) % 65536 - 32768 AS smp FROM j)
         |SELECT doc_id AS media_id, strip,
         |CAST(sqrt(CAST(sum(smp*smp) AS DOUBLE) / (8 * 1073741824.0))
+        |AS FLOAT) AS rms
+        |FROM s GROUP BY 1, 2 ORDER BY media_id, strip""".stripMargin,
+
+    // decimated sample j is the EXACT source sample 4j, so the oracle
+    // replays the fixture recipe at the picked indices; 16 samples →
+    // 4 strips of 4
+    "q141_audio_decimate" ->
+      """WITH j AS (SELECT doc_id, unnest(range(0, 16)) AS j
+        |FROM documents),
+        |s AS (SELECT doc_id, CAST(j // 4 AS INT) AS strip,
+        |(doc_id*7919 + (4*j)*104729) % 65536 - 32768 AS smp FROM j)
+        |SELECT doc_id AS media_id, strip,
+        |CAST(sqrt(CAST(sum(smp*smp) AS DOUBLE) / (4 * 1073741824.0))
         |AS FLOAT) AS rms
         |FROM s GROUP BY 1, 2 ORDER BY media_id, strip""".stripMargin,
 

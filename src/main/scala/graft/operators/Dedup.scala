@@ -167,6 +167,69 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  // ------------------------------------------------- Bloom-gated dedup
+
+  /** Build a Bloom-filter GATE over the corpus's exact 64-bit text
+    * fingerprints and persist it as a one-row binary parquet artifact —
+    * the sketch tier of the incremental-dedup lifecycle (the
+    * [[writeMinhashIndex]] precedent at sketch size): a batch row whose
+    * fingerprint MISSES the filter is definitely novel and never joins
+    * anything; only the hits (true dups + the fpp share) reach the
+    * exact verify. Sized from the corpus count at `fpp`; at 1e9 docs
+    * and fpp 0.01 the filter is ~1.2 GB — an executor-broadcast
+    * envelope to size deliberately (raise fpp to shrink it; the exact
+    * verify keeps the RESULT exact at any fpp). */
+  def writeBloomGate(
+      df: DataFrame,
+      path: String,
+      fpp: Double = 0.01,
+      textCol: String = "text"): Unit = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fps = df.select(xxhash64(col(textCol)).as("fp"))
+    val n = math.max(fps.count(), 1L)
+    val bf = fps.stat.bloomFilter("fp", n, fpp)
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    Seq(Tuple1(os.toByteArray)).toDF("bloom")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Probe the persisted Bloom gate with an ingest batch: returns the
+    * batch's NOVEL ids (`idCol` rows whose text is not in the corpus)
+    * — exactly the anti-join result, at sketch cost for the novel
+    * majority. Misses pass map-side (broadcast filter probe — the UDF
+    * is kernel-only: no builtin probes a sketch); hits are verified
+    * against the corpus fingerprints with the [[probeMinhashIndex]]
+    * prune: the suspect fingerprints (|dups| + fpp·|batch| — small)
+    * broadcast-semi-join the corpus so only matching corpus rows are
+    * read, then an anti-join against that bounded dup set. The 100-TB
+    * corpus is never shuffled; false positives are eliminated by the
+    * verify, so the result is exact at any fpp. */
+  def probeBloomGate(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bytes = spark.read.parquet(path).head().getAs[Array[Byte]]("bloom")
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightU = udf((fp: Long) => bc.value.mightContainLong(fp))
+    val b = batch.select(col(idCol), xxhash64(col(textCol)).as("fp"))
+    val certainNew = b.where(!mightU(col("fp"))).select(idCol)
+    val suspects = b.where(mightU(col("fp")))
+    val dupFps = corpus.select(xxhash64(col(textCol)).as("fp")).distinct()
+      .join(broadcast(suspects.select("fp").distinct()),
+        Seq("fp"), "left_semi")
+    suspects.join(broadcast(dupFps), Seq("fp"), "left_anti")
+      .select(idCol)
+      .unionByName(certainNew)
+  }
+
   // ----------------------------------------------------- n-gram Jaccard
 
   /** Distinct character n-gram shingles of a text column (codegen'd:

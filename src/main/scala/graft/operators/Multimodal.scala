@@ -204,33 +204,43 @@ object Multimodal {
     * (the q110 oracle device). Non-PCM-16/mono payloads and non-audio
     * bytes fall back to [[stubDecodeFeatures]], keeping the operator
     * total — the crawl-data posture of [[imageDecodeFeatures]]. */
-  def audioDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    val samples: Array[Int] =
+  /** Decode a PCM-16/mono/little-endian audio payload to (samples,
+    * sampleRate); null when the container or format is anything else —
+    * the shared totality gate of [[audioDecodeFeatures]] and
+    * [[audioDecimate]]. */
+  private def decodePcm16Mono(
+      payload: Array[Byte]): (Array[Int], Float) =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        try {
-          val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-              fmt.isBigEndian ||
-              fmt.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
-          else {
-            val bytes = ais.readAllBytes()
-            val n = bytes.length / 2
-            val out = new Array[Int](n)
-            var j = 0
-            while (j < n) {
-              out(j) = ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8))
-              j += 1
-            }
-            out
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Int](n)
+          var j = 0
+          while (j < n) {
+            out(j) = ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8))
+            j += 1
           }
-        } finally ais.close()
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
-      }
+          (out, fmt.getSampleRate)
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+    }
+
+  def audioDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val samples: Array[Int] = decodePcm16Mono(payload) match {
+      case null => null
+      case (s, _) => s
+    }
     if (samples == null || samples.isEmpty) stubDecodeFeatures(payload, dim)
     else {
       val n = samples.length
@@ -254,6 +264,57 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** REAL decimation-resample kernel — the audio twin of
+    * [[imageResizeNearest]]: keep every `factor`-th PCM sample (pure
+    * index picks, no filtering/interpolation arithmetic, so every
+    * output sample is an EXACT copy of a source sample) and re-encode
+    * as WAV at `rate/factor`. The WAV container roundtrip is lossless
+    * for PCM-16, so decode→decimate→re-encode→decode is bit-replayable
+    * (the q136 device applied to audio). Undecodable or non-PCM-16/
+    * mono payloads pass through unchanged — the usual totality
+    * posture. (A production resampler low-pass-filters first; naked
+    * decimation aliases, which is fine for fingerprint/feature feeds
+    * and keeps the pipeline exact.) */
+  def audioDecimate(payload: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    decodePcm16Mono(payload) match {
+      case null => payload
+      case (samples, rate) =>
+        if (samples.isEmpty) payload
+        else {
+          val n = (samples.length + factor - 1) / factor
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = samples(i * factor)
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            math.max(1f, rate / factor), 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+    }
+  }
+
+  /** Batch decimation over a (media_id, payload) frame — the
+    * [[resizeImages]] batch shape for audio. */
+  def decimateAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, audioDecimate(p, factor)) })
+      .toDF("media_id", "payload")
   }
 
   /** Per-partition batched feature extraction (the `mapInPandas` shape:

@@ -149,6 +149,34 @@ class DedupSpec extends SparkSpec {
     // near-parallel pairs is 1 - (1-p^8)^6 with p ≈ 1 - θ/π ≈ 0.99
     assert(lsh === brute)
   }
+
+  test("bloom gate ≡ anti-join at any fpp; all-dup and all-new edges") {
+    val corpus = docs((0 until 200).map(i => (i.toLong, s"corpus text $i")): _*)
+      .repartition(5)
+    // 40 re-sent corpus texts under new ids + 60 novel texts
+    val batch = docs(
+      ((0 until 40).map(i => (1000L + i, s"corpus text ${i * 3}")) ++
+        (0 until 60).map(i => (2000L + i, s"novel text $i"))): _*)
+      .repartition(3)
+    val expect = (0 until 60).map(2000L + _).toSeq.sorted
+    // fpp 0.4: heavy false-positive pressure — the exact verify must
+    // still produce the anti-join result bit-for-bit
+    for (fpp <- Seq(0.01, 0.4)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_bloom_spec_$fpp").toString
+      writeBloomGate(corpus, s"$dir/b", fpp = fpp)
+      val got = probeBloomGate(spark, s"$dir/b", corpus, batch)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expect, s"fpp $fpp")
+      // all-dup batch -> empty; all-new batch -> everything passes
+      val allDup = probeBloomGate(spark, s"$dir/b", corpus,
+        corpus.limit(10)).count()
+      assert(allDup === 0L, s"fpp $fpp")
+      val allNew = probeBloomGate(spark, s"$dir/b", corpus,
+        docs((0 until 7).map(i => (9000L + i, s"unseen $i")): _*))
+      assert(allNew.count() === 7L, s"fpp $fpp")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

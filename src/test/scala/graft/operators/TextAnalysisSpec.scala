@@ -197,6 +197,29 @@ class MultimodalSpec extends SparkSpec {
       stubDecodeFeatures(wav8, 4).toSeq)
   }
 
+  test("audioDecimate keeps exact every-nth samples; junk passes through") {
+    // decode(decimate(wav, 4)) must be EXACTLY samples 0, 4, 8, ... of
+    // the fixture recipe — the q141 oracle's contract
+    for (id <- Seq(0L, 17L, 499L)) {
+      val dec = audioDecimate(wavPayload(id, 64), 4)
+      val got = audioDecodeFeatures(dec, 4)
+      val want = (0 until 4).map { i =>
+        val sumSq = (4 * i until 4 * (i + 1)).map { j =>
+          val s = ((id * 7919L + (4L * j) * 104729L) % 65536L) - 32768L
+          s * s
+        }.sum
+        math.sqrt(sumSq / (4 * 1073741824.0)).toFloat
+      }
+      assert(got.toSeq === want, s"id=$id")
+    }
+    // factor 1 is the identity on the decoded samples
+    assert(audioDecodeFeatures(audioDecimate(wavPayload(3L, 64), 1), 8).toSeq
+      === audioDecodeFeatures(wavPayload(3L, 64), 8).toSeq)
+    // non-audio payloads pass through byte-identically
+    val junk = "not audio".getBytes("UTF-8")
+    assert(audioDecimate(junk, 4).toSeq === junk.toSeq)
+  }
+
   test("extractFeatures(audioDecode = true) runs javax.sound in the batch") {
     import spark.implicits._
     val wav = wavPayload(5L, 64)
