@@ -421,7 +421,10 @@ object SparkEntry {
         .where(col("l_quantity") > 45 && col("l_discount") < 0.05)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_shipdate").cast("long").as("ship_epoch"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique in this data (q143
+        // measures it): sort by every emitted column so ties are
+        // bit-identical rows and the positional compare is order-proof
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "ship_epoch")
     }),
 
     // Broadcast join through the dim chain (J1's relational form)
@@ -2170,7 +2173,13 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity_minmax"), col("l_quantity_z"),
           col("l_extendedprice_minmax"), col("l_extendedprice_z"))
-        .orderBy("l_orderkey", "l_linenumber").limit(100)
+        // (l_orderkey, l_linenumber) is NOT unique in this data (q143
+        // measures 14k surplus rows) — sort by the value columns too,
+        // so any remaining ties are bit-identical output rows and the
+        // positional compare is order-proof
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_minmax"), col("l_extendedprice_minmax"))
+        .limit(100)
     }),
 
     // Bloom-gated incremental exact dedup: the corpus (docs < 450)
@@ -2207,7 +2216,37 @@ object SparkEntry {
           dim = 4, audioDecode = true)
         .select(col("media_id"),
           posexplode(col("features")).as(Seq("strip", "rms")))
-        .orderBy("media_id", "strip")))
+        .orderBy("media_id", "strip")),
+
+    // SemDeDup-style cluster-then-dedup: coarse-assign embeddings to
+    // the fixed hyperplane centroids (the q31 CASE chain), then drop
+    // rows with a lower-id same-cluster neighbor above cosine 0.45 —
+    // Σ cluster² candidate pairs instead of n², the semantic-dedup
+    // scale shape (at corpus scale the coarse fit is the engine's own
+    // KMeans, the q40 precedent).
+    "q142_semdedup" -> ((s, dir) =>
+      Dedup.semDedup(
+        T(s, dir, "embeddings").where(col("vec_id") < 2000)
+          .select(col("vec_id"), col("embedding")),
+        hpCents, threshold = 0.45)),
+
+    // Declarative expectation suite (the Great-Expectations-style
+    // contract gate before promoting a data drop): seven rules —
+    // null, range, set, regex, and exact uniqueness — all evaluated
+    // as conditional counts in ONE aggregation pass over one scan.
+    // Two rules fail by design (l_discount caps at 0.10 and orders
+    // have multiple lines), so both report paths are exercised.
+    "q143_expectations" -> ((s, dir) => {
+      import operators.ColumnProfile._
+      expectations(T(s, dir, "lineitem"), Seq(
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1.0, 50.0),
+        InRange("l_discount", 0.0, 0.05),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        MatchesRe("l_linestatus", "^[OF]$"),
+        Unique(Seq("l_orderkey")),
+        Unique(Seq("l_orderkey", "l_linenumber"))))
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -2424,7 +2463,8 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |CAST(extract(epoch FROM l_shipdate) AS BIGINT) AS ship_epoch
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, ship_epoch"""
+        .stripMargin,
 
     "q03_join_dims" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
@@ -2825,7 +2865,8 @@ object SparkEntry {
         |  (l_extendedprice - s_p/n)/sqrt((ssq_p - s_p*s_p/n)/(n-1))
         |    AS l_extendedprice_z
         |FROM lineitem CROSS JOIN st
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity_minmax,
+        |  l_extendedprice_minmax LIMIT 100""".stripMargin,
 
     // the outer twin: per-user clicks / matched pairs / unmatched
     // clicks — the purchase-side predicates live in the ON clause so
@@ -4231,6 +4272,54 @@ object SparkEntry {
         |CAST(sqrt(CAST(sum(smp*smp) AS DOUBLE) / (8 * 1073741824.0))
         |AS FLOAT) AS rms
         |FROM s GROUP BY 1, 2 ORDER BY media_id, strip""".stripMargin,
+
+    // identical conditional counts (value rules judge non-null values
+    // only; uniqueness = rows minus distinct tuples), long-formed to
+    // one line per rule; labels replicate the Expectation ADT's
+    "q143_expectations" ->
+      """WITH v AS (SELECT
+        |  count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS v0,
+        |  count(CASE WHEN l_quantity IS NOT NULL
+        |    AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 END) AS v1,
+        |  count(CASE WHEN l_discount IS NOT NULL
+        |    AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 END) AS v2,
+        |  count(CASE WHEN l_returnflag IS NOT NULL
+        |    AND l_returnflag NOT IN ('A','N','R') THEN 1 END) AS v3,
+        |  count(CASE WHEN l_linestatus IS NOT NULL
+        |    AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 END)
+        |    AS v4,
+        |  count(*) - count(DISTINCT l_orderkey) AS v5,
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v6
+        |  FROM lineitem)
+        |SELECT rule, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+        |FROM (
+        |  SELECT 'not_null(l_shipdate)' AS rule, v0 AS n_violations FROM v
+        |  UNION ALL SELECT 'in_range(l_quantity, 1.0, 50.0)', v1 FROM v
+        |  UNION ALL SELECT 'in_range(l_discount, 0.0, 0.05)', v2 FROM v
+        |  UNION ALL SELECT 'in_set(l_returnflag, A|N|R)', v3 FROM v
+        |  UNION ALL SELECT 'matches(l_linestatus)', v4 FROM v
+        |  UNION ALL SELECT 'unique(l_orderkey)', v5 FROM v
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v6 FROM v)
+        |ORDER BY rule""".stripMargin,
+
+    // the q31 assignment CTE + the q36 cosine tree, composed: a row is
+    // dropped iff a lower-id same-cluster row clears the threshold
+    "q142_semdedup" ->
+      s"""WITH ${hpAssignSql("vec_id, embedding")},
+        |e AS (SELECT vec_id, embedding, cluster,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM a_),
+        |drp AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  AND (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0 ELSE
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))/(a.nrm*b.nrm)
+        |    END) > 0.45)
+        |SELECT e.cluster, e.vec_id AS id,
+        |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        |FROM e LEFT JOIN drp d ON d.vec_id = e.vec_id
+        |ORDER BY cluster, id""".stripMargin,
 
     // decimated sample j is the EXACT source sample 4j, so the oracle
     // replays the fixture recipe at the picked indices; 16 samples →

@@ -492,6 +492,47 @@ object Dedup {
       embCol: String = "embedding"): DataFrame =
     Similarity.bruteForcePairs(df, threshold, idCol, embCol)
 
+  /** SemDeDup-style cluster-then-dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): assign every embedding to its nearest coarse
+    * centroid (the codegen'd argmin CASE chain), then mark as
+    * duplicates the rows with a LOWER-id same-cluster neighbor above
+    * the cosine threshold — the exact tier's keep-lowest-id rule at
+    * semantic granularity. The cluster bound is the scale device:
+    * candidate pairs are Σ cluster² instead of n² (size k so clusters
+    * stay capped — at corpus scale the coarse fit comes from the
+    * engine's own KMeans, the q40 IVF precedent); the within-cluster
+    * join is an ordinary shuffled equi-join on the cluster id, never
+    * a BNLJ. Assignment is the q31 CASE chain and cosine the
+    * VecDot/norm double tree, so the whole decision is SQL-replayable.
+    *
+    * Returns (cluster, id, keep 0/1) ordered by (cluster, id). */
+  def semDedup(
+      df: DataFrame,
+      centroids: Array[Array[Float]],
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val assigned = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("cluster", assignCol(col("emb"), centroids))
+      .withColumn("nrm", normCol(col("emb")))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val dropped = a.join(b.hint("shuffle_hash"), "cluster")
+      .where(col("id_a") < col("id_b"))
+      .where(when(col("nrm_a") === 0.0 || col("nrm_b") === 0.0, lit(0.0))
+        .otherwise(dotCol(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b"))) > threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("dup", lit(1)), Seq("id"), "left")
+      .select(col("cluster"), col("id"),
+        when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+      .orderBy("cluster", "id")
+  }
+
   /** Sub-quadratic embedding near-dup: banded random-hyperplane LSH
     * candidates + exact cosine verify ([[Similarity.lshNearDupPairs]]). */
   def lshNearDupPairs(

@@ -150,6 +150,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh === brute)
   }
 
+  test("semDedup drops higher-id near-dups within a cluster ONLY") {
+    import spark.implicits._
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val rows = Seq(
+      (1L, Array(0.9f, 0.1f)),    // cluster 0
+      (2L, Array(0.9001f, 0.1f)), // ~parallel to 1, cluster 0 → dropped
+      (3L, Array(0.8f, 0.75f)),   // cluster 0 (0.6025 < 0.7025)
+      (4L, Array(0.75f, 0.8f)),   // cluster 1 — cos(3,4) ≈ 0.998 but
+                                  // cross-cluster: BOTH kept
+      (5L, Array(0.1f, 0.95f))    // cluster 1, not near anything
+    ).toDF("vec_id", "embedding").repartition(3)
+    val got = Dedup.semDedup(rows, cents, threshold = 0.99)
+      .collect().map(r => r.getLong(1) -> (r.getInt(0), r.getInt(2))).toMap
+    assert(got.view.mapValues(_._1).toMap ===
+      Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1))
+    assert(got.view.mapValues(_._2).toMap ===
+      Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1))
+  }
+
   test("bloom gate ≡ anti-join at any fpp; all-dup and all-new edges") {
     val corpus = docs((0 until 200).map(i => (i.toLong, s"corpus text $i")): _*)
       .repartition(5)
