@@ -230,6 +230,30 @@ object SparkEntry {
     s"SELECT vec_id, $dots FROM embeddings ORDER BY vec_id"
   }
 
+  /** q61's latest-per-key oracle — also q144's: the streaming
+    * materialization's final snapshot is exactly the batch answer. */
+  private val latestEventOracle: String =
+    """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |event_id, event_type, value FROM (
+      |SELECT *, row_number() OVER
+      |(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** q87's delta×corpus exact-Jaccard pair oracle — also q145's: the
+    * appended index must probe identically to the one-shot build. */
+  private val minhashProbeOracle: String =
+    """WITH s AS (SELECT doc_id, list_distinct(list_transform(
+      |range(1, length(text) - 6), i -> substr(text, CAST(i AS INT), 8))) AS sh
+      |FROM documents)
+      |SELECT b.doc_id AS id_new, a.doc_id AS id_old,
+      |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      |FROM s a, s b
+      |WHERE a.doc_id % 100 != 45 AND b.doc_id % 100 = 45
+      |AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |len(list_distinct(list_concat(a.sh, b.sh))) > 0.35
+      |ORDER BY id_new, id_old""".stripMargin
+
   /** q138 oracle: the hashing-trick buckets/signs replayed with the
     * identical seeded-md5 arithmetic, generated from one recipe so
     * engine and oracle cannot drift. Feature expressions mirror the
@@ -2246,6 +2270,38 @@ object SparkEntry {
         MatchesRe("l_linestatus", "^[OF]$"),
         Unique(Seq("l_orderkey")),
         Unique(Seq("l_orderkey", "l_linenumber"))))
+    }),
+
+    // Streaming CDC materialization — q61's latest-per-key as a
+    // STREAM: three forced micro-batches (id-hash split, keys cross
+    // batches out of time order) each folded into a persisted parquet
+    // snapshot inside foreachBatch via read-merge-staged-swap; the
+    // associative max(struct) merge makes the final snapshot equal
+    // the batch answer exactly (and re-merges idempotent — the
+    // exactly-once story under foreachBatch's at-least-once contract).
+    "q144_stream_upsert" -> ((s, dir) =>
+      EventWindows.streamUpsertMaterialize(s, dir).orderBy("user_id")),
+
+    // MinHash index APPEND lifecycle (q87's build/probe split + the
+    // q130 append discipline): index built from HALF the corpus, the
+    // other half folded in by appendToMinhashIndex (cost ∝ batch, no
+    // corpus re-banding), then the q87 probe must reproduce the
+    // full-corpus oracle pair set exactly — append ≡ rebuild,
+    // proven end-to-end.
+    "q145_minhash_append" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 100 =!= 45)
+      val delta = docs.where(col("doc_id") % 100 === 45)
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_mhidx_q145_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode))
+      operators.Dedup.writeMinhashIndex(
+        corpus.where(col("doc_id") < 250), base, n = 8)
+      operators.Dedup.appendToMinhashIndex(s, base,
+        corpus.where(col("doc_id") >= 250), n = 8)
+      operators.Dedup
+        .probeMinhashIndex(s, base, corpus, delta, n = 8, threshold = 0.35)
+        .orderBy("id_new", "id_old")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -2979,12 +3035,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
 
-    "q61_latest_event" ->
-      """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-        |event_id, event_type, value FROM (
-        |SELECT *, row_number() OVER
-        |(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q61_latest_event" -> latestEventOracle,
+
+    // the streaming materialization answers to the SAME latest-per-key
+    // oracle: the snapshot after the last micro-batch IS q61's answer
+    "q144_stream_upsert" -> latestEventOracle,
 
     "q62_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
@@ -3331,18 +3386,11 @@ object SparkEntry {
     // exact delta×corpus near-dup pairs, the q33 oracle restricted to
     // the ingest split (predicates push into the join sides, so this
     // stays delta×corpus, not n²)
-    "q87_minhash_probe" ->
-      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
-        |range(1, length(text) - 6), i -> substr(text, CAST(i AS INT), 8))) AS sh
-        |FROM documents)
-        |SELECT b.doc_id AS id_new, a.doc_id AS id_old,
-        |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-        |FROM s a, s b
-        |WHERE a.doc_id % 100 != 45 AND b.doc_id % 100 = 45
-        |AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |len(list_distinct(list_concat(a.sh, b.sh))) > 0.35
-        |ORDER BY id_new, id_old""".stripMargin,
+    "q87_minhash_probe" -> minhashProbeOracle,
+
+    // append ≡ rebuild: the probe over the appended index answers to
+    // the identical full-corpus pair oracle
+    "q145_minhash_append" -> minhashProbeOracle,
 
     // exact token counts with the same threshold arithmetic; the
     // engine's Misra-Gries pass only ever over-generates candidates,

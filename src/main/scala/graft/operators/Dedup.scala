@@ -369,6 +369,45 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Fold an ingest batch into a persisted MinHash band index — the
+    * graph/IVF APPEND lifecycle applied to the dedup tier: band ONLY
+    * the new docs (banding is per-document, so append ≡ rebuild by
+    * construction — the index is a plain (id, band, bh) row set) and
+    * union their rows into the artifact via a staged sibling-dir swap.
+    * Cost ∝ batch; the corpus is never re-banded. Same non-atomic-swap
+    * caveat as [[Graph.appendToGraphTable]]: no concurrent appends or
+    * probes during the swap. Caller must not re-append ids already in
+    * the index (rows would double and inflate candidate generation —
+    * harmless for correctness since probes dedup candidates, but
+    * wasteful). */
+  def appendToMinhashIndex(
+      spark: SparkSession,
+      path: String,
+      delta: DataFrame,
+      n: Int,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val existing =
+      try spark.read.parquet(path).select("id", "band", "bh")
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"no MinHash index at $path (${e.getMessage})")
+      }
+    val bandU = udf((t: String) => minhashBandHashes(t, n, bands, rowsPerBand))
+    val add = delta.select(col(idCol).as("id"),
+      posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
+    val staging = s"${path}_stage"
+    existing.union(add).write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dst),
+      s"rename of $staging failed")
+  }
+
   /** Probe the persisted index with an ingest batch: near-dup
     * `(id_new, id_old, jac)` pairs between `delta` and the indexed
     * corpus, `jac > threshold` exact. The delta's banded hashes

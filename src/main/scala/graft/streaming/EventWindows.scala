@@ -606,6 +606,98 @@ object EventWindows {
         sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
   }
 
+  /** Stream dir for [[streamUpsertMaterialize]]: the events table
+    * split into three files by `event_id mod 3`, fixed increasing
+    * mtimes — keys deliberately CROSS batches and arrive out of
+    * event-time order, so the merge discipline (not arrival order) is
+    * what the oracle equality proves. */
+  private val upsertStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def upsertStreamDir(spark: SparkSession, dir: String): String =
+    upsertStreamDirs.computeIfAbsent(dir, _ => {
+      val base = graft.TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_upsstream_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode))
+      val ev = graft.sources.Tables(spark, dir, "events")
+      (0 until 3).foreach { i =>
+        writeOrderedFile(spark, base, ev.where(col("event_id") % 3 === i),
+          s"part$i.parquet", i)
+      }
+      base
+    })
+
+  /** Streaming CDC materialization — q61's latest-per-key as a STREAM:
+    * each micro-batch is folded into a persisted parquet snapshot
+    * inside `foreachBatch` (read current state → merge → write staged
+    * → swap), the deployment shape of an incrementally-refreshed
+    * serving table. Latest-wins is the `max(struct(ts, event_id, …))`
+    * device — associative and order-independent — so out-of-order
+    * batch splits (ours is an id-hash split, not a time split)
+    * converge to the exact batch answer, and re-running over already-
+    * merged data is a no-op (idempotent, the exactly-once story under
+    * foreachBatch's at-least-once contract). The stream itself is
+    * stateless: all state lives in the snapshot artifact.
+    *
+    * Returns the final snapshot as (user_id, ts_us, event_id,
+    * event_type, value). */
+  def streamUpsertMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val sdir = upsertStreamDir(spark, dir)
+    val stateBase = graft.TempCleanup.register(sys.props("java.io.tmpdir") +
+      s"/graft_upsstate_${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode))
+    val statePath = s"$stateBase/state"
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(stateBase), true)
+    val s = spark.newSession()
+    val schema =
+      s.read.option("pathGlobFilter", "*.parquet").parquet(sdir).schema
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft_ups_ckpt_")
+    def mergeBatch(
+        batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit = {
+      val bLatest = batch.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"))
+      val statePq = new org.apache.hadoop.fs.Path(statePath)
+      val merged =
+        if (!hfs.exists(statePq)) bLatest
+        else s.read.parquet(statePath).unionByName(bLatest)
+          .groupBy(col("user_id")).agg(max(col("last")).as("last"))
+      val stage = s"$stateBase/_stage"
+      merged.write.mode("overwrite").parquet(stage)
+      hfs.delete(statePq, true)
+      require(hfs.rename(new org.apache.hadoop.fs.Path(stage), statePq),
+        "state swap rename failed")
+    }
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(sdir)
+      .writeStream
+      .foreachBatch(mergeBatch _)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      try q.stop()
+      finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val walk = Files.walk(ckpt)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    spark.read.parquet(statePath)
+      .select(col("user_id"), unix_micros(col("last.ts")).as("ts_us"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        col("last.value").as("value"))
+  }
+
   /** Streaming twin of [[graft.operators.TimeSeries.ewma]]: the same
     * exact-decimal recurrence (6-dp input quantization, 9-dp HALF_UP
     * state, α at its shortest decimal representation) kept alive

@@ -248,4 +248,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), p)
     assert(p.contains("partial_min") || "HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q138: the hashing-trick featurizer is a pure map — no exchange, no join") {
+    val p = plan("q138_feature_hash")
+    // everything before the final presentation sort is map-side: the
+    // dim×|cols| CASE terms fold in whole-stage codegen over one scan
+    assert(!p.contains("Join"), p)
+    // only the presentation sort's range exchange (formatted mode
+    // lists each operator once in the tree and once in the details)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) <= 1, p)
+    // the bucket/sign hashes are plain projected expressions
+    assert(p.contains("md5"), p)
+  }
+
+  test("q139: applying the fitted scaler is literal expressions, not a join") {
+    val p = plan("q139_fitted_scaler")
+    // the stats are baked in driver-side — the row scan never joins
+    // the artifact (a 2-column model joined per-row would show here)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q143: the expectation suite is ONE aggregation pass over one scan") {
+    val p = plan("q143_expectations")
+    assert(!p.contains("Join"), p)
+    // one lineitem scan feeds every rule (the multi-distinct Expand
+    // rides the same scan)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) === 1,
+      p)
+  }
 }

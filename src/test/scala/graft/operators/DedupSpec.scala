@@ -150,6 +150,24 @@ class DedupSpec extends SparkSpec {
     assert(lsh === brute)
   }
 
+  test("appendToMinhashIndex ≡ one-shot build; probes agree") {
+    val all = docs((0 until 60).map(i =>
+      (i.toLong, s"document number $i with shared boilerplate text")): _*)
+    val half1 = all.where("doc_id < 30")
+    val half2 = all.where("doc_id >= 30")
+    val d1 = java.nio.file.Files.createTempDirectory("graft_mha_").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_mhb_").toString
+    Dedup.writeMinhashIndex(all, s"$d1/idx", n = 8)
+    Dedup.writeMinhashIndex(half1, s"$d2/idx", n = 8)
+    Dedup.appendToMinhashIndex(spark, s"$d2/idx", half2, n = 8)
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(s"$d2/idx") === rows(s"$d1/idx"))
+    intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(spark, s"$d2/nonexistent", half2, n = 8)
+    }
+  }
+
   test("semDedup drops higher-id near-dups within a cluster ONLY") {
     import spark.implicits._
     val cents = Array(Array(1f, 0f), Array(0f, 1f))

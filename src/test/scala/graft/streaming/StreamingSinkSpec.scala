@@ -64,4 +64,24 @@ class StreamingSinkSpec extends SparkSpec {
     assert(rows.count() == 150, "restored dedup state must drop re-sent ids")
     assert(rows.select("id").distinct().count() == 150)
   }
+
+  test("streamUpsertMaterialize snapshot equals the batch latest-per-key") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventWindows.streamUpsertMaterialize(spark, dir)
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    val batch = graft.sources.Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"), unix_micros(col("last.ts")).as("ts_us"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        col("last.value").as("value"))
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(stream.nonEmpty && stream === batch)
+    // deterministic across full re-runs (fresh state dir per call)
+    val again = EventWindows.streamUpsertMaterialize(spark, dir)
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(again === batch)
+  }
 }
