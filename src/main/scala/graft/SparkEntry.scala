@@ -2302,7 +2302,29 @@ object SparkEntry {
       operators.Dedup
         .probeMinhashIndex(s, base, corpus, delta, n = 8, threshold = 0.35)
         .orderBy("id_new", "id_old")
-    }))
+    }),
+
+    // Cluster-bounded batch ANN JOIN — "3 nearest neighbors for EVERY
+    // vector" at Σ cluster² cost (q142's bound applied to retrieval):
+    // coarse-assign, self-join within clusters, bounded TopK per
+    // query. Exact doubles + (dist, id) tiebreak; the oracle replays
+    // assignment + window-rank.
+    "q146_cluster_knn_join" -> ((s, dir) =>
+      Similarity.clusterKnnJoin(
+        T(s, dir, "embeddings").where(col("vec_id") < 2000)
+          .select(col("vec_id"), col("embedding")),
+        hpCents, k = 3)),
+
+    // Percentile winsorization of the event values to the exact
+    // interpolated [p01, p99] band (quantile_cont semantics, the q47
+    // device): boundaries from one distributed percentile aggregate,
+    // clip as codegen'd least/greatest literals — the outlier-robust
+    // transform before any normalization.
+    "q147_winsorize" -> ((s, dir) =>
+      operators.Quantiles.winsorize(T(s, dir, "events"),
+          "value", 0.01, 0.99, "value_w")
+        .select(col("event_id"), col("value"), col("value_w"))
+        .orderBy("event_id")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4350,6 +4372,32 @@ object SparkEntry {
         |  UNION ALL SELECT 'unique(l_orderkey)', v5 FROM v
         |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v6 FROM v)
         |ORDER BY rule""".stripMargin,
+
+    // assignment CTE + within-cluster self-join + window-rank replay
+    // of the (dist, id)-tiebroken top-3; sqdist is the proven
+    // list_sum fold
+    "q146_cluster_knn_join" ->
+      s"""WITH ${hpAssignSql("vec_id, embedding")},
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  ${sqlSqDistCols("a.embedding", "b.embedding")} AS dist
+        |  FROM a_ a JOIN a_ b ON a.cluster = b.cluster
+        |  AND a.vec_id != b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY dist, neighbor_id) AS rn FROM p)
+        |SELECT query_id, CAST(rn AS BIGINT) AS nb_rank, neighbor_id,
+        |  dist
+        |FROM r WHERE rn <= 3 ORDER BY query_id, nb_rank""".stripMargin,
+
+    // identical interpolated percentiles (quantile_cont ≡ Spark's
+    // percentile, the proven q47 device) baked into the same
+    // least/greatest clip tree
+    "q147_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.01) AS lo,
+        |  quantile_cont(value, 0.99) AS hi FROM events)
+        |SELECT event_id, value,
+        |  CASE WHEN value IS NULL THEN NULL
+        |  ELSE least(greatest(value, lo), hi) END AS value_w
+        |FROM events CROSS JOIN b ORDER BY event_id""".stripMargin,
 
     // the q31 assignment CTE + the q36 cosine tree, composed: a row is
     // dropped iff a lower-id same-cluster row clears the threshold

@@ -44,4 +44,33 @@ object Quantiles {
       .foldLeft(lit(1): Column)(_ + _)
     df.withColumn(outCol, when(col(valueCol).isNotNull, bucket))
   }
+
+  /** Percentile winsorization — clip `valueCol` to its
+    * [pLo, pHi] exact interpolated percentile band (quantile_cont
+    * semantics, the q47 device), the outlier-robust feature transform
+    * trainers apply before normalization. Boundaries come from ONE
+    * distributed partial/final percentile aggregate (constant driver
+    * payload) and are baked in as literals, so the clip itself is one
+    * codegen'd least/greatest per row — two scans total, no join, no
+    * sort. Nulls pass through as nulls. */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      pLo: Double,
+      pHi: Double,
+      outCol: String): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val row = df
+      .agg(percentile(col(valueCol).cast("double"),
+        lit(Array(pLo, pHi))))
+      .first()
+    require(!row.isNullAt(0),
+      s"$valueCol has no non-null values — no percentile band exists")
+    val Seq(lo, hi) = row.getSeq[Double](0)
+    df.withColumn(outCol,
+      when(col(valueCol).isNull, lit(null).cast("double"))
+        .otherwise(least(greatest(col(valueCol).cast("double"), lit(lo)),
+          lit(hi))))
+  }
 }

@@ -366,6 +366,50 @@ object Similarity {
       .orderBy(col("cluster"), desc("dist"), col(idCol))
   }
 
+  /** Cluster-bounded batch ANN JOIN — "k nearest neighbors for EVERY
+    * row" (the related-docs / link-candidates batch job), bounded at
+    * cluster granularity like [[graft.operators.Dedup.semDedup]]:
+    * assign every vector to its coarse centroid (codegen'd argmin
+    * chain), self-join WITHIN clusters only (Σ cluster² candidate
+    * pairs instead of n², an ordinary shuffled equi-join on the
+    * cluster id), and keep each row's k nearest by exact squared
+    * distance on the bounded [[TopK]] aggregator — map-side partial
+    * top-k, so the exchange carries ≤ partitions·k rows per query
+    * where a window-rank form would ship and sort every candidate
+    * pair. Neighbors outside the query's cluster are not candidates —
+    * the standard nprobe=1 recall trade, tunable by centroid count
+    * (at corpus scale fit the quantizer with the engine's KMeans; for
+    * higher recall probe adjacent cells, the q40 IVF device).
+    *
+    * Deterministic: exact double distances, (dist, id) tiebreak.
+    * Returns (query_id, nb_rank, neighbor_id, dist) ordered by
+    * (query_id, nb_rank). */
+  def clusterKnnJoin(
+      df: DataFrame,
+      centroids: Array[Array[Float]],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(k > 0, s"k must be positive, got $k")
+    val assigned = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("cluster", assignCol(col("emb"), centroids))
+    val a = assigned.select(col("cluster"), col("id").as("query_id"),
+      col("emb").as("qe"))
+    val b = assigned.select(col("cluster"), col("id").as("neighbor_id"),
+      col("emb").as("ce"))
+    a.join(b.hint("shuffle_hash"), "cluster")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        sqdistCol(col("ce"), col("qe")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(TopK.smallestK(k)(col("dist"), col("neighbor_id")).as("nb"))
+      .select(col("query_id"), posexplode(col("nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("nb_rank"),
+        col("col.id").as("neighbor_id"), col("col.ord").as("dist"))
+      .orderBy("query_id", "nb_rank")
+  }
+
   /** All-pairs exact cosine similarity above a threshold, for a bounded
     * id range (test/oracle path; the LSH variant is the scale path).
     *

@@ -219,6 +219,38 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import Similarity._
 
+  test("clusterKnnJoin equals a per-cluster brute KNN; cluster-bounded") {
+    import spark.implicits._
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val rnd = new scala.util.Random(41L)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array(rnd.nextFloat(), rnd.nextFloat())))
+    val df = rows.toDF("vec_id", "embedding").repartition(4)
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val cl = rows.map { case (id, e) =>
+      id -> (if (sq(e, cents(0)) <= sq(e, cents(1))) 0 else 1)
+    }.toMap
+    val exp = rows.flatMap { case (qid, qe) =>
+      rows.filter { case (nid, _) => nid != qid && cl(nid) == cl(qid) }
+        .map { case (nid, ne) => (nid, sq(qe, ne)) }
+        .sortBy { case (nid, d) => (d, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, d), r) => (qid, (r + 1).toLong, nid, d) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.clusterKnnJoin(df, cents, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === exp)
+    // every neighbor is in its query's cluster (the nprobe=1 bound)
+    got.foreach { case (q, _, n, _) => assert(cl(q) === cl(n)) }
+  }
+
   test("bruteForceTopK returns exact top-k by dot, id tiebreak") {
     import spark.implicits._
     val df = Seq(

@@ -53,4 +53,36 @@ class QuantilesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("winsorize clips to the exact interpolated band; nulls pass") {
+    import spark.implicits._
+    val vals = (1 to 100).map(_.toDouble)
+    val df = (vals.map(Option(_)) :+ None).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .repartition(5)
+    // interpolated boundary, Spark's arithmetic: pos = p·(n−1),
+    // v[⌊pos⌋] + frac·(v[⌊pos⌋+1] − v[⌊pos⌋])
+    def pct(p: Double): Double = {
+      val pos = p * (vals.size - 1); val lo = pos.toInt
+      vals(lo) + (pos - lo) * (vals(lo + 1) - vals(lo))
+    }
+    val (lo, hi) = (pct(0.1), pct(0.9))
+    val got = Quantiles.winsorize(df, "v", 0.1, 0.9, "w")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i.toLong) === Some(math.min(math.max(v, lo), hi)))
+    }
+    assert(got(100L) === None) // null passes through as null
+    // no Window in the plan (the clip is literal expressions)
+    val plan = Quantiles.winsorize(df, "v", 0.1, 0.9, "w")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    intercept[IllegalArgumentException] {
+      Quantiles.winsorize(df, "v", 0.9, 0.1, "w")
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.winsorize(df.where("v IS NULL"), "v", 0.1, 0.9, "w")
+    }
+  }
 }
