@@ -2324,7 +2324,38 @@ object SparkEntry {
       operators.Quantiles.winsorize(T(s, dir, "events"),
           "value", 0.01, 0.99, "value_w")
         .select(col("event_id"), col("value"), col("value_w"))
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // Contiguous 0-based sample ids in seeded-shuffle order WITHOUT
+    // the single-task global window: range partition + pinned
+    // per-partition counts + broadcast offsets + per-partition
+    // row_number — the "stable sample index" primitive. Oracle = the
+    // global window form (tiny at verification scale, the straggler
+    // at 100 TB).
+    "q148_sequential_ids" -> ((s, dir) =>
+      operators.Sampling.sequentialIds(
+          T(s, dir, "documents").select(col("doc_id")),
+          md5(concat(lit("17-"), col("doc_id").cast("string"))),
+          "sample_id")
+        .orderBy("doc_id")),
+
+    // Snapshot DIFF → change feed (the reconciliation half of the CDC
+    // loop, q85's apply being the other): before = the event table,
+    // after = it with deletes (id % 17 = 0), updates (value + 1 where
+    // id % 13 = 0) and inserts (re-keyed id % 11 rows). One
+    // union-tag + hash aggregate, no full-outer join.
+    "q149_snapshot_diff" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_id"), col("value"))
+      val after = ev.where(col("event_id") % 17 =!= 0)
+        .select(col("event_id"),
+          when(col("event_id") % 13 === 0, col("value") + 1.0)
+            .otherwise(col("value")).as("value"))
+        .unionByName(ev.where(col("event_id") % 11 === 0)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            col("value")))
+      operators.Upsert.snapshotDiff(ev, after, Seq("event_id"))
+        .orderBy("event_id")
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4372,6 +4403,35 @@ object SparkEntry {
         |  UNION ALL SELECT 'unique(l_orderkey)', v5 FROM v
         |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v6 FROM v)
         |ORDER BY rule""".stripMargin,
+
+    // the global-window form IS the oracle: identical seeded-md5
+    // order key (hex strings compare identically), ids 0-based
+    "q148_sequential_ids" ->
+      """SELECT doc_id,
+        |CAST(row_number() OVER (ORDER BY md5('17-' || doc_id)) - 1
+        |  AS BIGINT) AS sample_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full-outer-join replay of the union-tag diff: same
+    // delete/update/insert construction, unchanged keys omitted
+    "q149_snapshot_diff" ->
+      """WITH b AS (SELECT event_id, value FROM events),
+        |a AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 13 = 0 THEN value + 1.0 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 17 != 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000, value FROM events
+        |  WHERE event_id % 11 = 0)
+        |SELECT coalesce(b.event_id, a.event_id) AS event_id,
+        |  CASE WHEN b.event_id IS NULL THEN 'insert'
+        |       WHEN a.event_id IS NULL THEN 'delete'
+        |       WHEN a.value != b.value THEN 'update' END AS op
+        |FROM b FULL JOIN a ON b.event_id = a.event_id
+        |WHERE (b.event_id IS NULL OR a.event_id IS NULL
+        |  OR a.value != b.value)
+        |ORDER BY event_id""".stripMargin,
 
     // assignment CTE + within-cluster self-join + window-rank replay
     // of the (dist, id)-tiebroken top-3; sqdist is the proven

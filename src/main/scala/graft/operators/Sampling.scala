@@ -8,6 +8,52 @@ import org.apache.spark.sql.functions._
   * training mix). */
 object Sampling {
 
+  /** Assign contiguous 0-based sequential ids in the total order of
+    * `orderCol` WITHOUT the single-task global window (`row_number()
+    * OVER (ORDER BY …)` funnels every row through one partition — the
+    * q72 straggler trap applied to ids): range-repartition + sort on
+    * the order key, `localCheckpoint` to PIN the partitioning (the
+    * range sampler may draw different boundaries on a recompute, and
+    * the per-partition counts below must describe the exact partitions
+    * the window later runs on), count rows per partition (P-row driver
+    * payload), broadcast the cumulative offsets back, and add a
+    * PER-PARTITION row_number — every stage parallel at any scale.
+    * The final ids depend only on the total order, not on where the
+    * sampled boundaries fall.
+    *
+    * `orderCol` must be unique (e.g. the q89 seeded-md5 key) — with
+    * ties the order, and so the ids, would be partition-dependent.
+    * This is the "stable sample index" primitive: shuffle a corpus
+    * once, then address examples by id forever. */
+  def sequentialIds(
+      df: DataFrame,
+      orderCol: Column,
+      outCol: String): DataFrame = {
+    require(!df.columns.contains("_graft_pid"),
+      "column name _graft_pid is reserved by sequentialIds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    val sorted = df
+      .withColumn("_graft_ord", orderCol)
+      .repartitionByRange(p, col("_graft_ord"))
+      .sortWithinPartitions("_graft_ord")
+      .withColumn("_graft_pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val counts = sorted.groupBy("_graft_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0 -> 0L) {
+      case ((_, acc), (pid, n)) => pid -> (acc + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = offsets.toSeq.toDF("_graft_pid", "_graft_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_graft_pid").orderBy("_graft_ord")
+    sorted.join(broadcast(offDf), "_graft_pid")
+      .withColumn(outCol,
+        col("_graft_off") + row_number().over(w).cast("long") - 1L)
+      .drop("_graft_pid", "_graft_off", "_graft_ord")
+  }
+
   /** Weighted sample of `k` rows without replacement
     * (Efraimidis–Spirakis A-ES): each row draws `u ∈ (0,1]` from a
     * seeded md5 of its id and scores `key = ln(u)/w`; the k largest

@@ -55,4 +55,55 @@ object Upsert {
         case c => col("_graft_row").getField(c).as(c)
       }: _*)
   }
+
+  /** Diff two snapshots of a keyed table into a change feed:
+    * one row per key whose state differs, tagged `insert` (key only
+    * in `after`), `delete` (only in `before`), or `update` (in both,
+    * payload differs); unchanged keys are omitted. The
+    * validation/reconciliation half of the CDC loop ([[upsert]] is
+    * the apply half): diff(before, after) applied back onto `before`
+    * reproduces `after`.
+    *
+    * Shape at scale: the same no-full-outer-join device as
+    * [[upsert]] — union-with-tag + ONE hash aggregation on the key
+    * (max of a one-or-zero-row struct per side), map-side combine,
+    * single shuffle of (key, payload).
+    *
+    * Precondition: keys unique within each snapshot (the [[upsert]]
+    * contract; a doubly-keyed snapshot would diff an arbitrary
+    * surviving row). Returns (keys…, op) — add payload by joining
+    * back on the key. */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    val cols = before.columns.toSeq
+    require(after.columns.toSeq.sorted == cols.sorted,
+      s"snapshots must share a schema: ${cols.sorted} vs " +
+        s"${after.columns.toSeq.sorted}")
+    require(keys.forall(cols.contains),
+      s"keys ${keys.filterNot(cols.contains)} missing from the snapshots")
+    require(!cols.contains("_graft_side"),
+      "column name _graft_side is reserved by snapshotDiff")
+    val payload = cols.filterNot(keys.contains)
+    require(payload.nonEmpty,
+      "snapshots need at least one non-key column to diff")
+    val tagged = before.select(cols.map(col): _*)
+      .withColumn("_graft_side", lit("b"))
+      .unionByName(after.select(cols.map(col): _*)
+        .withColumn("_graft_side", lit("a")))
+    tagged.groupBy(keys.map(col): _*)
+      .agg(
+        max(when(col("_graft_side") === "b",
+          struct(payload.map(col): _*))).as("pb"),
+        max(when(col("_graft_side") === "a",
+          struct(payload.map(col): _*))).as("pa"))
+      .withColumn("op",
+        when(col("pb").isNull, lit("insert"))
+          .when(col("pa").isNull, lit("delete"))
+          .when(col("pa") =!= col("pb"), lit("update")))
+      .where(col("op").isNotNull)
+      .select(keys.map(col) :+ col("op"): _*)
+  }
 }

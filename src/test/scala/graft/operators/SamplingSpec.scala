@@ -100,4 +100,26 @@ class SamplingSpec extends SparkSpec {
     // weights 20/2 -> quotas round(22*20/22)=20, round(22*2/22)=2
     assert(got === Map("big" -> 20L, "small" -> 2L))
   }
+
+  test("sequentialIds equals the global window form, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0 until 500).map(i => (i.toLong, s"d$i")).toDF("id", "t")
+    val ord = md5(concat(lit("9-"), col("id").cast("string")))
+    for (reshape <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        identity, _.repartition(13), _.repartition(1), _.coalesce(2))) {
+      val got = Sampling.sequentialIds(reshape(df), ord, "sid")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val want = (0 until 500).map(_.toLong)
+        .sortBy(i => {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"9-$i".getBytes("UTF-8"))
+          d.map("%02x".format(_)).mkString
+        })
+        .zipWithIndex.map { case (id, r) => id -> r.toLong }.toMap
+      assert(got === want)
+      // contiguity: exactly 0..n-1
+      assert(got.values.toSeq.sorted === (0L until 500L))
+    }
+  }
 }

@@ -62,4 +62,40 @@ class UpsertSpec extends SparkSpec {
     // makes min_by plan as SortAggregate, not HashAggregate)
     assert("""\(\d+\) \w*Aggregate""".r.findAllIn(p).size >= 2, p)
   }
+
+  test("snapshotDiff classifies insert/delete/update, omits unchanged") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v").repartition(3)
+    val after = Seq(
+      (1L, "a", 10.0),  // unchanged -> omitted
+      (2L, "b", 21.0),  // update (payload differs)
+      (4L, "D", 40.0),  // update (other payload col differs)
+      (5L, "e", 50.0))  // insert; 3 deleted
+      .toDF("k", "s", "v").repartition(2)
+    val got = Upsert.snapshotDiff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "update", 3L -> "delete",
+      4L -> "update", 5L -> "insert"))
+    // one exchange, no join (the upsert plan discipline) — measured on
+    // un-repartitioned inputs so the test's own exchanges don't count
+    val p = Upsert.snapshotDiff(
+        before.collect().toSeq.map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2)))
+          .toDF("k", "s", "v"),
+        after.collect().toSeq.map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2)))
+          .toDF("k", "s", "v"),
+        Seq("k"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+    intercept[IllegalArgumentException] {
+      Upsert.snapshotDiff(before, after.drop("v"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.snapshotDiff(before.select("k"), after.select("k"), Seq("k"))
+    }
+  }
 }
