@@ -2193,10 +2193,18 @@ object SparkEntry {
       val li = T(s, dir, "lineitem")
       operators.Features.fitScaler(
         li, Seq("l_quantity", "l_extendedprice"), s"$base/scaler")
+      // z is ROUNDED to 9 dp (the q48 device): at sf0.1 the
+      // extendedprice² decimal sum's unscaled value (~6e23) exceeds
+      // 2^53, where DuckDB's decimal→double cast and the JVM's
+      // BigDecimal.doubleValue can differ by 1 ulp — observed as a
+      // 1-ulp z divergence in the sf0.1 robustness run. min-max stays
+      // unrounded (min/max are exact doubles at any scale).
       operators.Features.applyScaler(li, s"$base/scaler")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity_minmax"), col("l_quantity_z"),
-          col("l_extendedprice_minmax"), col("l_extendedprice_z"))
+          col("l_quantity_minmax"),
+          round(col("l_quantity_z"), 9).as("l_quantity_z"),
+          col("l_extendedprice_minmax"),
+          round(col("l_extendedprice_z"), 9).as("l_extendedprice_z"))
         // (l_orderkey, l_linenumber) is NOT unique in this data (q143
         // measures 14k surplus rows) — sort by the value columns too,
         // so any remaining ties are bit-identical output rows and the
@@ -2967,11 +2975,12 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
         |  (l_quantity - mn_q)/(mx_q - mn_q) AS l_quantity_minmax,
-        |  (l_quantity - s_q/n)/sqrt((ssq_q - s_q*s_q/n)/(n-1))
+        |  round((l_quantity - s_q/n)/sqrt((ssq_q - s_q*s_q/n)/(n-1)), 9)
         |    AS l_quantity_z,
         |  (l_extendedprice - mn_p)/(mx_p - mn_p)
         |    AS l_extendedprice_minmax,
-        |  (l_extendedprice - s_p/n)/sqrt((ssq_p - s_p*s_p/n)/(n-1))
+        |  round((l_extendedprice - s_p/n)
+        |    /sqrt((ssq_p - s_p*s_p/n)/(n-1)), 9)
         |    AS l_extendedprice_z
         |FROM lineitem CROSS JOIN st
         |ORDER BY l_orderkey, l_linenumber, l_quantity_minmax,
