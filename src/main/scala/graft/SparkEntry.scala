@@ -2363,7 +2363,35 @@ object SparkEntry {
             col("value")))
       operators.Upsert.snapshotDiff(ev, after, Seq("event_id"))
         .orderBy("event_id")
-    }))
+    }),
+
+    // Feature-redundancy screen: all 6 pairwise Pearson correlations
+    // of lineitem's numeric columns in ONE aggregation pass (6-dp
+    // rounding, the q48 device for order-dependent co-moment
+    // aggregates).
+    "q150_corr_matrix" -> ((s, dir) =>
+      operators.Features.correlationMatrix(T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Feature-relevance screen: mutual information (nats) between
+    // event_type and the value QUARTILE (the engine's own
+    // quantileBucket supplies y) — exact joint counts, per-cell terms
+    // rounded to 12 dp and DECIMAL-summed so the scalar is
+    // partition-order-exact and engine-replayable.
+    "q151_mutual_info" -> ((s, dir) =>
+      operators.Features.mutualInformation(
+        operators.Quantiles.quantileBucket(
+          T(s, dir, "events"), "value", 4, "yb"),
+        "event_type", "yb")),
+
+    // Per-segment drift screen: OLS slope of value over time (per
+    // day) from EXACT decimal sums — x is centered on the global min
+    // timestamp so x² stays inside DECIMAL(38); the slope is one
+    // fixed double expression of the exact sums, rounded to 9 dp
+    // (the q139 lesson applied up front).
+    "q152_group_trend" -> ((s, dir) =>
+      operators.Features.groupTrend(T(s, dir, "events"),
+        "event_type", "ts", "value")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4412,6 +4440,67 @@ object SparkEntry {
         |  UNION ALL SELECT 'unique(l_orderkey)', v5 FROM v
         |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v6 FROM v)
         |ORDER BY rule""".stripMargin,
+
+    // same 6 corr aggregates, 6-dp rounded, long-formed
+    "q150_corr_matrix" ->
+      """WITH s AS (SELECT
+        |  round(corr(l_quantity, l_extendedprice), 6) AS c0,
+        |  round(corr(l_quantity, l_discount), 6) AS c1,
+        |  round(corr(l_quantity, l_tax), 6) AS c2,
+        |  round(corr(l_extendedprice, l_discount), 6) AS c3,
+        |  round(corr(l_extendedprice, l_tax), 6) AS c4,
+        |  round(corr(l_discount, l_tax), 6) AS c5
+        |  FROM lineitem)
+        |SELECT col_a, col_b, corr FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    c0 AS corr FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', c1 FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', c2 FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', c3 FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', c4 FROM s
+        |  UNION ALL SELECT 'l_discount', 'l_tax', c5 FROM s)
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    // quartile replication (quantile_cont boundaries, the q72 device)
+    // + the identical MI arithmetic: exact counts, per-cell term
+    // rounded to 12 dp, DECIMAL sum
+    "q151_mutual_info" ->
+      """WITH b AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS qs
+        |  FROM events),
+        |t AS (SELECT event_type AS x, 1
+        |  + (value > qs[1])::INT + (value > qs[2])::INT
+        |  + (value > qs[3])::INT AS y FROM events, b),
+        |j AS (SELECT x, y, count(*) AS c FROM t GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j)
+        |SELECT CAST(sum(CAST(round(
+        |    (CAST(c AS DOUBLE) / n) *
+        |    ln(CAST(c AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)), 12)
+        |  AS DECIMAL(38,12))) AS DOUBLE) AS mi_nats,
+        |  max(n) AS n_rows, count(*) AS n_cells
+        |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n"""
+        .stripMargin,
+
+    // identical exact sums (x centered on the same global min) and
+    // the identical rounded slope expression; x² via HUGEINT (exact,
+    // as is Spark's DECIMAL(38,0))
+    "q152_group_trend" ->
+      """WITH m AS (SELECT min(epoch_us(ts)) AS m0 FROM events),
+        |s AS (SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(epoch_us(ts) - m0 AS HUGEINT)) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(CAST(epoch_us(ts) - m0 AS DECIMAL(20,0))
+        |    * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,4)))
+        |    AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(epoch_us(ts) - m0 AS HUGEINT)
+        |    * CAST(epoch_us(ts) - m0 AS HUGEINT)) AS DOUBLE) AS sxx
+        |  FROM events, m GROUP BY 1)
+        |SELECT event_type, n_rows,
+        |  CASE WHEN n_rows * sxx - sx * sx = 0 THEN NULL
+        |  ELSE round((n_rows * sxy - sx * sy) / (n_rows * sxx - sx * sx)
+        |    * 86400000000.0, 9) END AS slope_per_day
+        |FROM s ORDER BY event_type""".stripMargin,
 
     // the global-window form IS the oracle: identical seeded-md5
     // order key (hex strings compare identically), ids 0-based

@@ -172,6 +172,109 @@ object Features {
     }
   }
 
+  /** All pairwise Pearson correlations of `cols` in ONE aggregation
+    * pass — the feature-redundancy screen before training: k·(k−1)/2
+    * `corr` aggregates (codegen'd central-moment partial/final) over
+    * one scan, long-formed from the single counter row. Rounded to
+    * `dp` decimals (the q48 device — co-moment accumulation is
+    * partition-order-dependent). Returns (col_a, col_b, corr) ordered
+    * by (col_a, col_b); a constant column yields null against
+    * everything. */
+  def correlationMatrix(
+      df: DataFrame, cols: Seq[String], dp: Int = 6): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    require(cols.distinct.size == cols.size,
+      s"columns must be unique, got $cols")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    // corr via try_divide(covar, σ·σ): the builtin `corr` throws
+    // DIVIDE_BY_ZERO under ANSI mode on a zero-variance column, where
+    // the contract here is null — mathematically the same quantity
+    // (the (n−1) factors cancel), and the dp-rounding absorbs the
+    // evaluation-order ulps either way
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      round(try_divide(covar_samp(col(a), col(b)),
+        stddev_samp(col(a)) * stddev_samp(col(b))), dp).as(s"__c$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"__c$i").as("corr"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * feature-relevance screen (how much does knowing x say about y):
+    * MI = Σ_cells p(x,y)·ln(p(x,y)/(p(x)p(y))), from EXACT joint
+    * counts. One (x, y) groupBy builds the cell table; marginals and
+    * the total aggregate from the (tiny) cell table and broadcast
+    * back, so the row data shuffles once. Each cell's term is a fixed
+    * double expression of exact longs, rounded to 12 dp and summed in
+    * DECIMAL (the PageRank contribution device) — the result is
+    * partition-order-exact and engine-replayable. Null categories
+    * count as their own cell. Returns one row (mi_nats, n_rows,
+    * n_cells). */
+  def mutualInformation(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy("x").agg(sum("c").as("cx"))
+    val my = cells.groupBy("y").agg(sum("c").as("cy"))
+    val n = cells.agg(sum("c").as("n"))
+    cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(n))
+      .select(
+        round(
+          (col("c").cast("double") / col("n")) *
+            log(col("c").cast("double") * col("n") /
+              (col("cx").cast("double") * col("cy"))),
+          12).as("term"),
+        col("n"))
+      .agg(
+        sum(col("term").cast(DecimalType(38, 12))).cast("double")
+          .as("mi_nats"),
+        max(col("n")).as("n_rows"),
+        count(lit(1)).as("n_cells"))
+  }
+
+  /** Per-key linear trend (OLS slope of `valCol` over `tsCol`, in
+    * units per day) from EXACT sums — the drift/seasonality screen
+    * per segment: x = epoch micros minus the global minimum (one
+    * tiny pre-aggregate, baked as a literal, keeping x² inside
+    * DECIMAL(38)), then Σx, Σy, Σxy, Σx² are exact DECIMAL
+    * aggregates and the slope one fixed double expression of them,
+    * rounded to 9 dp — the q139 lesson applied up front: the huge
+    * exact sums may cast to double 1 ulp apart across engines, and
+    * the final round absorbs it. Returns (key, n_rows,
+    * slope_per_day) ordered by key; a single-point or zero-variance
+    * key yields null. */
+  def groupTrend(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String): DataFrame = {
+    val minUs = df.agg(min(unix_micros(col(tsCol)))).head().getLong(0)
+    val x = (unix_micros(col(tsCol)) - minUs).cast(DecimalType(20, 0))
+    val y = col(valCol).cast(DecimalType(18, 4))
+    val s = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum((x * y).cast(DecimalType(38, 4))).cast("double").as("sxy"),
+        sum((x * x).cast(DecimalType(38, 0))).cast("double").as("sxx"))
+    val denom = col("n_rows") * col("sxx") - col("sx") * col("sx")
+    s.select(col(keyCol), col("n_rows"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_rows") * col("sxy") - col("sx") * col("sy")) / denom
+              * 86400000000.0, 9))
+          .as("slope_per_day"))
+      .orderBy(keyCol)
+  }
+
   /** Group-aware train/valid/test split: the seeded-md5 coin is
     * flipped on the GROUP key (e.g. the user), so every row of a group
     * lands in the same split — the leakage-hygiene property a per-row

@@ -120,6 +120,69 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("correlationMatrix matches hand Pearson; constant column nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val xs = (0 until 300).map(_ => rnd.nextDouble() * 100)
+    val ys = xs.map(x => 3.0 * x + rnd.nextDouble() * 10) // strongly corr
+    val zs = xs.map(_ => rnd.nextDouble())                // independent-ish
+    val df = xs.indices.map(i => (xs(i), ys(i), zs(i), 5.0))
+      .toDF("x", "y", "z", "k").repartition(4)
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size; val ma = a.sum / n; val mb = b.sum / n
+      val cov = a.zip(b).map { case (u, v) => (u - ma) * (v - mb) }.sum
+      val sa = math.sqrt(a.map(u => (u - ma) * (u - ma)).sum)
+      val sb = math.sqrt(b.map(v => (v - mb) * (v - mb)).sum)
+      cov / (sa * sb)
+    }
+    val got = Features.correlationMatrix(df, Seq("x", "y", "z", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size === 6)
+    assert(math.abs(got(("x", "y")).get - pearson(xs, ys)) < 1e-5)
+    assert(math.abs(got(("x", "z")).get - pearson(xs, zs)) < 1e-5)
+    assert(got(("x", "k")) === None) // zero variance -> null
+    assert(got(("x", "y")).get > 0.99)
+  }
+
+  test("mutualInformation: zero on independence, entropy on identity") {
+    import spark.implicits._
+    // perfectly dependent: y = x -> MI = H(X) = ln 2 (uniform binary)
+    val dep = (0 until 400).map(i => (s"c${i % 2}", i % 2))
+      .toDF("x", "y").repartition(3)
+    val miDep = Features.mutualInformation(dep, "x", "y").head()
+    assert(math.abs(miDep.getDouble(0) - math.log(2.0)) < 1e-9)
+    assert(miDep.getLong(1) === 400L && miDep.getLong(2) === 2L)
+    // independent uniform grid -> MI exactly 0 (every cell term 0)
+    val ind = (0 until 400).map(i => (s"c${i % 2}", (i / 2) % 2))
+      .toDF("x", "y").repartition(3)
+    val miInd = Features.mutualInformation(ind, "x", "y").head()
+    assert(miInd.getDouble(0) === 0.0)
+    assert(miInd.getLong(2) === 4L)
+  }
+
+  test("groupTrend recovers a planted slope exactly; degenerate keys null") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val base = 1700000000000000L
+    // key "a": value = 2.5/day exactly (2-dp values on day marks);
+    // key "b": constant (slope 0); key "c": one point (null)
+    val rows =
+      (0 until 20).map(i => ("a", base + i * dayUs,
+        math.floor((10.0 + 2.5 * i) * 100) / 100)) ++
+      (0 until 9).map(i => ("b", base + i * dayUs, 7.25)) ++
+      Seq(("c", base, 1.0))
+    val df = rows.toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+      .repartition(4)
+    val got = Features.groupTrend(df, "k", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("a") === Some(2.5))
+    assert(got("b") === Some(0.0))
+    assert(got("c") === None) // single point: zero x-variance
+  }
+
   test("groupSplit keeps every group in exactly one split, deterministically") {
     import spark.implicits._
     val rows = (0 until 500).map(i => (i.toLong % 60, i.toLong))
