@@ -2391,7 +2391,17 @@ object SparkEntry {
     // (the q139 lesson applied up front).
     "q152_group_trend" -> ((s, dir) =>
       operators.Features.groupTrend(T(s, dir, "events"),
-        "event_type", "ts", "value")))
+        "event_type", "ts", "value")),
+
+    // Seeded negative sampling (contrastive-training negatives): 4
+    // random non-self partners per document via a dense q148 index +
+    // 48-bit seeded-md5 draws mod n, resolved by ONE hash equi-join —
+    // never a cross join; bit-reproducible under any partitioning or
+    // engine.
+    "q153_negative_samples" -> ((s, dir) =>
+      operators.Sampling.negativeSamples(
+        T(s, dir, "documents").select(col("doc_id")),
+        "doc_id", k = 4, orderSeed = 17L, negSeed = 23L)))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4440,6 +4450,25 @@ object SparkEntry {
         |  UNION ALL SELECT 'unique(l_orderkey)', v5 FROM v
         |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v6 FROM v)
         |ORDER BY rule""".stripMargin,
+
+    // identical dense index (q148's window form), identical 48-bit
+    // md5 draws mod n with the same self-remap, resolved by the same
+    // index join
+    "q153_negative_samples" ->
+      """WITH ids AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('17-' || doc_id)) - 1 AS sid
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM ids),
+        |cand AS (SELECT i.doc_id, i.sid, CAST(r.j AS INT) AS neg_idx,
+        |  CAST(('0x' || substr(md5('23-' || i.sid || '-' || r.j), 1, 12))
+        |    AS BIGINT) % nn.n AS neg0, nn.n AS n
+        |  FROM ids i CROSS JOIN nn CROSS JOIN range(0, 4) r(j)),
+        |fx AS (SELECT doc_id, neg_idx,
+        |  CASE WHEN neg0 = sid THEN (neg0 + 1) % n ELSE neg0 END AS nsid
+        |  FROM cand)
+        |SELECT f.doc_id, f.neg_idx, i2.doc_id AS neg_doc_id
+        |FROM fx f JOIN ids i2 ON i2.sid = f.nsid
+        |ORDER BY 1, 2""".stripMargin,
 
     // same 6 corr aggregates, 6-dp rounded, long-formed
     "q150_corr_matrix" ->

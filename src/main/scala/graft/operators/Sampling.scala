@@ -54,6 +54,49 @@ object Sampling {
       .drop("_graft_pid", "_graft_off", "_graft_ord")
   }
 
+  /** Seeded uniform NEGATIVE sampling — the contrastive-training
+    * primitive (k random non-self partners per row, e.g. in-batch
+    * negatives for embedding training), without a cross join: rows
+    * get a dense 0..n−1 index from [[sequentialIds]] (in seeded-md5
+    * order, so the index itself is stable), each row draws k
+    * candidate indices from a second seeded md5 (48 uniform bits mod
+    * n; self-draws remap to the next index), and ONE ordinary hash
+    * equi-join on the dense index resolves them back to ids. The
+    * shuffle carries (index, draw) longs — ×k of the row count, never
+    * n². Bit-reproducible under any partitioning/retry/engine (the
+    * q89 device twice); the mod-n bias is ≤ n/2⁴⁸, irrelevant for
+    * training negatives.
+    *
+    * Returns (`idCol`, neg_idx 0..k−1, neg_`idCol`) ordered by
+    * (`idCol`, neg_idx). */
+  def negativeSamples(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      orderSeed: Long,
+      negSeed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ids = sequentialIds(df.select(col(idCol)),
+      md5(concat(lit(s"$orderSeed-"), col(idCol).cast("string"))), "sid")
+    val n = ids.count()
+    require(n >= 2, s"need at least 2 rows to draw negatives, got $n")
+    val draw = conv(substring(md5(concat(lit(s"$negSeed-"),
+        col("sid").cast("string"), lit("-"),
+        col("neg_idx").cast("string"))), 1, 12), 16, 10)
+      .cast("long") % n
+    val cand = ids.select(col(idCol), col("sid"),
+        explode(sequence(lit(0), lit(k - 1))).as("neg_idx"))
+      .withColumn("neg0", draw)
+      .withColumn("nsid",
+        when(col("neg0") === col("sid"), (col("neg0") + 1L) % n)
+          .otherwise(col("neg0")))
+    cand
+      .join(ids.select(col("sid").as("nsid"),
+        col(idCol).as(s"neg_$idCol")), "nsid")
+      .select(col(idCol), col("neg_idx"), col(s"neg_$idCol"))
+      .orderBy(idCol, "neg_idx")
+  }
+
   /** Weighted sample of `k` rows without replacement
     * (Efraimidis–Spirakis A-ES): each row draws `u ∈ (0,1]` from a
     * seeded md5 of its id and scores `key = ln(u)/w`; the k largest

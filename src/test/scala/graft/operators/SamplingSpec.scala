@@ -122,4 +122,27 @@ class SamplingSpec extends SparkSpec {
       assert(got.values.toSeq.sorted === (0L until 500L))
     }
   }
+
+  test("negativeSamples: k non-self draws per row, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0 until 97).map(i => Tuple1(i.toLong * 10)).toDF("doc_id")
+    val a = Sampling.negativeSamples(df, "doc_id", k = 5,
+        orderSeed = 3L, negSeed = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // exactly k rows per id, never self
+    assert(a.size === 97 * 5)
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+    a.foreach { case (id, _, neg) => assert(neg !== id) }
+    // negatives come from the corpus
+    val idSet = (0 until 97).map(_.toLong * 10).toSet
+    a.foreach { case (_, _, neg) => assert(idSet.contains(neg)) }
+    // bit-identical under repartitioning (seeded-md5 determinism)
+    val b = Sampling.negativeSamples(df.repartition(13), "doc_id", k = 5,
+        orderSeed = 3L, negSeed = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a === b)
+    // draws are reasonably spread (not collapsed onto few partners)
+    assert(a.map(_._3).distinct.size > 50)
+  }
 }
