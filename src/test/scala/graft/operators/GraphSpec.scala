@@ -932,6 +932,39 @@ class GraphSpec extends SparkSpec {
     } finally gt.unpersist()
   }
 
+  test("shortestPaths parity on a 300-node random weighted digraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val we = (0 until 1200).map { _ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong,
+        (rnd.nextInt(9) + 1).toDouble)
+    }.distinct.filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 1L, 2L, 3L, 4L)
+    def brute(cap: Int): Map[Long, Double] = {
+      val present = we.flatMap(e => Seq(e._1, e._2)).toSet
+      var dist = seeds.filter(present).map(_ -> 0.0).toMap
+      (1 to cap).foreach { _ =>
+        val relax = we
+          .flatMap { case (s, t, w) => dist.get(s).map(d => t -> (d + w)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        dist = (dist.keySet ++ relax.keySet).map { n =>
+          n -> math.min(dist.getOrElse(n, Double.MaxValue),
+            relax.getOrElse(n, Double.MaxValue))
+        }.toMap
+      }
+      dist
+    }
+    val gt = Graph.buildGraphTable(
+      we.toDF("src", "dst", "w").repartition(7), "src", "dst",
+      weightCol = Some("w"), assumeDistinct = true)
+    try {
+      val got = gt.shortestPaths(seeds.toDF("node"), maxRounds = 50)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === brute(50)) // 50 > any shortest path's hop count
+      assert(got.size > 250, s"reach should be near-total, got ${got.size}")
+    } finally gt.unpersist()
+  }
+
   test("edgeJaccard matches the adjacency-set replica") {
     import spark.implicits._
     val sym = randomSym(40, 150, seed = 23L)
