@@ -2401,7 +2401,28 @@ object SparkEntry {
     "q153_negative_samples" -> ((s, dir) =>
       operators.Sampling.negativeSamples(
         T(s, dir, "documents").select(col("doc_id")),
-        "doc_id", k = 4, orderSeed = 17L, negSeed = 23L)))
+        "doc_id", k = 4, orderSeed = 17L, negSeed = 23L)),
+
+    // Robust scaling (x − median)/IQR — the outlier-insensitive twin
+    // of q139's z-score: quartiles from one exact-percentile
+    // aggregate baked as literals, the scale a single codegen'd
+    // subtract+divide; exact parity, no rounding device.
+    "q154_robust_scale" -> ((s, dir) =>
+      operators.Quantiles.robustScale(T(s, dir, "events"), "value", "r")
+        .select(col("event_id"), col("value"), col("r"))
+        .orderBy("event_id")),
+
+    // Frequency (count) encoding of event_type: category counts
+    // broadcast back onto the rows (the row side never shuffles),
+    // fraction one exact-long division — the zero-leakage
+    // categorical encoding next to q132's target encoding.
+    "q155_frequency_encode" -> ((s, dir) =>
+      operators.Features.frequencyEncode(
+          T(s, dir, "events").select(col("event_id"), col("event_type")),
+          "event_type")
+        .select(col("event_id"), col("event_type"),
+          col("event_type_count"), col("event_type_frac"))
+        .orderBy("event_id")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4450,6 +4471,27 @@ object SparkEntry {
         |  UNION ALL SELECT 'unique(l_orderkey)', v5 FROM v
         |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v6 FROM v)
         |ORDER BY rule""".stripMargin,
+
+    // identical quartiles (quantile_cont ≡ Spark percentile, the q47
+    // device) in the identical scale expression
+    "q154_robust_scale" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.25) AS q1,
+        |  quantile_cont(value, 0.5) AS med,
+        |  quantile_cont(value, 0.75) AS q3 FROM events)
+        |SELECT event_id, value,
+        |  CASE WHEN value IS NULL OR q3 - q1 = 0 THEN NULL
+        |  ELSE (value - med) / (q3 - q1) END AS r
+        |FROM events CROSS JOIN b ORDER BY event_id""".stripMargin,
+
+    // identical exact counts and one exact-long division
+    "q155_frequency_encode" ->
+      """WITH c AS (SELECT event_type, count(*) AS event_type_count
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM events)
+        |SELECT e.event_id, e.event_type, c.event_type_count,
+        |  CAST(c.event_type_count AS DOUBLE) / n.n AS event_type_frac
+        |FROM events e JOIN c USING (event_type) CROSS JOIN n
+        |ORDER BY event_id""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -172,6 +172,29 @@ object Features {
     }
   }
 
+  /** Frequency (count) encoding of a categorical column — the
+    * zero-leakage sibling of [[targetEncodeLoo]] (it never sees the
+    * target): each row gains its category's row count and corpus
+    * fraction. One partial/final count aggregate (categories-sized)
+    * broadcast back onto the rows — the row side never shuffles; the
+    * fraction is one division of exact longs, engine-identical. Null
+    * categories encode like any other value. Returns the input plus
+    * (`<cat>_count`, `<cat>_frac`). */
+  def frequencyEncode(df: DataFrame, catCol: String): DataFrame = {
+    val n = df.count()
+    require(n > 0, "cannot frequency-encode an empty frame")
+    require(!df.columns.contains("_graft_cat"),
+      "column name _graft_cat is reserved by frequencyEncode")
+    val counts = df.groupBy(col(catCol).as("_graft_cat"))
+      .agg(count(lit(1)).as(s"${catCol}_count"))
+    // null-safe join key: a plain equi-join would leave null
+    // categories unencoded (null never equi-matches null)
+    df.join(broadcast(counts), col(catCol) <=> col("_graft_cat"), "left")
+      .drop("_graft_cat")
+      .withColumn(s"${catCol}_frac",
+        col(s"${catCol}_count").cast("double") / n)
+  }
+
   /** All pairwise Pearson correlations of `cols` in ONE aggregation
     * pass — the feature-redundancy screen before training: k·(k−1)/2
     * `corr` aggregates (codegen'd central-moment partial/final) over

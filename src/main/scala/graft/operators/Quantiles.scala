@@ -73,4 +73,30 @@ object Quantiles {
         .otherwise(least(greatest(col(valueCol).cast("double"), lit(lo)),
           lit(hi))))
   }
+
+  /** Robust scaling — (x − median)/IQR, the outlier-insensitive
+    * normalization ([[graft.operators.Features.applyScaler]]'s z-score
+    * breaks down when the tail drives mean/σ): p25/p50/p75 from ONE
+    * distributed exact-interpolated percentile aggregate (quantile_cont
+    * semantics, constant driver payload), baked in as literals; the
+    * scale itself is one codegen'd subtract+divide per row — exact
+    * parity with no rounding device (single IEEE ops on identical
+    * doubles). Nulls pass through; a zero IQR yields null, not ±Inf. */
+  def robustScale(
+      df: DataFrame,
+      valueCol: String,
+      outCol: String): DataFrame = {
+    val row = df
+      .agg(percentile(col(valueCol).cast("double"),
+        lit(Array(0.25, 0.5, 0.75))))
+      .first()
+    require(!row.isNullAt(0),
+      s"$valueCol has no non-null values — no quartiles exist")
+    val Seq(q1, med, q3) = row.getSeq[Double](0)
+    val iqr = q3 - q1
+    df.withColumn(outCol,
+      if (iqr == 0.0) lit(null).cast("double")
+      else when(col(valueCol).isNull, lit(null).cast("double"))
+        .otherwise((col(valueCol).cast("double") - med) / iqr))
+  }
 }

@@ -120,6 +120,20 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("frequencyEncode: exact counts/fractions, null category included") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, Some("b")),
+        (4L, None), (5L, None), (6L, None))
+      .toDF("id", "cat").repartition(3)
+    val got = Features.frequencyEncode(df, "cat")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) === ((2L, 2.0 / 6)))
+    assert(got(3L) === ((1L, 1.0 / 6)))
+    assert(got(4L) === ((3L, 3.0 / 6))) // nulls encode as a category
+    assert(got.size === 6)
+  }
+
   test("correlationMatrix matches hand Pearson; constant column nulls") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)

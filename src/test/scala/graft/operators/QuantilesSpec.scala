@@ -85,4 +85,23 @@ class QuantilesSpec extends SparkSpec {
       Quantiles.winsorize(df.where("v IS NULL"), "v", 0.1, 0.9, "w")
     }
   }
+
+  test("robustScale: (x − median)/IQR exactly; constant column null") {
+    import spark.implicits._
+    val vals = (1 to 101).map(_.toDouble) // median 51, q1 26, q3 76
+    val df = (vals.map(Option(_)) :+ None).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .repartition(4)
+    val got = Quantiles.robustScale(df, "v", "r")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i.toLong) === Some((v - 51.0) / 50.0))
+    }
+    assert(got(101L) === None) // null passes through
+    // constant column: zero IQR -> null, never ±Inf
+    val const = (0 until 10).map(i => (i.toLong, 3.0)).toDF("id", "v")
+    assert(Quantiles.robustScale(const, "v", "r")
+      .where(col("r").isNotNull).count() === 0L)
+  }
 }
