@@ -2422,7 +2422,19 @@ object SparkEntry {
           "event_type")
         .select(col("event_id"), col("event_type"),
           col("event_type_count"), col("event_type_frac"))
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // Adamic-Adar link prediction on the part↔part co-purchase graph:
+    // non-adjacent 2-hop pairs scored by Σ 1/ln(deg) over common
+    // neighbors (per-term 12-dp round + DECIMAL sum — the q104/q116
+    // exactness device), hub centers capped at deg ≤ 100: a
+    // center's evidence is already the weakest at high degree, and the
+    // cap bounds wedge fan-out at Σ C(min(deg,100), 2) — the knob that
+    // keeps the inherently-quadratic-in-degree score linear-ish at
+    // 100 TB. Top-20 candidate links.
+    "q156_adamic_adar" -> ((s, dir) =>
+      graphTable(s, dir, "copurchase").adamicAdar(maxDegree = 100)
+        .limit(20)))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4492,6 +4504,34 @@ object SparkEntry {
         |  CAST(c.event_type_count AS DOUBLE) / n.n AS event_type_frac
         |FROM events e JOIN c USING (event_type) CROSS JOIN n
         |ORDER BY event_id""".stripMargin,
+
+    // same 12-dp-rounded 1/ln(deg) terms summed in DECIMAL(38,12),
+    // same deg ≤ 100 hub cap, same (u < w) wedge orientation and
+    // existing-edge anti-join; ln and the 12-dp round agree bit-wise
+    // across engines on these magnitudes (the q104 argument)
+    "q156_adamic_adar" ->
+      """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |pe AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS s1,
+        |  b.l_partkey AS s2
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM pe
+        |  UNION ALL SELECT s2, s1 FROM pe),
+        |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+        |  FROM sym GROUP BY 1),
+        |nb AS MATERIALIZED (SELECT sym.src AS b, sym.dst AS n,
+        |  CAST(round(1.0 / ln(deg), 12) AS DECIMAL(38,12)) AS term
+        |  FROM sym JOIN deg ON deg.node = sym.src
+        |  WHERE deg BETWEEN 2 AND 100),
+        |sc AS (SELECT x.n AS u, y.n AS w, sum(x.term) AS aa_dec,
+        |  count(*) AS common
+        |  FROM nb x JOIN nb y ON x.b = y.b AND x.n < y.n
+        |  GROUP BY 1, 2)
+        |SELECT sc.u AS src, sc.w AS dst, CAST(common AS BIGINT)
+        |  AS common, CAST(aa_dec AS DOUBLE) AS aa
+        |FROM sc ANTI JOIN pe ON pe.s1 = sc.u AND pe.s2 = sc.w
+        |ORDER BY aa DESC, src, dst LIMIT 20""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -985,6 +985,52 @@ class GraphSpec extends SparkSpec {
     } finally gt.unpersist()
   }
 
+  test("adamicAdar matches the adjacency-set replica, hub cap applied") {
+    import spark.implicits._
+    val sym = randomSym(40, 150, seed = 29L)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val edgeSet = sym.toSet
+    val cap = 9 // excludes some centers of this graph (max deg ~12)
+    assert(adj.values.exists(_.size > cap),
+      "fixture must contain at least one capped hub")
+    def term(b: Long): BigDecimal =
+      BigDecimal(1.0 / math.log(adj(b).size.toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val nodes = adj.keySet
+    val exp = (for {
+      u <- nodes.toSeq; w <- nodes.toSeq
+      if u < w && !edgeSet.contains((u, w))
+      cs = (adj(u) & adj(w))
+        .filter(b => adj(b).size >= 2 && adj(b).size <= cap)
+      if cs.nonEmpty
+    } yield (u, w, cs.size.toLong, cs.toSeq.map(term).sum.toDouble)).toSet
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    try {
+      val got = gt.adamicAdar(maxDegree = cap).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === exp)
+    } finally gt.unpersist()
+  }
+
+  test("adamicAdar refuses a directed feed and a degenerate cap") {
+    import spark.implicits._
+    val gt = Graph.buildGraphTable(
+      Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst"), "src", "dst")
+    try {
+      assert(intercept[IllegalArgumentException](gt.adamicAdar())
+        .getMessage.contains("symmetric"))
+    } finally gt.unpersist()
+    val sym2 = Seq(1L -> 2L, 2L -> 1L)
+    val gt2 = Graph.buildGraphTable(
+      sym2.toDF("src", "dst"), "src", "dst")
+    try {
+      assert(intercept[IllegalArgumentException](
+        gt2.adamicAdar(maxDegree = 1)).getMessage.contains("maxDegree"))
+    } finally gt2.unpersist()
+  }
+
   test("appendToGraphTable: append ≡ rebuild, unweighted and weighted") {
     import spark.implicits._
     def artDir(tag: String): String = {
