@@ -2434,7 +2434,30 @@ object SparkEntry {
     // 100 TB. Top-20 candidate links.
     "q156_adamic_adar" -> ((s, dir) =>
       graphTable(s, dir, "copurchase").adamicAdar(maxDegree = 100)
-        .limit(20)))
+        .limit(20)),
+
+    // CountMin sketch: depth-4 × width-2048 counter table over part
+    // frequencies (md5-derived row hashes — engine-portable, so the
+    // whole sketch is SQL-replayable), probed for the 20 true-heaviest
+    // parts next to their exact counts. est ≥ true by construction;
+    // the only shuffle carries depth·width-bounded post-combine
+    // partials, never the key dictionary, and disjoint-corpus sketches
+    // merge by counter sum (FrequencySpec) — the bounded-memory
+    // frequency oracle for 100-TB key universes.
+    "q157_countmin" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_partkey"))
+      val cms = operators.Frequency.countMinSketch(
+        li, "l_partkey", depth = 4, width = 2048)
+      val truth = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), col("l_partkey")).limit(20)
+      operators.Frequency.countMinEstimate(
+          cms, truth.select("l_partkey"), "l_partkey",
+          depth = 4, width = 2048)
+        .join(truth, "l_partkey")
+        .select(col("l_partkey"), col("true_cnt"), col("est"))
+        .orderBy(desc("true_cnt"), col("l_partkey"))
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4532,6 +4555,27 @@ object SparkEntry {
         |  AS common, CAST(aa_dec AS DOUBLE) AS aa
         |FROM sc ANTI JOIN pe ON pe.s1 = sc.u AND pe.s2 = sc.w
         |ORDER BY aa DESC, src, dst LIMIT 20""".stripMargin,
+
+    // identical md5-hex row hashes mod 2048, identical counter
+    // GROUP BY and min-probe; every value integer-exact
+    "q157_countmin" ->
+      """WITH k AS MATERIALIZED (SELECT l_partkey AS k FROM lineitem),
+        |cnt AS MATERIALIZED (SELECT k, count(*) AS true_cnt FROM k
+        |  GROUP BY 1),
+        |top AS MATERIALIZED (SELECT k, true_cnt FROM cnt
+        |  ORDER BY true_cnt DESC, k LIMIT 20),
+        |sk AS MATERIALIZED (SELECT r.i,
+        |  ('0x' || substr(md5(r.i || '-' || k.k), 1, 8))::BIGINT % 2048
+        |    AS idx, count(*) AS cnt
+        |  FROM k CROSS JOIN range(0, 4) r(i) GROUP BY 1, 2),
+        |est AS (SELECT t.k, t.true_cnt,
+        |  min(coalesce(sk.cnt, 0)) AS est
+        |  FROM top t CROSS JOIN range(0, 4) r(i)
+        |  LEFT JOIN sk ON sk.i = r.i AND sk.idx =
+        |    ('0x' || substr(md5(r.i || '-' || t.k), 1, 8))::BIGINT % 2048
+        |  GROUP BY 1, 2)
+        |SELECT k AS l_partkey, true_cnt, est FROM est
+        |ORDER BY true_cnt DESC, l_partkey""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -103,4 +103,57 @@ object Frequency {
       .where(col("cnt") >= minCount)
       .orderBy(desc("cnt"), col("tok"))
   }
+
+  // ------------------------------------------------------- CountMin
+
+  /** Row index of CountMin row `i` for a key: the first 8 hex chars
+    * of md5("i-" || key) read as an unsigned 32-bit int, mod `width`.
+    * Deterministic, engine-portable (md5 + base-16 parse exist
+    * everywhere), and independent per row via the "i-" prefix. */
+  private def cmIdx(i: Int, key: org.apache.spark.sql.Column,
+      width: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit(s"$i-"), key.cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(width.toLong))
+
+  /** CountMin sketch of `keyCol` frequencies: a `(i, idx, cnt)` table
+    * of depth·width counters, `cnt` = how many rows hashed to row
+    * `i`, column `idx`. The complement of [[heavyHitters]]: that one
+    * answers "which keys are heavy" exactly; this one answers "how
+    * heavy is ANY key" approximately (est ≥ true, est ≤ true + εN
+    * with prob 1−δ at width=⌈e/ε⌉, depth=⌈ln 1/δ⌉ — Cormode &
+    * Muthukrishnan 2005). Scale posture: the only shuffle carries
+    * post-combine partials bounded by depth·width PER PARTITION —
+    * never the key dictionary — and sketches of disjoint corpora
+    * merge by counter-wise SUM ([[countMinMerge]]), so a 100-TB build
+    * is one map pass + a bounded-size reduce, and incremental
+    * maintenance is merge-not-rebuild. */
+  def countMinSketch(
+      df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be 1..16, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.select(posexplode(array((0 until depth).map(i =>
+        cmIdx(i, col(keyCol), width)): _*)).as(Seq("i", "idx")))
+      .groupBy("i", "idx").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `keys` (a one-column frame named `keyCol`)
+    * from a [[countMinSketch]]: est(key) = min over rows of the
+    * key's counter. The sketch side is depth·width rows — broadcast,
+    * so the probe never shuffles the key side. A key hashing to an
+    * untouched counter estimates 0 via the coalesce (the counter
+    * table stores no explicit zeros). */
+  def countMinEstimate(
+      sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol),
+        posexplode(array((0 until depth).map(i =>
+          cmIdx(i, col(keyCol), width)): _*)).as(Seq("i", "idx")))
+      .join(broadcast(sketch), Seq("i", "idx"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Counter-wise sum of two sketches built with the SAME depth and
+    * width: the sketch of the concatenated corpora, exactly. */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("i", "idx").agg(sum(col("cnt")).as("cnt"))
 }

@@ -47,4 +47,54 @@ class FrequencySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))
   }
+
+  // ------------------------------------------------------- CountMin
+
+  private def cmFixture = {
+    // zipf-ish: 'a'×50, 'b'×20, 'c'×8, 30 singletons
+    val data = Seq.fill(50)("a") ++ Seq.fill(20)("b") ++ Seq.fill(8)("c") ++
+      (1 to 30).map(i => s"s$i")
+    toks(new scala.util.Random(7).shuffle(data): _*).repartition(5)
+  }
+
+  test("countMin estimates dominate true counts; exact when wide") {
+    val df = cmFixture
+    val truth = df.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+    def ests(width: Int) = Frequency.countMinEstimate(
+        Frequency.countMinSketch(df, "tok", depth = 4, width = width),
+        truth.select("tok"), "tok", depth = 4, width = width)
+      .join(truth, "tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // narrow sketch: overestimates allowed, underestimates never
+    val narrow = ests(width = 8)
+    assert(narrow.forall { case (_, est, t) => est >= t })
+    assert(narrow.length === 33)
+    // wide sketch: 4 independent rows of 4096 cells over 33 keys —
+    // a min-of-4 collision survivor is (33²/2/4096)⁴-improbable, and
+    // this fixed fixture has none
+    assert(ests(width = 4096).forall { case (_, est, t) => est === t })
+  }
+
+  test("countMinMerge of disjoint halves equals the full-corpus sketch") {
+    val df = cmFixture.withColumn(
+      "half", pmod(xxhash64(col("tok")), lit(2)))
+    val a = Frequency.countMinSketch(
+      df.where(col("half") === 0), "tok", depth = 3, width = 16)
+    val b = Frequency.countMinSketch(
+      df.where(col("half") === 1), "tok", depth = 3, width = 16)
+    val merged = Frequency.countMinMerge(a, b)
+      .orderBy("i", "idx").collect().toSeq
+    val full = Frequency.countMinSketch(df, "tok", depth = 3, width = 16)
+      .orderBy("i", "idx").collect().toSeq
+    assert(merged === full)
+  }
+
+  test("countMin sketch build carries no key column past the explode") {
+    // the shuffle moves (i, idx) partials only — the plan must not
+    // reference the key column after the projection feeding the agg
+    val plan = Frequency.countMinSketch(cmFixture, "tok", 4, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("Exchange hashpartitioning(tok"), plan)
+  }
 }
