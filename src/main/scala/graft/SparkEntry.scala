@@ -2457,6 +2457,17 @@ object SparkEntry {
         .join(truth, "l_partkey")
         .select(col("l_partkey"), col("true_cnt"), col("est"))
         .orderBy(desc("true_cnt"), col("l_partkey"))
+    }),
+
+    // Jensen-Shannon token-distribution drift between the en and de
+    // document cohorts: per-token ½p·ln(p/m)+½q·ln(q/m) contributions
+    // (0·ln0 = 0), 12-dp single-rounded — the corpus-mix drift monitor
+    // run between snapshots/sources before retraining. Top-20 naming
+    // WHAT drifted; their sum is the JSD.
+    "q158_js_drift" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      operators.TextAnalysis.distributionDrift(
+        d.where(col("lang") === "en"), d.where(col("lang") === "de"))
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -4576,6 +4587,34 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT k AS l_partkey, true_cnt, est FROM est
         |ORDER BY true_cnt DESC, l_partkey""".stripMargin,
+
+    // same token split, same p/q/m expression order, one 12-dp round
+    // of the final double — ln agrees bit-wise at these magnitudes
+    // (the q104 argument)
+    "q158_js_drift" ->
+      """WITH tk AS MATERIALIZED (SELECT lang,
+        |  unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |ca AS MATERIALIZED (SELECT tok, count(*) AS c FROM tk
+        |  WHERE lang = 'en' GROUP BY 1),
+        |cb AS MATERIALIZED (SELECT tok, count(*) AS c FROM tk
+        |  WHERE lang = 'de' GROUP BY 1),
+        |na AS (SELECT CAST(sum(c) AS DOUBLE) AS na FROM ca),
+        |nb AS (SELECT CAST(sum(c) AS DOUBLE) AS nb FROM cb),
+        |j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+        |  coalesce(ca.c, 0) AS cnt_a, coalesce(cb.c, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        |t AS (SELECT tok, cnt_a, cnt_b,
+        |  CAST(cnt_a AS DOUBLE) / na AS p, CAST(cnt_b AS DOUBLE) / nb AS q
+        |  FROM j CROSS JOIN na CROSS JOIN nb)
+        |SELECT tok, cnt_a, cnt_b,
+        |  round((CASE WHEN cnt_a = 0 THEN 0.0
+        |      ELSE p * ln(p / ((p + q) / 2.0)) END) * 0.5
+        |    + (CASE WHEN cnt_b = 0 THEN 0.0
+        |      ELSE q * ln(q / ((p + q) / 2.0)) END) * 0.5, 12)
+        |    AS jsd_term
+        |FROM t ORDER BY jsd_term DESC, tok LIMIT 20""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

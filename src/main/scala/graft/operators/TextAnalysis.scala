@@ -221,4 +221,52 @@ object TextAnalysis {
       .orderBy(desc("pmi"), col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Token-distribution drift between two corpora: the per-token
+    * Jensen-Shannon contribution ½·p·ln(p/m) + ½·q·ln(q/m) with
+    * m = (p+q)/2 and the 0·ln0 = 0 convention — symmetric, bounded,
+    * and defined where one side's probability is zero (where raw KL
+    * diverges). The drift monitor a corpus-mix pipeline runs between
+    * snapshots or sources before retraining; top-`topK` contributors
+    * name WHAT drifted, their sum is the JSD. Per-token output is
+    * rounded once to 12 dp (single-rounding exactness — no summation
+    * device needed). Scale: two token-count aggregates, one full-outer
+    * join on token, totals as one-row cross joins — nothing driver
+    * resident but the two totals. */
+  def distributionDrift(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String = "text",
+      topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(filter(split(col(textCol), "[^A-Za-z]+"),
+        t => t =!= lit(""))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ca = counts(a).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = counts(b).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one bounded row each (the collocations precedent); an empty
+    // cohort has no distribution to compare against
+    val na = Option(ca.agg(sum("c")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    val nb = Option(cb.agg(sum("c")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    require(na > 0 && nb > 0,
+      s"both corpora must tokenize non-empty (got $na and $nb tokens)")
+    val p = col("cnt_a").cast("double") / lit(na.toDouble)
+    val q = col("cnt_b").cast("double") / lit(nb.toDouble)
+    def half(prob: Column, cnt: Column): Column =
+      when(cnt === 0, lit(0.0))
+        .otherwise(prob * log(prob / ((p + q) / lit(2.0)))) * lit(0.5)
+    val out = ca.withColumnRenamed("c", "cnt_a")
+      .join(cb.withColumnRenamed("c", "cnt_b"), Seq("tok"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .select(col("tok"), col("cnt_a"), col("cnt_b"),
+        round(half(p, col("cnt_a")) + half(q, col("cnt_b")), 12)
+          .as("jsd_term"))
+      .orderBy(desc("jsd_term"), col("tok"))
+      .limit(topK)
+      .localCheckpoint(eager = true)
+    ca.unpersist(blocking = false)
+    cb.unpersist(blocking = false)
+    out.orderBy(desc("jsd_term"), col("tok"))
+  }
 }

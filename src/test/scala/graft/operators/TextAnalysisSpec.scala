@@ -296,4 +296,41 @@ class SourcesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSet === Set(("alpha", "beta", 1L), ("beta", "alpha", 1L)))
   }
+
+  test("distributionDrift matches the hand JSD on a two-token shift") {
+    import spark.implicits._
+    // A: 3 'x', 1 'y' -> p(x)=.75; B: 1 'x', 3 'y' -> q(x)=.25
+    val a = Seq("x x x y").toDF("text")
+    val b = Seq("x y y y").toDF("text")
+    def termOf(p: Double, q: Double): Double = {
+      val t = 0.5 * (p * math.log(p / ((p + q) / 2.0))) +
+        0.5 * (q * math.log(q / ((p + q) / 2.0)))
+      BigDecimal(t).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextAnalysis.distributionDrift(a, b).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === Set(
+      ("x", 3L, 1L, termOf(0.75, 0.25)),
+      ("y", 1L, 3L, termOf(0.25, 0.75))))
+  }
+
+  test("distributionDrift: identical corpora score zero, one-sided " +
+    "tokens get the ln-2 bound, empty cohorts refuse") {
+    import spark.implicits._
+    val a = Seq("alpha beta beta").toDF("text")
+    val same = TextAnalysis.distributionDrift(a, a).collect()
+    assert(same.forall(_.getDouble(3) === 0.0))
+    // token only in A at p: term = ½p·ln2 (q = 0 side contributes 0)
+    val b = Seq("alpha beta beta only").toDF("text")
+    val gotOnly = TextAnalysis.distributionDrift(a, b).collect()
+      .find(_.getString(0) == "only").get
+    val half = BigDecimal(0.5 * (0.25 * math.log(2.0)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((gotOnly.getLong(1), gotOnly.getLong(2),
+      gotOnly.getDouble(3)) === ((0L, 1L, half)))
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.distributionDrift(a, Seq("123 456").toDF("text")))
+    assert(e.getMessage.contains("non-empty"))
+  }
 }
