@@ -2468,7 +2468,18 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       operators.TextAnalysis.distributionDrift(
         d.where(col("lang") === "en"), d.where(col("lang") === "de"))
-    }))
+    }),
+
+    // Streaming per-key quantiles from a fixed-bin histogram held in
+    // flatMapGroupsWithState state: p50/p90 of value per event_type at
+    // bin width 5 — state bounded by OCCUPIED bins (range/width), not
+    // event count, which is what makes the quantile streamable. The
+    // rank is integer ⌈n·num/den⌉; the estimate a bin lower edge —
+    // bit-replayable by the batch cumulative-histogram oracle.
+    "q159_stream_quantile" -> ((s, dir) =>
+      streaming.EventWindows.streamHistogramQuantile(s, dir,
+        binWidth = 5.0,
+        quantiles = Seq(("p50", 1L, 2L), ("p90", 9L, 10L)))))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4615,6 +4626,29 @@ object SparkEntry {
         |      ELSE q * ln(q / ((p + q) / 2.0)) END) * 0.5, 12)
         |    AS jsd_term
         |FROM t ORDER BY jsd_term DESC, tok LIMIT 20""".stripMargin,
+
+    // batch replay of the streaming histogram: same ⌊value/5⌋ bins,
+    // same integer ceil-rank, same lower-edge estimate — the
+    // verification input is single-batch so stream ≡ batch exactly
+    "q159_stream_quantile" ->
+      """WITH b AS MATERIALIZED (SELECT event_type,
+        |  CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS MATERIALIZED (SELECT event_type, sum(c) AS n FROM b
+        |  GROUP BY 1),
+        |cum AS MATERIALIZED (SELECT event_type, bin,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |  FROM b),
+        |q(qname, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10)),
+        |sel AS (SELECT c.event_type, q.qname, min(c.bin) AS mbin
+        |  FROM cum c JOIN n USING (event_type) CROSS JOIN q
+        |  WHERE c.cum >= (n.n * q.num + q.den - 1) // q.den
+        |  GROUP BY 1, 2)
+        |SELECT s.event_type, s.qname, CAST(n.n AS BIGINT) AS n_events,
+        |  s.mbin * 5.0 AS est
+        |FROM sel s JOIN n USING (event_type)
+        |ORDER BY event_type, qname""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -759,4 +759,75 @@ object EventWindows {
     }
       .orderBy("user_id", "event_id")
   }
+
+  /** Streaming per-key quantile estimation from a fixed-bin histogram
+    * kept in `flatMapGroupsWithState` state: each value lands in bin
+    * ⌊value/binWidth⌋ (one codegen'd floor BEFORE the stateful
+    * operator — the kernel only counts), the estimate for quantile
+    * num/den is the lower edge of the first bin whose cumulative count
+    * reaches ⌈n·num/den⌉ (integer arithmetic — no float rank). State
+    * per key is bounded by the OCCUPIED bin count (value range ÷
+    * binWidth), never by the event count — the difference between a
+    * streamable quantile and buffering the feed. Every trigger emits
+    * the estimate-so-far per quantile (n is strictly increasing per
+    * key, so the update log collapses deterministically by max-n);
+    * long-form output `(event_type, qname, n_events, est)`. */
+  def streamHistogramQuantile(
+      spark: SparkSession,
+      dir: String,
+      binWidth: Double,
+      quantiles: Seq[(String, Long, Long)],
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (qn, num, den) =>
+      require(num >= 1 && num <= den,
+        s"quantile $qn must have 1 <= num <= den, got $num/$den")
+    }
+
+    def step(
+        key: String,
+        rows: Iterator[(String, Long)],
+        state: GroupState[Map[Long, Long]]):
+        Iterator[(String, String, Long, Double)] = {
+      val h = scala.collection.mutable.HashMap[Long, Long]() ++
+        state.getOption.getOrElse(Map.empty)
+      rows.foreach { r =>
+        h.update(r._2, h.getOrElse(r._2, 0L) + 1L)
+      }
+      state.update(h.toMap)
+      val n = h.valuesIterator.sum
+      val sorted = h.toArray.sortBy(_._1)
+      quantiles.iterator.map { case (qn, num, den) =>
+        val k = (n * num + den - 1L) / den
+        var cum = 0L
+        val bin = sorted.iterator.map { case (b, c) =>
+          cum += c; (b, cum)
+        }.collectFirst { case (b, c) if c >= k => b }.get
+        (key, qn, n, bin * binWidth)
+      }
+    }
+
+    runToMemory(spark, "append", statePartitions = 8) { s =>
+      eventsStream(s, dir, glob, maxFilesPerTrigger)
+        .where(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") / lit(binWidth)).cast("long").as("bin"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+        .toDF("event_type", "qname", "n_events", "est")
+    }
+      // n is strictly increasing per (key, qname) across triggers —
+      // the lexicographic struct max IS the final estimate
+      .groupBy("event_type", "qname")
+      .agg(max(struct(col("n_events"), col("est"))).as("m"))
+      .select(col("event_type"), col("qname"),
+        col("m.n_events").as("n_events"), col("m.est").as("est"))
+      .orderBy("event_type", "qname")
+  }
 }
