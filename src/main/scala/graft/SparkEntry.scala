@@ -2479,7 +2479,22 @@ object SparkEntry {
     "q159_stream_quantile" -> ((s, dir) =>
       streaming.EventWindows.streamHistogramQuantile(s, dir,
         binWidth = 5.0,
-        quantiles = Seq(("p50", 1L, 2L), ("p90", 9L, 10L)))))
+        quantiles = Seq(("p50", 1L, 2L), ("p90", 9L, 10L)))),
+
+    // Bipartite projection: the customer–part incidence projected onto
+    // customers (edge weight = shared distinct parts), right-side hubs
+    // capped at 40 incident customers BEFORE the C(d,2) pair expansion
+    // — the graph-construction op that feeds the graph tier, with the
+    // knob that keeps a bestseller part from dominating the job at
+    // 100 TB. Top-20 strongest co-purchase ties.
+    "q160_bipartite_project" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val cp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      operators.Graph.bipartiteProject(cp, "c", "p", maxRightDegree = 40)
+        .orderBy(desc("w"), col("src"), col("dst")).limit(20)
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4649,6 +4664,20 @@ object SparkEntry {
         |  s.mbin * 5.0 AS est
         |FROM sel s JOIN n USING (event_type)
         |ORDER BY event_type, qname""".stripMargin,
+
+    // same distinct incidence, same HAVING-count hub cap, same
+    // oriented pair expansion; weights integer-exact
+    "q160_bipartite_project" ->
+      """WITH cp AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+        |  l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |keep AS MATERIALIZED (SELECT p FROM cp GROUP BY p
+        |  HAVING count(*) <= 40),
+        |pr AS MATERIALIZED (SELECT cp.c, cp.p FROM cp JOIN keep
+        |  USING (p))
+        |SELECT a.c AS src, b.c AS dst, count(*) AS w
+        |FROM pr a JOIN pr b ON a.p = b.p AND a.c < b.c
+        |GROUP BY 1, 2 ORDER BY w DESC, src, dst LIMIT 20""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -1344,6 +1344,45 @@ object Graph {
     out.orderBy(desc("aa"), col("src"), col("dst"))
   }
 
+  /** Project a bipartite (left, right) incidence onto its left nodes:
+    * an undirected weighted edge per left pair sharing ≥1 right node,
+    * weight = the number of shared rights — the co-purchase /
+    * co-occurrence graph builder that feeds [[buildGraphTable]].
+    * `maxRightDegree` drops right-side hubs BEFORE the pair expansion:
+    * a right node incident to d lefts expands to C(d,2) pairs, so one
+    * 100-TB-scale hub (a bestseller part, a boilerplate token) would
+    * otherwise dominate the whole job while carrying the least
+    * information per pair — the standard cost/quality knob (same
+    * argument as [[adamicAdarImpl]]'s cap), applied as an exact
+    * degree filter so the result is deterministic and oracle-checkable.
+    * Output is oriented (src < dst); union the swap for a symmetric
+    * double-edged feed. */
+  def bipartiteProject(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxRightDegree: Int): DataFrame = {
+    require(maxRightDegree >= 2,
+      s"maxRightDegree must be >= 2, got $maxRightDegree")
+    val lp = pairs
+      .select(col(leftCol).as("l"), col(rightCol).as("r")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keep = lp.groupBy("r").agg(count(lit(1)).as("dc"))
+      .where(col("dc") <= maxRightDegree)
+      .select("r")
+    val pruned = lp.join(keep, "r")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = pruned.select(col("r"), col("l").as("src"))
+      .join(pruned.select(col("r"), col("l").as("dst"))
+        .hint("shuffle_hash"), "r")
+      .where(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint(eager = true)
+    pruned.unpersist(blocking = false)
+    lp.unpersist(blocking = false)
+    out
+  }
+
   /** Unpersist the cached RDD behind an eager `localCheckpoint`ed
     * frame (Dataset.unpersist only reaches CacheManager entries, not
     * checkpoint blocks). Only safe once nothing will read the frame

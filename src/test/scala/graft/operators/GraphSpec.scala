@@ -1031,6 +1031,34 @@ class GraphSpec extends SparkSpec {
     } finally gt2.unpersist()
   }
 
+  test("bipartiteProject matches the shared-right replica; hubs drop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    val pairs = (for (_ <- 1 to 300) yield
+      (rnd.nextInt(20).toLong, rnd.nextInt(12).toLong)).distinct
+    // a hub right node incident to EVERY left — must not contribute
+    val hub = (0L until 20L).map(l => (l, 99L))
+    val all = pairs ++ hub
+    val cap = 15
+    val byRight = all.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct).toMap
+    assert(byRight(99L).size > cap)
+    val exp = byRight.values.filter(_.size <= cap)
+      .flatMap(ls => for {
+        a <- ls; b <- ls if a < b
+      } yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .map { case ((a, b), w) => (a, b, w) }.toSet
+    val got = Graph.bipartiteProject(
+        all.toDF("l", "r").repartition(3), "l", "r", maxRightDegree = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === exp)
+    assert(intercept[IllegalArgumentException](
+      Graph.bipartiteProject(all.toDF("l", "r"), "l", "r", 1))
+      .getMessage.contains("maxRightDegree"))
+  }
+
   test("appendToGraphTable: append ≡ rebuild, unweighted and weighted") {
     import spark.implicits._
     def artDir(tag: String): String = {
