@@ -2494,7 +2494,16 @@ object SparkEntry {
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       operators.Graph.bipartiteProject(cp, "c", "p", maxRightDegree = 40)
         .orderBy(desc("w"), col("src"), col("dst")).limit(20)
-    }))
+    }),
+
+    // Symmetric per-vector int8 quantization report: scale =
+    // max|x|/127 and the RELATIVE reconstruction RMSE (error in units
+    // of scale; per-term 12-dp DECIMAL sum) — the serving-stack
+    // compression check next to q95's PQ/ADC: does 8-bit linear hold
+    // this corpus, per vector, before shipping the index.
+    "q161_embed_int8" -> ((s, dir) =>
+      operators.Quantization.int8QuantizeReport(
+        T(s, dir, "embeddings"), "vec_id", "embedding")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4678,6 +4687,25 @@ object SparkEntry {
         |SELECT a.c AS src, b.c AS dst, count(*) AS w
         |FROM pr a JOIN pr b ON a.p = b.p AND a.c < b.c
         |GROUP BY 1, 2 ORDER BY w DESC, src, dst LIMIT 20""".stripMargin,
+
+    // same float→double widening, same round-half-away integer codes,
+    // same relative-error terms 12-dp-rounded into a DECIMAL sum;
+    // sqrt is correctly rounded (the q104 argument)
+    "q161_embed_int8" ->
+      """WITH ex AS MATERIALIZED (SELECT vec_id,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |sc AS MATERIALIZED (SELECT vec_id, max(abs(x)) / 127.0 AS scale
+        |  FROM ex GROUP BY 1),
+        |t AS (SELECT ex.vec_id, sc.scale,
+        |  CASE WHEN sc.scale = 0 THEN CAST(0 AS DECIMAL(38,12))
+        |  ELSE CAST(round(
+        |    ((x - round(x / scale) * scale) / scale) *
+        |    ((x - round(x / scale) * scale) / scale), 12)
+        |    AS DECIMAL(38,12)) END AS t
+        |  FROM ex JOIN sc USING (vec_id))
+        |SELECT vec_id, any_value(scale) AS scale,
+        |  sqrt(CAST(sum(t) AS DOUBLE) / count(*)) AS rmse_rel
+        |FROM t GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -235,4 +235,38 @@ object Quantization {
       if (!hasIvf) None else Some(spark.read.parquet(s"$path/cellcodes"))
     PqIndex(cb, spark.read.parquet(s"$path/codes"), cc, cents, idCol)
   }
+
+  // --------------------------------------------------------- int8
+
+  /** Symmetric per-vector int8 quantization quality report — the
+    * 4×-compression sibling of PQ (4 bits/dim-ish codes there, 8-bit
+    * linear here; int8 keeps dot products hardware-friendly, which is
+    * why serving stacks quantize this way). Per vector: scale =
+    * max|x|/127, code_i = round(x_i/scale) ∈ [−127, 127], and the
+    * RELATIVE reconstruction error rmse_rel =
+    * √(Σ((x_i − code_i·scale)/scale)² / d) — error in units of scale,
+    * so one quantization step ≈ 1.0 and the per-term 12-dp
+    * DECIMAL-sum device keeps the sum partition- and
+    * order-independent. All-zero vectors quantize to all-zero codes
+    * with rmse_rel 0. One explode + two per-vector aggregates; no
+    * joins wider than the id. */
+  def int8QuantizeReport(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val ex = df
+      .select(col(idCol), explode(col(vecCol)).as("xf"))
+      .select(col(idCol), col("xf").cast("double").as("x"))
+    val sc = ex.groupBy(idCol)
+      .agg((max(abs(col("x"))) / lit(127.0)).as("scale"))
+    val dRel = (col("x") - round(col("x") / col("scale")) * col("scale")) /
+      col("scale")
+    ex.join(sc, idCol)
+      .select(col(idCol), col("scale"),
+        when(col("scale") === 0.0, lit(java.math.BigDecimal.ZERO).cast(dec))
+          .otherwise(round(dRel * dRel, 12).cast(dec)).as("t"))
+      .groupBy(idCol)
+      .agg(first(col("scale")).as("scale"),
+        sqrt(sum(col("t")).cast("double") / count(lit(1))).as("rmse_rel"))
+      .orderBy(idCol)
+  }
 }

@@ -146,4 +146,43 @@ class QuantizationSpec extends SparkSpec {
         dim = 4, m = 3, k = 2, iters = 1)
     }
   }
+
+  test("int8QuantizeReport matches the scalar replica; zero vector is clean") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.127f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // all-zero: scale 0, rmse 0
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f)))
+    val got = Quantization.int8QuantizeReport(
+        vecs.toDF("vec_id", "embedding").repartition(3),
+        "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def replica(xs: Array[Float]): (Double, Double) = {
+      val scale = xs.map(x => math.abs(x.toDouble)).max / 127.0
+      if (scale == 0.0) (0.0, 0.0)
+      else {
+        val terms = xs.map { xf =>
+          val x = xf.toDouble
+          // half-AWAY rounding (the engine's), not math.rint's half-even
+          val q = BigDecimal(x / scale)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val dd = (x - q * scale) / scale
+          BigDecimal(dd * dd).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }
+        (scale, math.sqrt(terms.sum.toDouble / xs.length))
+      }
+    }
+    val exp = vecs.map { case (id, xs) =>
+      val (s, r) = replica(xs); (id, s, r)
+    }
+    assert(got.toSeq === exp)
+    // codes for vec 1 reconstruct within half a step of the input
+    val s1 = replica(vecs.head._2)._1
+    vecs.head._2.foreach { xf =>
+      val q = BigDecimal(xf.toDouble / s1)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(q) <= 127.0)
+      assert(math.abs(q * s1 - xf.toDouble) <= s1 / 2 + 1e-15)
+    }
+  }
 }
