@@ -2503,7 +2503,18 @@ object SparkEntry {
     // this corpus, per vector, before shipping the index.
     "q161_embed_int8" -> ((s, dir) =>
       operators.Quantization.int8QuantizeReport(
-        T(s, dir, "embeddings"), "vec_id", "embedding")))
+        T(s, dir, "embeddings"), "vec_id", "embedding")),
+
+    // Top principal component of the q150 feature set by power
+    // iteration: corr entries from EXACT distributed DECIMAL moment
+    // sums (9-dp-rounded doubles), then the 4×4 iteration driver-side
+    // (the DBI bounded-k² precedent) with 12-dp matvec terms and 9-dp
+    // damped updates — bit-replayable by a recursive-CTE oracle, the
+    // q107 device applied to linear algebra.
+    "q162_pca_power" -> ((s, dir) =>
+      operators.Features.pcaPowerTop(T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        iters = 15)))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4706,6 +4717,90 @@ object SparkEntry {
         |SELECT vec_id, any_value(scale) AS scale,
         |  sqrt(CAST(sum(t) AS DOUBLE) / count(*)) AS rmse_rel
         |FROM t GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // same exact DECIMAL moment sums -> same 9-dp corr entries ->
+    // same 12-dp matvec terms and 9-dp updates, replayed by the
+    // recursive CTE (it may be referenced repeatedly in DuckDB — the
+    // q107 device); v0 = round(1/sqrt(4), 9)
+    "q162_pca_power" ->
+      """WITH RECURSIVE
+        |m AS MATERIALIZED (SELECT count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS s0,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS s1,
+        |  sum(CAST(l_discount AS DECIMAL(18,4))) AS s2,
+        |  sum(CAST(l_tax AS DECIMAL(18,4))) AS s3,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+        |    CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p00,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+        |    CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p01,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+        |    CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p02,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+        |    CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p03,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) *
+        |    CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p11,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) *
+        |    CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p12,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) *
+        |    CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p13,
+        |  sum(CAST(CAST(l_discount AS DECIMAL(19,4)) *
+        |    CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p22,
+        |  sum(CAST(CAST(l_discount AS DECIMAL(19,4)) *
+        |    CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p23,
+        |  sum(CAST(CAST(l_tax AS DECIMAL(19,4)) *
+        |    CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p33
+        |  FROM lineitem),
+        |nn AS (SELECT CAST(n AS DOUBLE) AS n FROM m),
+        |sv AS MATERIALIZED (
+        |  SELECT 0 AS i, CAST(s0 AS DOUBLE) AS s FROM m
+        |  UNION ALL SELECT 1, CAST(s1 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 2, CAST(s2 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 3, CAST(s3 AS DOUBLE) FROM m),
+        |pv AS MATERIALIZED (
+        |  SELECT 0 AS i, 0 AS j, CAST(p00 AS DOUBLE) AS sij FROM m
+        |  UNION ALL SELECT 0, 1, CAST(p01 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 0, 2, CAST(p02 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 0, 3, CAST(p03 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 1, 1, CAST(p11 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 1, 2, CAST(p12 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 1, 3, CAST(p13 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 2, 2, CAST(p22 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 2, 3, CAST(p23 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 3, 3, CAST(p33 AS DOUBLE) FROM m),
+        |pv2 AS (SELECT i, j, sij FROM pv
+        |  UNION ALL SELECT j, i, sij FROM pv WHERE i < j),
+        |cov AS MATERIALIZED (SELECT p.i, p.j,
+        |  p.sij / nn.n - (a.s / nn.n) * (b.s / nn.n) AS cv
+        |  FROM pv2 p JOIN sv a ON a.i = p.i JOIN sv b ON b.i = p.j
+        |  CROSS JOIN nn),
+        |cm AS MATERIALIZED (SELECT c1.i, c1.j,
+        |  round(c1.cv / sqrt(dii.cv * djj.cv), 9) AS v
+        |  FROM cov c1 JOIN cov dii ON dii.i = c1.i AND dii.j = c1.i
+        |  JOIN cov djj ON djj.i = c1.j AND djj.j = c1.j),
+        |it AS (
+        |  SELECT 0 AS t, sv.i AS i, round(1.0 / sqrt(4.0), 9) AS v
+        |  FROM sv
+        |  UNION ALL
+        |  SELECT w.t + 1, w.i,
+        |    round(w.wd / sqrt(CAST(sum(CAST(round(w.wd * w.wd, 12)
+        |      AS DECIMAL(38,12))) OVER () AS DOUBLE)), 9)
+        |  FROM (SELECT it.t AS t, cm.i AS i,
+        |      CAST(sum(CAST(round(cm.v * it.v, 12) AS DECIMAL(38,12)))
+        |        AS DOUBLE) AS wd
+        |    FROM it JOIN cm ON cm.j = it.i
+        |    WHERE it.t < 15 GROUP BY 1, 2) w),
+        |fin AS (SELECT i, v FROM it WHERE t = 15),
+        |w2 AS (SELECT cm.i,
+        |  CAST(sum(CAST(round(cm.v * f.v, 12) AS DECIMAL(38,12)))
+        |    AS DOUBLE) AS wd
+        |  FROM fin f JOIN cm ON cm.j = f.i GROUP BY 1),
+        |lam AS (SELECT round(sqrt(CAST(sum(CAST(round(wd * wd, 12)
+        |  AS DECIMAL(38,12))) AS DOUBLE)), 9) AS lambda FROM w2),
+        |names(i, feature) AS (VALUES (0, 'l_quantity'),
+        |  (1, 'l_extendedprice'), (2, 'l_discount'), (3, 'l_tax'))
+        |SELECT names.feature, f.v AS loading, lam.lambda
+        |FROM fin f JOIN names USING (i) CROSS JOIN lam
+        |ORDER BY feature""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -322,4 +322,75 @@ object Features {
         .when(bucket < trainPct + validPct, lit("valid"))
         .otherwise(lit("test")))
   }
+
+  /** Top principal component of the CORRELATION matrix of `cols` by
+    * power iteration — the one-line "what single axis explains these
+    * features" screen next to [[correlationMatrix]] (correlation, not
+    * covariance, so mixed-unit features contribute comparably).
+    *
+    * Exactness device, end to end: (1) the moment sums run
+    * distributed in DECIMAL (values cast to DECIMAL(18,4) — exact for
+    * ≤4-dp inputs — products exact at scale 8), so the corr entries
+    * are fixed double expressions of EXACT sums, rounded to 9 dp;
+    * (2) the d² iteration then runs driver-side (the DBI/centroid
+    * bounded-k² precedent) with every matvec term rounded to 12 dp
+    * and summed exactly, damped updates rounded to 9 dp — so the
+    * whole loop is bit-replayable by a recursive-CTE SQL oracle.
+    * Returns one row per feature: (feature, loading, lambda) with
+    * `lambda` the Rayleigh estimate ‖Cv‖ of the final iterate (same
+    * all rows). The data pass is ONE aggregate; only the d×d matrix
+    * ever reaches the driver. */
+  def pcaPowerTop(
+      df: DataFrame, cols: Seq[String], iters: Int): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size,
+      s"columns must be unique, got $cols")
+    require(iters >= 1 && iters <= 100, s"iters must be 1..100, got $iters")
+    val d = cols.size
+    val dec4 = DecimalType(18, 4)
+    val dec38 = DecimalType(38, 8)
+    val xs = cols.map(c => col(c).cast(dec4))
+    val pairIdx = for { i <- 0 until d; j <- i until d } yield (i, j)
+    val aggs = (count(lit(1)).as("n") +:
+      cols.indices.map(i => sum(xs(i)).as(s"s$i"))) ++
+      pairIdx.map { case (i, j) =>
+        sum((xs(i) * xs(j)).cast(dec38)).as(s"s${i}_$j")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0).toDouble
+    require(n > 0, "need at least one row")
+    val s = cols.indices.map(i => row.getDecimal(1 + i).doubleValue)
+    val sij = pairIdx.zipWithIndex.map { case ((i, j), k) =>
+      (i, j) -> row.getDecimal(1 + d + k).doubleValue
+    }.toMap
+    def cov(i: Int, j: Int): Double = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      sij((a, b)) / n - (s(a) / n) * (s(b) / n)
+    }
+    cols.indices.foreach(i => require(cov(i, i) > 0,
+      s"${cols(i)} has zero variance — correlation undefined"))
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val c = Array.tabulate(d, d)((i, j) =>
+      r9(cov(i, j) / math.sqrt(cov(i, i) * cov(j, j))))
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i =>
+        cols.indices.map(j => r12(c(i)(j) * v(j))).sum.toDouble)
+    def norm(w: Array[Double]): Double =
+      math.sqrt(w.map(x => r12(x * x)).sum.toDouble)
+    var v = Array.fill(d)(r9(1.0 / math.sqrt(d.toDouble)))
+    (1 to iters).foreach { _ =>
+      val w = matvec(v)
+      val nr = norm(w)
+      v = w.map(x => r9(x / nr))
+    }
+    val lambda = r9(norm(matvec(v)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.zip(v).map { case (name, l) => (name, l, lambda) }
+      .toDF("feature", "loading", "lambda")
+      .orderBy("feature")
+  }
 }

@@ -213,4 +213,44 @@ class FeaturesSpec extends SparkSpec {
       b.orderBy("event_id").collect().toSeq)
     assert(a.select("split").distinct().count() === 3L)
   }
+
+  test("pcaPowerTop recovers the analytic 2x2 eigenpair") {
+    import spark.implicits._
+    // y = 2x + structured residual +-3 (never proportional), so the
+    // 2x2 corr matrix is [[1, r], [r, 1]] with 0 < r < 1: top
+    // eigenvector (1,1)/sqrt(2), eigenvalue 1 + r
+    val rows = (1 to 200).map { i =>
+      val x = i.toDouble
+      (x, 2.0 * x + (if (i % 2 == 0) 3.0 else -3.0))
+    }
+    val got = Features.pcaPowerTop(
+        rows.toDF("x", "y").repartition(5), Seq("x", "y"), iters = 25)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val inv = 1.0 / math.sqrt(2.0)
+    got.foreach { case (_, loading, _) =>
+      assert(math.abs(loading - inv) < 1e-6, loading)
+    }
+    val lambda = got.head._3
+    assert(lambda > 1.0 && lambda < 2.0, lambda)
+    // lambda = 1 + r where r is the corr — cross-check vs Spark's corr
+    val r = rows.toDF("x", "y").agg(corr(col("x"), col("y")))
+      .head().getDouble(0)
+    assert(math.abs(lambda - (1.0 + r)) < 1e-6, (lambda, r))
+    // determinism under repartition
+    val again = Features.pcaPowerTop(
+        rows.toDF("x", "y").repartition(13), Seq("x", "y"), iters = 25)
+      .collect().map(r2 => (r2.getString(0), r2.getDouble(1), r2.getDouble(2)))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("pcaPowerTop refuses zero variance and bad params") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(intercept[IllegalArgumentException](
+      Features.pcaPowerTop(df, Seq("x", "y"), 5))
+      .getMessage.contains("zero variance"))
+    assert(intercept[IllegalArgumentException](
+      Features.pcaPowerTop(df, Seq("x"), 5))
+      .getMessage.contains("two columns"))
+  }
 }
