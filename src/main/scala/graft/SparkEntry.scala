@@ -2514,7 +2514,28 @@ object SparkEntry {
     "q162_pca_power" -> ((s, dir) =>
       operators.Features.pcaPowerTop(T(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        iters = 15)))
+        iters = 15)),
+
+    // Ordered-changelog replay (the CDC third leg next to q85 upsert
+    // and q149 snapshotDiff): per key only the max-seq change counts,
+    // 'delete' tombstones, others upsert, absent keys insert. The
+    // changelog collapses to one row per touched key BEFORE the
+    // full-outer join — the apply cost scales with the delta, not the
+    // snapshot.
+    "q163_cdc_apply" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val target = o.where(col("o_orderkey") % 5 =!= 0)
+      val upserts = o.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + lit(10.0)).as("o_totalprice"))
+        .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+      val dels = o.where(col("o_orderkey") % 6 === 0)
+        .withColumn("op", lit("delete")).withColumn("seq", lit(2L))
+      operators.Upsert.applyChangeLog(
+          target, upserts.unionByName(dels), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4801,6 +4822,32 @@ object SparkEntry {
         |SELECT names.feature, f.v AS loading, lam.lambda
         |FROM fin f JOIN names USING (i) CROSS JOIN lam
         |ORDER BY feature""".stripMargin,
+
+    // same synthesized changelog, same max-seq winner per key, same
+    // tombstone/upsert/insert semantics via the window-rank form
+    "q163_cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders),
+        |tgt AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
+        |ch AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 10.0
+        |    AS o_totalprice, 'upsert' AS op, 1 AS seq
+        |  FROM o WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 'delete', 2
+        |  FROM o WHERE o_orderkey % 6 = 0),
+        |last AS (SELECT o_orderkey, o_custkey, o_totalprice, op FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+        |SELECT coalesce(l.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_custkey
+        |    ELSE t.o_custkey END AS o_custkey,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_totalprice
+        |    ELSE t.o_totalprice END AS o_totalprice
+        |FROM tgt t FULL OUTER JOIN last l
+        |  ON l.o_orderkey = t.o_orderkey
+        |WHERE l.op IS NULL OR l.op <> 'delete'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -106,4 +106,50 @@ object Upsert {
       .where(col("op").isNotNull)
       .select(keys.map(col) :+ col("op"): _*)
   }
+
+  /** Replay an ordered CDC changelog onto a keyed snapshot — the
+    * third leg of the CDC loop ([[upsert]] merges one batch,
+    * [[snapshotDiff]] derives a feed, this APPLIES a feed): per key
+    * only the HIGHEST-`seqCol` change row counts; an `op` of
+    * `"delete"` tombstones the key, anything else upserts the change
+    * row's payload. Unchanged target rows pass through; non-delete
+    * changes for absent keys insert. Column set and order is
+    * `target`'s; `changes` must carry target's columns plus
+    * (`opCol`, `seqCol`).
+    *
+    * Precondition (same contract as [[upsert]]): (key, seq) pairs are
+    * unique — a tied max seq would pick an arbitrary winner. One
+    * groupBy on the changelog + one full-outer join on the keys;
+    * nothing driver-resident, and the changelog side aggregates to
+    * one row per touched key before the join. */
+  def applyChangeLog(
+      target: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    require(keys.nonEmpty, "applyChangeLog needs at least one key column")
+    val cols = target.columns.toSeq
+    require(keys.forall(cols.contains),
+      s"keys ${keys.filterNot(cols.contains)} missing from target")
+    Seq("_graft_last", "_graft_tgt").foreach(r =>
+      require(!cols.contains(r), s"column name $r is reserved"))
+    val payload = cols.filterNot(keys.contains)
+    val last = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(col(opCol).as("_op") +: payload.map(col): _*),
+        col(seqCol)).as("_graft_last"))
+    target
+      .select(keys.map(col) :+
+        struct(payload.map(col): _*).as("_graft_tgt"): _*)
+      .join(last, keys, "full_outer")
+      .where(col("_graft_last").isNull ||
+        col("_graft_last").getField("_op") =!= "delete")
+      .select(cols.map {
+        case k if keys.contains(k) => col(k)
+        case c => when(col("_graft_last").isNotNull,
+            col("_graft_last").getField(c))
+          .otherwise(col("_graft_tgt").getField(c)).as(c)
+      }: _*)
+  }
 }

@@ -98,4 +98,40 @@ class UpsertSpec extends SparkSpec {
       Upsert.snapshotDiff(before.select("k"), after.select("k"), Seq("k"))
     }
   }
+
+  test("applyChangeLog: max-seq wins, tombstones, resurrects, inserts") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, "a"), // untouched passthrough
+      (2L, "b"), // updated at seq 1
+      (3L, "c"), // updated seq 1, deleted seq 2 -> gone
+      (4L, "d")) // deleted seq 1, re-upserted seq 2 -> resurrected
+      .toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "upsert", 1L),
+      (3L, "c2", "upsert", 1L),
+      (3L, "xx", "delete", 2L),
+      (4L, "xx", "delete", 1L),
+      (4L, "d2", "upsert", 2L),
+      (5L, "e", "upsert", 1L)) // absent key -> insert
+      .toDF("k", "v", "op", "seq")
+    val got = Upsert.applyChangeLog(
+        target.repartition(3), changes.repartition(2), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set(
+      (1L, "a"), (2L, "b2"), (4L, "d2"), (5L, "e")))
+    // changelog collapses before the join: a second apply of the SAME
+    // log is idempotent on the result
+    val again = Upsert.applyChangeLog(
+        Upsert.applyChangeLog(target, changes, Seq("k")),
+        changes, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      Upsert.applyChangeLog(target, changes, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.applyChangeLog(target, changes, Seq("missing"))
+    }
+  }
 }
