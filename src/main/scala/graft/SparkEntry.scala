@@ -2535,6 +2535,16 @@ object SparkEntry {
       operators.Upsert.applyChangeLog(
           target, upserts.unionByName(dels), Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    }),
+
+    // Newman modularity of the q117 label-prop communities: the
+    // "better than chance?" score a pipeline checks before trusting a
+    // clustering — per-community terms from exact integer edge/degree
+    // sums, 12-dp-rounded into a DECIMAL sum (the q151 device). One
+    // row: (modularity, n_communities, m_directed).
+    "q164_modularity" -> ((s, dir) => {
+      val gt = graphTable(s, dir, "undirected")
+      gt.modularity(gt.labelPropagation(iters = 5))
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -4848,6 +4858,55 @@ object SparkEntry {
         |  ON l.o_orderkey = t.o_orderkey
         |WHERE l.op IS NULL OR l.op <> 'delete'
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the q117 label-prop replay verbatim, then Q from exact integer
+    // edge/degree sums with the same 12-dp-round + DECIMAL-sum device
+    "q164_modularity" ->
+      """WITH RECURSIVE
+        |base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+        |  l.l_suppkey + 10000000 AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM base
+        |  UNION ALL SELECT p, c FROM base),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+        |lp AS (
+        |  SELECT 0 AS it, node, node AS lbl FROM nodes
+        |  UNION ALL
+        |  SELECT old.it + 1, old.node, coalesce(pick.lbl, old.lbl)
+        |  FROM lp old
+        |  LEFT JOIN (
+        |    SELECT c1.node, min(c1.lbl) AS lbl
+        |    FROM (SELECT e.dst AS node, w.lbl AS lbl, count(*) AS cnt
+        |          FROM lp w JOIN e ON e.src = w.node GROUP BY 1, 2) c1
+        |    JOIN (SELECT node, max(cnt) AS mc FROM
+        |            (SELECT e.dst AS node, w.lbl AS lbl,
+        |               count(*) AS cnt
+        |             FROM lp w JOIN e ON e.src = w.node GROUP BY 1, 2)
+        |            c2
+        |          GROUP BY 1) b
+        |      ON b.node = c1.node AND c1.cnt = b.mc
+        |    GROUP BY c1.node
+        |  ) pick ON pick.node = old.node
+        |  WHERE old.it + 1 <= 5
+        |),
+        |fin AS MATERIALIZED (SELECT node, lbl FROM lp WHERE it = 5),
+        |md AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+        |  count(*) AS mi FROM e),
+        |ein AS MATERIALIZED (SELECT a.lbl, count(*) AS ein FROM e
+        |  JOIN fin a ON a.node = e.src JOIN fin b ON b.node = e.dst
+        |  WHERE a.lbl = b.lbl GROUP BY 1),
+        |deg AS MATERIALIZED (SELECT f.lbl, count(*) AS dg FROM e
+        |  JOIN fin f ON f.node = e.src GROUP BY 1),
+        |terms AS (SELECT CAST(round(
+        |    CAST(coalesce(ein.ein, 0) AS DOUBLE) / md.m
+        |    - (CAST(deg.dg AS DOUBLE) / md.m) *
+        |      (CAST(deg.dg AS DOUBLE) / md.m), 12)
+        |  AS DECIMAL(38,12)) AS t
+        |  FROM deg LEFT JOIN ein ON ein.lbl = deg.lbl CROSS JOIN md)
+        |SELECT CAST(sum(t) AS DOUBLE) AS modularity,
+        |  CAST(count(*) AS BIGINT) AS n_communities,
+        |  (SELECT CAST(mi AS BIGINT) FROM md) AS m_directed
+        |FROM terms""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

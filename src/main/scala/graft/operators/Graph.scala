@@ -85,6 +85,9 @@ final case class GraphTable(
   def adamicAdar(maxDegree: Int = Int.MaxValue): DataFrame =
     Graph.adamicAdarImpl(this, maxDegree)
 
+  def modularity(labels: DataFrame): DataFrame =
+    Graph.modularityImpl(this, labels)
+
   /** Release the build-time caches (no-op on a loaded artifact). */
   def unpersist(): Unit =
     if (cached) {
@@ -1342,6 +1345,47 @@ object Graph {
     nb.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     out.orderBy(desc("aa"), col("src"), col("dst"))
+  }
+
+  /** Newman modularity of a community assignment over a symmetric
+    * double-edged feed: Q = Σ_c [e_c/m − (d_c/m)²] with m the DIRECTED
+    * edge count (= 2× undirected), e_c the directed edges inside c,
+    * d_c the degree sum of c — the "was this clustering better than
+    * chance" score a pipeline checks before trusting
+    * [[labelPropagationImpl]]'s output. `labels` is that operator's
+    * (node, lbl) shape. Per-community terms are fixed double
+    * expressions of exact longs, 12-dp-rounded and DECIMAL-summed (the
+    * mutual-information device), so the scalar is partition-order
+    * exact. Two label joins + three aggregates; one row out:
+    * (modularity, n_communities, m_directed). */
+  private[operators] def modularityImpl(
+      gt: GraphTable, labels: DataFrame): DataFrame = {
+    require(gt.numNodes > 0, "graph has no nodes")
+    require(gt.numDangling == 0,
+      "modularity requires a symmetric double-edged feed " +
+        s"(found ${gt.numDangling} sink nodes)")
+    require(Seq("node", "lbl").forall(labels.columns.contains),
+      s"labels must carry (node, lbl), got ${labels.columns.toSeq}")
+    val e = gt.edges.select("src", "dst")
+    val l = labels.select("node", "lbl")
+    val md = gt.numEdges.toDouble
+    val ein = e
+      .join(l.select(col("node").as("src"), col("lbl").as("la")), "src")
+      .join(l.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ein"))
+    val deg = e
+      .join(l.select(col("node").as("src"), col("lbl")), "src")
+      .groupBy("lbl").agg(count(lit(1)).as("dg"))
+    deg.join(ein, Seq("lbl"), "left")
+      .select(round(
+        coalesce(col("ein"), lit(0L)).cast("double") / lit(md) -
+          (col("dg").cast("double") / lit(md)) *
+          (col("dg").cast("double") / lit(md)), 12)
+        .cast(Dec12).as("t"))
+      .agg(sum(col("t")).cast("double").as("modularity"),
+        count(lit(1)).as("n_communities"))
+      .withColumn("m_directed", lit(gt.numEdges))
   }
 
   /** Project a bipartite (left, right) incidence onto its left nodes:

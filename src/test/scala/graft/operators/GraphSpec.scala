@@ -1031,6 +1031,34 @@ class GraphSpec extends SparkSpec {
     } finally gt2.unpersist()
   }
 
+  test("modularity: two triangles + bridge match the hand formula; " +
+    "one community scores zero") {
+    import spark.implicits._
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 6L,
+      6L -> 4L, 3L -> 4L)
+    val sym = und ++ und.map(_.swap)
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    try {
+      val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L,
+        4L -> 20L, 5L -> 20L, 6L -> 20L).toDF("node", "lbl")
+      val got = gt.modularity(labels).head()
+      // per community: ein = 6 directed, deg sum = 2+2+3 = 7, m = 14
+      val term = r12(6.0 / 14.0 - (7.0 / 14.0) * (7.0 / 14.0))
+      assert(got.getDouble(0) === (term + term).toDouble)
+      assert(got.getLong(1) === 2L)
+      assert(got.getLong(2) === 14L)
+      // everything in one community: Q = m/m - 1^2 = 0
+      val one = gt.modularity(
+        (1L to 6L).map(_ -> 99L).toDF("node", "lbl")).head()
+      assert(one.getDouble(0) === 0.0)
+      assert(one.getLong(1) === 1L)
+    } finally gt.unpersist()
+  }
+
   test("bipartiteProject matches the shared-right replica; hubs drop") {
     import spark.implicits._
     val rnd = new scala.util.Random(41L)
