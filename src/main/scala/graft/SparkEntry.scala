@@ -2545,7 +2545,17 @@ object SparkEntry {
     "q164_modularity" -> ((s, dir) => {
       val gt = graphTable(s, dir, "undirected")
       gt.modularity(gt.labelPropagation(iters = 5))
-    }))
+    }),
+
+    // Perceptual average-hash through the REAL ImageIO decode (the
+    // q109 fixtures): one bit per pixel, 1 iff integer luminance·n ≥
+    // Σluminance — no float in the hash, so the bit string replays
+    // exactly from the fixture recipe. Hamming distance over these is
+    // the image near-dup measure (SimHash's visual sibling).
+    "q165_image_ahash" -> ((s, dir) =>
+      operators.Multimodal.aHashImages(
+          s.read.parquet(s"${mediaFixturePath(s, dir)}/png"))
+        .orderBy("media_id")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4907,6 +4917,19 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_communities,
         |  (SELECT CAST(mi AS BIGINT) FROM md) AS m_directed
         |FROM terms""".stripMargin,
+
+    // the engine hashes REAL decoded PNGs; the oracle replays the
+    // gray-level recipe — luminance of a gray pixel is exactly its
+    // level, and the threshold compare is cross-multiplied integers
+    "q165_image_ahash" ->
+      """WITH px AS (SELECT doc_id, i, (doc_id*31 + i*97) % 251 AS v
+        |  FROM documents CROSS JOIN range(0, 8) r(i)),
+        |t AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY 1)
+        |SELECT px.doc_id AS media_id,
+        |  string_agg(CASE WHEN px.v * 8 >= t.s THEN '1' ELSE '0' END,
+        |    '' ORDER BY px.i) AS ahash
+        |FROM px JOIN t USING (doc_id)
+        |GROUP BY px.doc_id ORDER BY media_id""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

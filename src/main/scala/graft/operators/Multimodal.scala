@@ -139,6 +139,62 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash of an image — the visual sibling of
+    * SimHash: decode (REAL ImageIO), take every pixel's INTEGER
+    * Rec.601 luminance (`(r·299 + g·587 + b·114) / 1000`, integer
+    * division — exact on grays), and emit one bit per pixel in
+    * row-major order, 1 iff `lum·n ≥ Σlum` (the mean-threshold
+    * compare in cross-multiplied integer form, so no float ever
+    * enters the hash). Near-identical images agree on most bits, so
+    * Hamming distance over the bit string is the image near-dup
+    * measure; run [[imageResizeNearest]] first to normalize scale.
+    * Payloads ImageIO cannot decode hash to null — the totality
+    * posture of [[imageDecodeFeatures]]. */
+  def imageAHashBits(payload: Array[Byte]): String = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) null
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val n = w.toLong * h
+      val lums = new Array[Long](w * h)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+            (rgb & 0xff) * 114L) / 1000L
+          lums(y * w + x) = lum
+          total += lum
+          x += 1
+        }
+        y += 1
+      }
+      val sb = new java.lang.StringBuilder(lums.length)
+      var i = 0
+      while (i < lums.length) {
+        sb.append(if (lums(i) * n >= total) '1' else '0')
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Batch aHash over a (media_id, payload) frame — the
+    * [[resizeImages]] mapPartitions batch shape. */
+  def aHashImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, imageAHashBits(p)) })
+      .toDF("media_id", "ahash")
+  }
+
   /** Batch resize over a (media_id, payload) frame — the same
     * mapPartitions batch shape as [[extractFeatures]] (codec setup
     * amortized per partition, schema-stable output), feeding either

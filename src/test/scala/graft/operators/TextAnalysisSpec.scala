@@ -164,6 +164,26 @@ class MultimodalSpec extends SparkSpec {
     assert(imageResizeNearest(junk, 4).toSeq === junk.toSeq)
   }
 
+  test("imageAHashBits: fixture bits replay the recipe; 2D row-major; " +
+    "junk hashes null") {
+    // gray fixture: bit i = 1 iff v_i·8 >= Σv — the q165 oracle's contract
+    for (id <- Seq(0L, 1L, 17L, 499L)) {
+      val vs = (0 until 8).map(i => (id * 31 + i * 97) % 251)
+      val want = vs.map(v => if (v * 8 >= vs.sum) '1' else '0').mkString
+      assert(imageAHashBits(pngPayload(id, 8)) === want, s"id=$id")
+    }
+    // 2D: 2x2 with luminances 10,20,30,40 (mean 25) -> row-major 0011
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    img.setRGB(0, 0, gray(10)); img.setRGB(1, 0, gray(20))
+    img.setRGB(0, 1, gray(30)); img.setRGB(1, 1, gray(40))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(imageAHashBits(bos.toByteArray) === "0011")
+    assert(imageAHashBits(Array[Byte](9, 9, 9)) === null)
+  }
+
   test("wavPayload roundtrips through the real audio decoder bit-exactly") {
     // strip RMS must be EXACTLY sqrt(sumSq/(8·32768²)) over the sample
     // recipe — the q110 oracle's contract
