@@ -2555,7 +2555,16 @@ object SparkEntry {
     "q165_image_ahash" -> ((s, dir) =>
       operators.Multimodal.aHashImages(
           s.read.parquet(s"${mediaFixturePath(s, dir)}/png"))
-        .orderBy("media_id")))
+        .orderBy("media_id")),
+
+    // Day-of-week seasonal decomposition of the event value stream:
+    // exact DECIMAL daily totals, the ISO-dow profile mean, and the
+    // residual — the seasonality-vs-anomaly split run before alerting
+    // on raw dailies. The ≤7-row profile broadcasts back; the daily
+    // table never reshuffles.
+    "q166_seasonal_dow" -> ((s, dir) =>
+      operators.TimeSeries.seasonalDowProfile(
+        T(s, dir, "events"), "ts", "value")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4930,6 +4939,21 @@ object SparkEntry {
         |    '' ORDER BY px.i) AS ahash
         |FROM px JOIN t USING (doc_id)
         |GROUP BY px.doc_id ORDER BY media_id""".stripMargin,
+
+    // same exact DECIMAL daily totals; isodow == Spark weekday+1;
+    // every double a fixed expression of the exact sums
+    "q166_seasonal_dow" ->
+      """WITH daily AS MATERIALIZED (SELECT CAST(ts AS DATE) AS d,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS dt
+        |  FROM events GROUP BY 1),
+        |prof AS (SELECT CAST(isodow(d) AS INT) AS dow,
+        |  CAST(sum(dt) AS DOUBLE) / count(*) AS dow_mean
+        |  FROM daily GROUP BY 1)
+        |SELECT daily.d AS date, CAST(dt AS DOUBLE) AS daily_total,
+        |  prof.dow, prof.dow_mean,
+        |  CAST(dt AS DOUBLE) - prof.dow_mean AS residual
+        |FROM daily JOIN prof ON prof.dow = CAST(isodow(daily.d) AS INT)
+        |ORDER BY date""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series regularization: turn an irregular per-key observation
   * table into a dense, gap-free grid — the resample/ffill step every
@@ -229,5 +230,32 @@ object TimeSeries {
         ((unix_micros(col("session_end")) -
           unix_micros(col("session_start"))) / lit(1000000L))
           .cast("long").as("duration_sec"))
+  }
+
+  /** Day-of-week seasonal decomposition of a value stream: daily
+    * totals (exact DECIMAL sums), the ISO-dow seasonal profile (mean
+    * of the dailies sharing the weekday — one exact-sum double
+    * division), and the per-day residual total − profile. The
+    * seasonality-vs-anomaly split a metrics pipeline runs before
+    * alerting on raw dailies (a quiet Sunday is not a drop).
+    * Exactness: totals are DECIMAL(18,4) sums (≤4-dp inputs exact),
+    * every double is a fixed expression of those sums — no rounding
+    * device needed. The profile is ≤7 rows — broadcast back, so the
+    * daily table never reshuffles. Returns
+    * (date, daily_total, dow, dow_mean, residual) ordered by date. */
+  def seasonalDowProfile(
+      df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val daily = df
+      .groupBy(to_date(col(tsCol)).as("date"))
+      .agg(sum(col(valCol).cast(DecimalType(18, 4))).as("dt"))
+      .select(col("date"), (weekday(col("date")) + 1).as("dow"),
+        col("dt"))
+    val prof = daily.groupBy("dow")
+      .agg((sum("dt").cast("double") / count(lit(1))).as("dow_mean"))
+    daily.join(broadcast(prof), "dow")
+      .select(col("date"), col("dt").cast("double").as("daily_total"),
+        col("dow"), col("dow_mean"),
+        (col("dt").cast("double") - col("dow_mean")).as("residual"))
+      .orderBy("date")
   }
 }

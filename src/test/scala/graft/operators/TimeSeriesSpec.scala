@@ -263,4 +263,24 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(_.getDouble(2)).toSeq
     assert(got === Seq(1.234568, 2.5))
   }
+
+  test("seasonalDowProfile: dow means and residuals match the replica") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday. Two Mondays (totals 10.5, 20.5 -> mean
+    // 15.5), one Tuesday (3.25), multiple rows per day sum exactly.
+    val rows = Seq(
+      ("2024-01-01 09:00:00", 4.25), ("2024-01-01 17:30:00", 6.25),
+      ("2024-01-08 10:00:00", 20.5),
+      ("2024-01-02 12:00:00", 1.0), ("2024-01-02 13:00:00", 2.25))
+      .map { case (s, v) => (Timestamp.valueOf(s), v) }
+    val got = TimeSeries.seasonalDowProfile(
+        rows.toDF("ts", "value").repartition(3), "ts", "value")
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+        r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 10.5, 1, 15.5, -5.0),
+      ("2024-01-02", 3.25, 2, 3.25, 0.0),
+      ("2024-01-08", 20.5, 1, 15.5, 5.0)))
+  }
 }
