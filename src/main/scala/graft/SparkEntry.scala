@@ -2564,7 +2564,17 @@ object SparkEntry {
     // table never reshuffles.
     "q166_seasonal_dow" -> ((s, dir) =>
       operators.TimeSeries.seasonalDowProfile(
-        T(s, dir, "events"), "ts", "value")))
+        T(s, dir, "events"), "ts", "value")),
+
+    // Stratified A-ES weighted sampling: q100's seeded key, top-10
+    // WITHIN each event_type via the bounded TopK aggregator on the
+    // negated key (≤ partitions·k rows per group through the
+    // exchange — never a corpus window sort). The per-source quota
+    // form a mixing pipeline actually ships.
+    "q167_stratified_sample" -> ((s, dir) =>
+      operators.Sampling.stratifiedWeightedSample(
+        T(s, dir, "events"), "event_id", "event_type",
+        col("value"), k = 10, seed = "77")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4954,6 +4964,20 @@ object SparkEntry {
         |  CAST(dt AS DOUBLE) - prof.dow_mean AS residual
         |FROM daily JOIN prof ON prof.dow = CAST(isodow(daily.d) AS INT)
         |ORDER BY date""".stripMargin,
+
+    // q100's exact key expression, ranked within the group by the
+    // window form (the engine's bounded-TopK twin)
+    "q167_stratified_sample" ->
+      """WITH b AS (SELECT event_type, event_id,
+        |  round(ln(CAST(CAST(('0x' || substr(md5('77-' || event_id),
+        |      1, 15)) AS BIGINT) + 1 AS DOUBLE)
+        |    / CAST(1152921504606846976 AS DOUBLE)), 9)
+        |    / CAST(value AS DOUBLE) AS skey
+        |  FROM events WHERE CAST(value AS DOUBLE) > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY skey DESC, event_id) AS rn FROM b)
+        |SELECT event_type, event_id, skey FROM r WHERE rn <= 10
+        |ORDER BY event_type, skey DESC, event_id""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -140,6 +140,40 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-group [[weightedSample]]: the same seeded A-ES key, but the
+    * top-k taken WITHIN each `groupCol` value — the stratified form
+    * (k docs per source/language at importance weights) a mixing
+    * pipeline actually ships. Same determinism contract (pure
+    * seeded-md5 key, partition/retry-invariant); the per-group fill
+    * uses the bounded [[TopK]] aggregator on the NEGATED key, so the
+    * exchange carries ≤ partitions·k rows per group — never a
+    * corpus-wide window sort (the temperatureMix scale posture).
+    * Returns (`groupCol`, `idCol`, skey) ordered by
+    * (group, skey desc, id). */
+  def stratifiedWeightedSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weight: Column,
+      k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(
+        md5(concat(lit(s"$seed-"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
+    val key = round(log(u), 9) / weight.cast("double")
+    df.select(col(groupCol), col(idCol).cast("long").as("_gid"),
+        weight.cast("double").as("weight"), key.as("skey"))
+      .where(col("weight") > 0.0)
+      .groupBy(groupCol)
+      .agg(TopK.smallestK(k)(-col("skey"), col("_gid")).as("kept"))
+      .select(col(groupCol), posexplode(col("kept")).as(Seq("pos", "e")))
+      .select(col(groupCol), col("e.id").as(idCol),
+        (-col("e.ord")).as("skey"))
+      .orderBy(col(groupCol), desc("skey"), col(idCol))
+  }
+
   /** Temperature-scaled source mixing — the multilingual/multi-source
     * flattening device: source `s` with `n_s` rows gets quota
     * `round(k · n_s^α / Σ n_s^α)` (α < 1 up-samples small sources;

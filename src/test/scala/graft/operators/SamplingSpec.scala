@@ -145,4 +145,29 @@ class SamplingSpec extends SparkSpec {
     // draws are reasonably spread (not collapsed onto few partners)
     assert(a.map(_._3).distinct.size > 50)
   }
+
+  test("stratifiedWeightedSample: per-group brute A-ES, bounded k") {
+    import spark.implicits._
+    val grouped = Seq( // (id, group, weight)
+      (1L, "a", 10L), (2L, "a", 1L), (3L, "a", 500L), (4L, "a", 50L),
+      (5L, "b", 500L), (6L, "b", 3L), (7L, "b", 7L),
+      (8L, "c", 2L)) // group smaller than k keeps all
+    val df = grouped.toDF("doc_id", "src", "w").repartition(3)
+    val got = Sampling.stratifiedWeightedSample(
+        df, "doc_id", "src", col("w"), k = 2, seed = "9")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exp = grouped.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      rs.map { case (id, _, w) => (g, id, bruteKey("9", id, w.toDouble)) }
+        .sortBy { case (_, id, k) => (-k, id) }
+        .take(2)
+    }.sortBy { case (g, id, k) => (g, -k, id) }
+    assert(got === exp)
+    // partition-invariant
+    val again = Sampling.stratifiedWeightedSample(
+        df.repartition(7), "doc_id", "src", col("w"), k = 2, seed = "9")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again === got)
+  }
 }
