@@ -2574,7 +2574,22 @@ object SparkEntry {
     "q167_stratified_sample" -> ((s, dir) =>
       operators.Sampling.stratifiedWeightedSample(
         T(s, dir, "events"), "event_id", "event_type",
-        col("value"), k = 10, seed = "77")))
+        col("value"), k = 10, seed = "77")),
+
+    // Vocabulary growth over 100-doc ingestion batches: occurrences,
+    // distinct tokens, and FIRST-SEEN tokens per batch — the
+    // saturation curve that tells a crawl when marginal data stops
+    // buying vocabulary. Integer-exact.
+    "q168_vocab_growth" -> ((s, dir) =>
+      operators.TextAnalysis.vocabularyGrowth(
+        T(s, dir, "documents"), "doc_id", "text", batchSize = 100L)),
+
+    // Per-document Shannon token entropy (nats) — the gibberish /
+    // template discriminator next to q11's quality stats: −Σ p·ln p
+    // from exact counts, 12-dp DECIMAL-summed terms.
+    "q169_token_entropy" -> ((s, dir) =>
+      operators.TextAnalysis.tokenEntropy(
+        T(s, dir, "documents"), "doc_id", "text")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -4978,6 +4993,43 @@ object SparkEntry {
         |  ORDER BY skey DESC, event_id) AS rn FROM b)
         |SELECT event_type, event_id, skey FROM r WHERE rn <= 10
         |ORDER BY event_type, skey DESC, event_id""".stripMargin,
+
+    // same token split, same floor-div batches, integer-exact
+    "q168_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id // 100 AS batch,
+        |  unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |cells AS MATERIALIZED (SELECT batch, tok, count(*) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |first AS (SELECT tok, min(batch) AS fb FROM cells GROUP BY 1)
+        |SELECT cells.batch, CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new
+        |FROM cells JOIN first USING (tok)
+        |GROUP BY cells.batch ORDER BY batch""".stripMargin,
+
+    // same per-doc cells; p·ln p terms 12-dp-rounded into a DECIMAL
+    // sum; 0.0 − sum keeps a zero entropy at +0.0 in both engines
+    "q169_token_entropy" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |cells AS MATERIALIZED (SELECT doc_id, tok, count(*) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n, count(*) AS nd
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT cells.doc_id,
+        |  CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |    AS DECIMAL(38,12)) AS t, n, nd
+        |  FROM cells JOIN tot USING (doc_id))
+        |SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_tokens,
+        |  CAST(any_value(nd) AS BIGINT) AS n_distinct,
+        |  0.0 - CAST(sum(t) AS DOUBLE) AS entropy
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

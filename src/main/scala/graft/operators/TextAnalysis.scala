@@ -256,7 +256,7 @@ object TextAnalysis {
     def half(prob: Column, cnt: Column): Column =
       when(cnt === 0, lit(0.0))
         .otherwise(prob * log(prob / ((p + q) / lit(2.0)))) * lit(0.5)
-    val out = ca.withColumnRenamed("c", "cnt_a")
+    val drift = ca.withColumnRenamed("c", "cnt_a")
       .join(cb.withColumnRenamed("c", "cnt_b"), Seq("tok"), "full_outer")
       .na.fill(0L, Seq("cnt_a", "cnt_b"))
       .select(col("tok"), col("cnt_a"), col("cnt_b"),
@@ -267,6 +267,70 @@ object TextAnalysis {
       .localCheckpoint(eager = true)
     ca.unpersist(blocking = false)
     cb.unpersist(blocking = false)
-    out.orderBy(desc("jsd_term"), col("tok"))
+    drift.orderBy(desc("jsd_term"), col("tok"))
+  }
+
+  /** Vocabulary growth curve over ingestion batches (`batch` =
+    * ⌊id/batchSize⌋): per batch, token occurrences, distinct tokens,
+    * and NEW tokens (whose corpus-first batch is this one) — the
+    * saturation signal that tells a crawl when marginal data stops
+    * buying vocabulary. All integer-exact. Two aggregates over the
+    * (batch, token) cell table + a broadcast-size first-batch join;
+    * the raw token stream shuffles once. */
+  def vocabularyGrowth(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchSize: Long): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val cells = docs
+      .select(floor(col(idCol) / lit(batchSize.toDouble)).cast("long")
+          .as("batch"),
+        explode(filter(split(col(textCol), "[^A-Za-z]+"),
+          t => t =!= lit(""))).as("tok"))
+      .groupBy("batch", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = cells.groupBy("tok").agg(min("batch").as("fb"))
+    val out = cells.join(first, "tok")
+      .groupBy("batch")
+      .agg(sum("c").as("n_occurrences"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("fb") === col("batch"), 1L).otherwise(0L))
+          .as("n_new"))
+      .orderBy("batch")
+      .localCheckpoint(eager = true)
+    cells.unpersist(blocking = false)
+    out.orderBy("batch")
+  }
+
+  /** Per-document token (Shannon) entropy in nats — the
+    * gibberish/boilerplate discriminator next to [[qualityStats]]:
+    * repeated-template docs score near 0, natural text near ln of its
+    * distinct-token count. H = −Σ p·ln p from exact counts; per-term
+    * 12-dp round + DECIMAL sum (the mutual-information device), so
+    * the per-doc scalar is engine-replayable. One (doc, token)
+    * aggregate; nothing corpus-wide. */
+  def tokenEntropy(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cells = docs
+      .select(col(idCol),
+        explode(filter(split(col(textCol), "[^A-Za-z]+"),
+          t => t =!= lit(""))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(idCol)
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    cells.join(totals, idCol)
+      .select(col(idCol), col("n"), col("n_distinct"),
+        round(p * log(p), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("t"))
+      .groupBy(idCol)
+      .agg(first(col("n")).as("n_tokens"),
+        first(col("n_distinct")).as("n_distinct"),
+        // 0.0 − x, not −x: a zero sum must come out +0.0 (the oracle
+        // compares floats bitwise, and −0.0 would depend on engine
+        // negation quirks)
+        (lit(0.0) - sum(col("t")).cast("double")).as("entropy"))
+      .orderBy(idCol)
   }
 }

@@ -317,6 +317,43 @@ class SourcesSpec extends SparkSpec {
     assert(got.toSet === Set(("alpha", "beta", 1L), ("beta", "alpha", 1L)))
   }
 
+  test("vocabularyGrowth: first-seen accounting over id batches") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta alpha"),   // batch 0: 3 occ, 2 distinct, 2 new
+      (1L, "beta gamma"),         // batch 0 continues
+      (10L, "alpha delta"),       // batch 1: delta is new, alpha isn't
+      (11L, "delta delta"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabularyGrowth(
+        docs.repartition(3), "doc_id", "text", batchSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 5L, 3L, 3L), (1L, 4L, 2L, 1L)))
+  }
+
+  test("tokenEntropy: uniform, skewed, and single-token docs") {
+    import spark.implicits._
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val docs = Seq(
+      (1L, "a b c d"),    // uniform over 4 -> ln 4
+      (2L, "a a a b"),    // 3/4, 1/4
+      (3L, "x x x"))      // single token -> +0.0 exactly
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs.repartition(2), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val h1 = (0.0 - (Seq.fill(4)(r12(0.25 * math.log(0.25))).sum).toDouble)
+    val h2 = (0.0 - (r12(0.75 * math.log(0.75)) +
+      r12(0.25 * math.log(0.25))).toDouble)
+    assert(got.toSeq === Seq(
+      (1L, 4L, 4L, h1), (2L, 4L, 2L, h2), (3L, 3L, 1L, 0.0)))
+    assert(math.abs(h1 - math.log(4.0)) < 1e-9)
+    // the zero must be POSITIVE zero (bitwise oracle compare)
+    assert(1.0 / got(2)._4 === Double.PositiveInfinity)
+  }
+
   test("distributionDrift matches the hand JSD on a two-token shift") {
     import spark.implicits._
     // A: 3 'x', 1 'y' -> p(x)=.75; B: 1 'x', 3 'y' -> q(x)=.25
