@@ -4676,15 +4676,18 @@ object SparkEntry {
         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
         |  FROM sym GROUP BY 1),
         |nb AS MATERIALIZED (SELECT sym.src AS b, sym.dst AS n,
-        |  CAST(round(1.0 / ln(deg), 12) AS DECIMAL(38,12)) AS term
+        |  CAST(CAST(round(1.0 / ln(deg), 12) AS DECIMAL(14,12))
+        |    * 1000000000000 AS BIGINT) AS units
         |  FROM sym JOIN deg ON deg.node = sym.src
         |  WHERE deg BETWEEN 2 AND 100),
-        |sc AS (SELECT x.n AS u, y.n AS w, sum(x.term) AS aa_dec,
+        |sc AS (SELECT x.n AS u, y.n AS w,
+        |  CAST(sum(x.units) AS BIGINT) AS aa_units,
         |  count(*) AS common
         |  FROM nb x JOIN nb y ON x.b = y.b AND x.n < y.n
         |  GROUP BY 1, 2)
         |SELECT sc.u AS src, sc.w AS dst, CAST(common AS BIGINT)
-        |  AS common, CAST(aa_dec AS DOUBLE) AS aa
+        |  AS common,
+        |  CAST(aa_units AS DOUBLE) / 1000000000000.0 AS aa
         |FROM sc ANTI JOIN pe ON pe.s1 = sc.u AND pe.s2 = sc.w
         |ORDER BY aa DESC, src, dst LIMIT 20""".stripMargin,
 

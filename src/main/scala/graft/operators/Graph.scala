@@ -1323,24 +1323,31 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // wedge centers: only nodes with 2..maxDegree neighbors can vouch
     // for a pair; the per-center term is fixed, so round it ONCE here
+    // — and carry it as exact LONG micro-units (12-dp term × 10¹²,
+    // the DECIMAL multiply is exact and the value ≤ 1.45e12) so the
+    // Σ-C(deg,2)-row aggregation sums machine longs, not
+    // 38-digit decimals; per-pair sums stay ≤ maxDegree·1.45e12,
+    // far inside the ANSI long envelope
     val nb = e
       .join(deg.select(col("node").as("src"), col("deg")), "src")
       .where(col("deg") >= 2 && col("deg") <= maxDegree)
       .select(col("src").as("b"), col("dst").as("n"),
-        round(lit(1.0) / log(col("deg").cast("double")), 12)
-          .cast(Dec12).as("term"))
+        (round(lit(1.0) / log(col("deg").cast("double")), 12)
+          .cast(DecimalType(14, 12))
+          * lit(java.math.BigDecimal.valueOf(1000000000000L)))
+          .cast("long").as("units"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val scored = nb.select(col("b"), col("n").as("u"), col("term"))
+    val scored = nb.select(col("b"), col("n").as("u"), col("units"))
       .join(nb.select(col("b"), col("n").as("w")).hint("shuffle_hash"),
         "b")
       .where(col("u") < col("w"))
       .groupBy("u", "w")
-      .agg(sum(col("term")).as("aa_dec"), count(lit(1)).as("common"))
+      .agg(sum(col("units")).as("aa_units"), count(lit(1)).as("common"))
     val out = scored
       .join(e.select(col("src").as("u"), col("dst").as("w")),
         Seq("u", "w"), "left_anti")
       .select(col("u").as("src"), col("w").as("dst"), col("common"),
-        col("aa_dec").cast("double").as("aa"))
+        (col("aa_units").cast("double") / lit(1.0e12)).as("aa"))
       .localCheckpoint(eager = true)
     nb.unpersist(blocking = false)
     deg.unpersist(blocking = false)

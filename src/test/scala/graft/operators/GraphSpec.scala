@@ -993,9 +993,11 @@ class GraphSpec extends SparkSpec {
     val cap = 9 // excludes some centers of this graph (max deg ~12)
     assert(adj.values.exists(_.size > cap),
       "fixture must contain at least one capped hub")
-    def term(b: Long): BigDecimal =
-      BigDecimal(1.0 / math.log(adj(b).size.toDouble))
+    // exact long micro-units, mirroring the engine's 12-dp × 10¹² form
+    def units(b: Long): Long =
+      (BigDecimal(1.0 / math.log(adj(b).size.toDouble))
         .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000000000L)).toLongExact
     val nodes = adj.keySet
     val exp = (for {
       u <- nodes.toSeq; w <- nodes.toSeq
@@ -1003,7 +1005,8 @@ class GraphSpec extends SparkSpec {
       cs = (adj(u) & adj(w))
         .filter(b => adj(b).size >= 2 && adj(b).size <= cap)
       if cs.nonEmpty
-    } yield (u, w, cs.size.toLong, cs.toSeq.map(term).sum.toDouble)).toSet
+    } yield (u, w, cs.size.toLong,
+      cs.toSeq.map(units).sum.toDouble / 1.0e12)).toSet
     val gt = Graph.buildGraphTable(
       sym.toDF("src", "dst").repartition(3), "src", "dst",
       assumeDistinct = true)
