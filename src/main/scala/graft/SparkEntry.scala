@@ -2589,7 +2589,35 @@ object SparkEntry {
     // from exact counts, 12-dp DECIMAL-summed terms.
     "q169_token_entropy" -> ((s, dir) =>
       operators.TextAnalysis.tokenEntropy(
-        T(s, dir, "documents"), "doc_id", "text")))
+        T(s, dir, "documents"), "doc_id", "text")),
+
+    // Percent-rank (quantile) normalization of value within each
+    // event_type — the distribution-free feature transform; ANSI
+    // (rank−1)/(n−1) is one exact integer division. One hash exchange
+    // on the group + per-group sort, never a global window.
+    "q170_rank_normalize" -> ((s, dir) =>
+      operators.Features.rankNormalize(
+          T(s, dir, "events").select(col("event_id"),
+            col("event_type"), col("value")),
+          "value", "event_type")
+        .orderBy("event_id")),
+
+    // Per-user inter-arrival profile: mean gap + coefficient of
+    // variation (CV ≈ 1 Poisson, ≫ 1 bursty) — the bot/organic screen.
+    // Gaps exact long micros, Σgap² in DECIMAL(38,0), stats fixed
+    // double expressions 9-dp rounded.
+    "q171_interarrival" -> ((s, dir) =>
+      operators.Features.interArrivalStats(
+        T(s, dir, "events"), "user_id", "ts", "event_id")),
+
+    // Pearson chi-square of event_type × value-quartile — the
+    // classical independence test on q151's exact cell machinery
+    // (χ² statistic where q151 reports nats).
+    "q172_chi_square" -> ((s, dir) =>
+      operators.Features.chiSquare(
+        operators.Quantiles.quantileBucket(
+          T(s, dir, "events"), "value", 4, "yb"),
+        "event_type", "yb")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -5033,6 +5061,65 @@ object SparkEntry {
         |  CAST(any_value(nd) AS BIGINT) AS n_distinct,
         |  0.0 - CAST(sum(t) AS DOUBLE) AS entropy
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ANSI percent_rank is (rank−1)/(n−1) in both engines
+    "q170_rank_normalize" ->
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+        |    AS pr
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // same exact micro gaps (epoch_us == unix_micros on the
+    // normalized ts), Σg² via HUGEINT ≙ DECIMAL(38,0), identical
+    // guarded 9-dp stat expressions
+    "q171_interarrival" ->
+      """WITH g AS (SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS g
+        |  FROM events),
+        |a AS (SELECT user_id, count(*) AS n_events, sum(g) AS sg,
+        |  CAST(sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS DOUBLE)
+        |    AS sgg,
+        |  count(g) AS ng FROM g GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  CASE WHEN ng = 0 THEN NULL
+        |    ELSE round(CAST(sg AS DOUBLE) / ng / 1000000.0, 9) END
+        |    AS mean_gap_sec,
+        |  CASE WHEN ng < 2 OR sg = 0 THEN NULL
+        |    ELSE round(sqrt(greatest((sgg - CAST(sg AS DOUBLE)
+        |      * CAST(sg AS DOUBLE) / ng) / ng, 0.0))
+        |      / (CAST(sg AS DOUBLE) / ng), 9) END AS cv
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    // q151's exact cell/bucket machinery with the χ² term instead of
+    // the MI term; same 12-dp round + DECIMAL sum
+    "q172_chi_square" ->
+      """WITH b AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75])
+        |    AS qs FROM events),
+        |t AS (SELECT event_type AS x, 1
+        |  + (value > qs[1])::INT + (value > qs[2])::INT
+        |  + (value > qs[3])::INT AS y FROM events, b),
+        |j AS (SELECT x, y, count(*) AS c FROM t GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+        |nx AS (SELECT count(*) AS nx FROM mx),
+        |ny AS (SELECT count(*) AS ny FROM my)
+        |SELECT CAST(sum(CAST(round(
+        |    (CAST(coalesce(c, 0) AS DOUBLE)
+        |      - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    * (CAST(coalesce(c, 0) AS DOUBLE)
+        |      - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)), 12)
+        |  AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+        |  (SELECT CAST((nx - 1) * (ny - 1) AS BIGINT) FROM nx, ny)
+        |    AS dof,
+        |  max(n) AS n_rows, count(*) AS n_cells
+        |FROM mx CROSS JOIN my LEFT JOIN j USING (x, y) CROSS JOIN n"""
+        .stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -323,6 +323,96 @@ object Features {
         .otherwise(lit("test")))
   }
 
+  /** Percent-rank (quantile) normalization of `valCol` within each
+    * `groupCol` — the distribution-free feature transform (maps any
+    * marginal to ~uniform[0,1], robust to outliers where z-scores are
+    * not; ties share a rank, single-row groups map to 0). The ANSI
+    * `percent_rank` = (rank−1)/(n−1) is one integer division — exact
+    * in any engine. Scale shape: ONE hash exchange on the group + a
+    * per-group sort; no global window (the q148 lesson — a
+    * partitionless window is a single-task sort). */
+  def rankNormalize(
+      df: DataFrame, valCol: String, groupCol: String,
+      outCol: String = "pr"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+    df.withColumn(outCol, percent_rank().over(w))
+  }
+
+  /** Per-key inter-arrival profile: event count, mean gap (seconds),
+    * and the coefficient of variation of the gaps — THE burstiness
+    * discriminator (CV ≈ 1 Poisson, ≫ 1 bursty, ≪ 1 periodic); the
+    * bot/organic screen next to q11's text quality. Gaps are exact
+    * long micros; Σgap stays a long, Σgap² runs in DECIMAL(38,0)
+    * (a squared month of micros overflows a long); mean/cv are fixed
+    * double expressions of the exact sums, 9-dp rounded (the q139
+    * lesson). Keys with < 2 events have no gaps → null stats.
+    * One window lag + one aggregate, both on the key exchange. */
+  def interArrivalStats(
+      df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val gap = df
+      .select(col(keyCol), (unix_micros(col(tsCol)) -
+        lag(unix_micros(col(tsCol)), 1).over(w)).as("g"))
+    gap.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("g")).as("sg"),
+        sum((col("g").cast(DecimalType(38, 0)) *
+          col("g").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)))
+          .cast("double").as("sgg"),
+        count(col("g")).as("ng"))
+      .select(col(keyCol), col("n_events"),
+        when(col("ng") === 0, lit(null).cast("double"))
+          .otherwise(round(col("sg").cast("double") / col("ng") /
+            lit(1000000.0), 9)).as("mean_gap_sec"),
+        // greatest(·, 0): float cancellation can leave a −ε variance,
+        // and sqrt(−ε) would be an engine-dependent NaN
+        when(col("ng") < 2 || col("sg") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            sqrt(greatest((col("sgg") - col("sg").cast("double") *
+              col("sg").cast("double") / col("ng")) / col("ng"),
+              lit(0.0))) /
+              (col("sg").cast("double") / col("ng")), 9)).as("cv"))
+      .orderBy(keyCol)
+  }
+
+  /** Pearson chi-square statistic of a two-categorical contingency
+    * table — the classical independence test next to
+    * [[mutualInformation]] (same exact cell machinery, the textbook
+    * statistic instead of nats): χ² = Σ_cells (o − e)²/e with
+    * e = row·col/n from EXACT counts; per-cell terms 12-dp-rounded
+    * and DECIMAL-summed. Returns one row
+    * (chi2, dof, n_rows, n_cells). */
+  def chiSquare(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy("x").agg(sum("c").as("cx"))
+    val my = cells.groupBy("y").agg(sum("c").as("cy"))
+    val n = cells.agg(sum("c").as("n"))
+    val nx = mx.agg(count(lit(1)).as("nx"))
+    val ny = my.agg(count(lit(1)).as("ny"))
+    val e = col("cx").cast("double") * col("cy").cast("double") /
+      col("n").cast("double")
+    val o = coalesce(col("c"), lit(0L)).cast("double")
+    // the FULL marginal grid, not just observed cells: a structural
+    // zero still contributes its whole expectation e to χ²
+    mx.crossJoin(my)
+      .join(cells, Seq("x", "y"), "left")
+      .crossJoin(broadcast(n))
+      .select(
+        round((o - e) * (o - e) / e, 12)
+          .cast(DecimalType(38, 12)).as("term"))
+      .agg(sum(col("term")).cast("double").as("chi2"),
+        count(lit(1)).as("n_cells"))
+      .crossJoin(broadcast(n.select(col("n").as("n_rows"))))
+      .crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+      .select(col("chi2"),
+        ((col("nx") - 1) * (col("ny") - 1)).as("dof"),
+        col("n_rows"), col("n_cells"))
+  }
+
   /** Top principal component of the CORRELATION matrix of `cols` by
     * power iteration — the one-line "what single axis explains these
     * features" screen next to [[correlationMatrix]] (correlation, not

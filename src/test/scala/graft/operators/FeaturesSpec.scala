@@ -214,6 +214,64 @@ class FeaturesSpec extends SparkSpec {
     assert(a.select("split").distinct().count() === 3L)
   }
 
+  test("rankNormalize: percent_rank with ties and singleton groups") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0),
+      ("a", 4L, 30.0), ("b", 5L, 7.0))
+      .toDF("g", "id", "v")
+    val got = Features.rankNormalize(df.repartition(3), "v", "g")
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // ranks in 'a': 10->1, 20->2 (tied), 30->4 of n=4 -> /(n-1)=3
+    assert(got === Map(1L -> 0.0, 2L -> (1.0 / 3), 3L -> (1.0 / 3),
+      4L -> 1.0, 5L -> 0.0))
+  }
+
+  test("interArrivalStats: hand gaps, Poisson-ish CV, degenerate keys") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val df = Seq(
+      (1L, ts(0), 1L, 0.0), (1L, ts(10), 2L, 0.0), (1L, ts(40), 3L, 0.0),
+      (2L, ts(5), 4L, 0.0), // single event: null stats
+      (3L, ts(7), 5L, 0.0), (3L, ts(7), 6L, 0.0)) // zero gap: sg=0
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Features.interArrivalStats(df.repartition(3),
+        "user_id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    // user 1: gaps 10s, 30s -> mean 20s; var = (100+900)e12/2 - 400e12
+    //   = 100e12 µs² -> sd 10s -> cv 0.5
+    assert(got === Seq(
+      (1L, 3L, Some(20.0), Some(0.5)),
+      (2L, 1L, None, None),
+      (3L, 2L, Some(0.0), None)))
+  }
+
+  test("chiSquare: independent table scores ~0, dof and counts exact") {
+    import spark.implicits._
+    // perfectly independent 2x2: counts (10,20,10,20)
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(20)(("b", "y"))
+    val got = Features.chiSquare(
+      rows.toDF("u", "v").repartition(3), "u", "v").head()
+    assert(got.getDouble(0) === 0.0)
+    assert(got.getLong(1) === 1L)
+    assert(got.getLong(2) === 60L)
+    assert(got.getLong(3) === 4L)
+    // dependence raises it: replica-checked cell term
+    val dep = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("b", "y"))
+    val chi = Features.chiSquare(
+      dep.toDF("u", "v").repartition(2), "u", "v").head().getDouble(0)
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def term(o: Double, cx: Double, cy: Double) = {
+      val e = cx * cy / 40.0; r12((o - e) * (o - e) / e)
+    }
+    val exp = (term(30, 30, 30) + term(0, 30, 10) + term(0, 10, 30) +
+      term(10, 10, 10)).toDouble
+    assert(chi === exp)
+  }
+
   test("pcaPowerTop recovers the analytic 2x2 eigenpair") {
     import spark.implicits._
     // y = 2x + structured residual +-3 (never proportional), so the
