@@ -2617,7 +2617,15 @@ object SparkEntry {
       operators.Features.chiSquare(
         operators.Quantiles.quantileBucket(
           T(s, dir, "events"), "value", 4, "yb"),
-        "event_type", "yb")))
+        "event_type", "yb")),
+
+    // Streaming causal z-score: each event against its user's
+    // STRICTLY PRIOR mean/sd, exact integer-unit accumulators in
+    // GroupState (count, Σ units long, Σ units² BigInteger) — the
+    // real-time anomaly twin of q135, null until 3 priors. Replayed
+    // bit-exactly by the batch cumulative-window oracle.
+    "q173_stream_zscore" -> ((s, dir) =>
+      streaming.EventWindows.streamZScore(s, dir)))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -5120,6 +5128,29 @@ object SparkEntry {
         |  max(n) AS n_rows, count(*) AS n_cells
         |FROM mx CROSS JOIN my LEFT JOIN j USING (x, y) CROSS JOIN n"""
         .stripMargin,
+
+    // batch cumulative-window replay of the streaming accumulators:
+    // prior-rows frame, exact integer unit sums (HUGEINT ≙ the
+    // engine's BigInteger), identical guarded 9-dp z expression
+    "q173_stream_zscore" ->
+      """WITH u AS (SELECT user_id, event_id, ts,
+        |  CAST(round(value * 10000.0) AS BIGINT) AS xu FROM events),
+        |w AS (SELECT user_id, event_id, xu,
+        |  count(*) OVER wp AS n,
+        |  sum(xu) OVER wp AS su,
+        |  sum(CAST(xu AS HUGEINT) * xu) OVER wp AS sq
+        |  FROM u WINDOW wp AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id,
+        |  CASE WHEN n >= 3 AND (CAST(sq AS DOUBLE) / n
+        |      - (CAST(su AS DOUBLE) / n) * (CAST(su AS DOUBLE) / n)) > 0
+        |    THEN round((CAST(xu AS DOUBLE) - CAST(su AS DOUBLE) / n)
+        |      / sqrt(CAST(sq AS DOUBLE) / n
+        |        - (CAST(su AS DOUBLE) / n) * (CAST(su AS DOUBLE) / n)),
+        |      9)
+        |    ELSE NULL END AS z
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

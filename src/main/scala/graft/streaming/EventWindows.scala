@@ -760,6 +760,70 @@ object EventWindows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Streaming per-key z-score anomaly flagging: each event scored
+    * against the mean/sd of its key's STRICTLY PRIOR events — the
+    * real-time twin of the batch z-outlier screen (q135), with the
+    * causality a batch pass can't give (no peeking at later events).
+    * State per key is three exact integers: count, Σ(value·10⁴ units)
+    * as a long, Σ(units²) as a BigInteger (two bursts of 5e6 units
+    * square past a long) — so the accumulators are order- and
+    * batch-boundary-exact, and z is one fixed double expression of
+    * them, 9-dp rounded: bit-replayable by the batch
+    * cumulative-window oracle. Keys emit null z until 3 priors exist
+    * and the prior variance is positive. */
+  def streamZScore(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    def step(
+        user: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        state: GroupState[(Long, Long, Array[Byte])]):
+        Iterator[(Long, Long, Option[Double])] = {
+      val (n0, su0, sqB) =
+        state.getOption.getOrElse((0L, 0L, Array[Byte](0)))
+      var n = n0; var su = su0
+      var sq = BigInt(new java.math.BigInteger(sqB))
+      val out = rows.toArray.sortBy(r => (r._2, r._3)).map { r =>
+        val xu = r._4
+        val z: Option[Double] =
+          if (n < 3) None
+          else {
+            val nd = n.toDouble
+            val meanU = su.toDouble / nd
+            val varU = sq.toDouble / nd - meanU * meanU
+            if (varU > 0)
+              Some(r9((xu.toDouble - meanU) / math.sqrt(varU)))
+            else None
+          }
+        n += 1; su += xu; sq += BigInt(xu) * BigInt(xu)
+        (user, r._3, z)
+      }
+      state.update((n, su, sq.toByteArray))
+      out.iterator
+    }
+
+    runToMemory(spark, "append", statePartitions = 16) { s =>
+      eventsStream(s, dir, glob, maxFilesPerTrigger)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          round(col("value") * lit(10000.0)).cast("long").as("xu"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+        .toDF("user_id", "event_id", "z")
+    }
+      .orderBy("user_id", "event_id")
+  }
+
   /** Streaming per-key quantile estimation from a fixed-bin histogram
     * kept in `flatMapGroupsWithState` state: each value lands in bin
     * ⌊value/binWidth⌋ (one codegen'd floor BEFORE the stateful
