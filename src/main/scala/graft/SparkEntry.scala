@@ -2625,7 +2625,18 @@ object SparkEntry {
     // real-time anomaly twin of q135, null until 3 priors. Replayed
     // bit-exactly by the batch cumulative-window oracle.
     "q173_stream_zscore" -> ((s, dir) =>
-      streaming.EventWindows.streamZScore(s, dir)))
+      streaming.EventWindows.streamZScore(s, dir)),
+
+    // Directional n-gram CONTAINMENT pairs — q17's asymmetric twin:
+    // |A∩B|/|A| catches wholesale inclusion (short doc quoted in a
+    // long one) that union-relative Jaccard dilutes away; the
+    // boilerplate-wrap / quote-expansion dup shape. Same 8-byte
+    // shingle inverted-index join, either direction > 0.5.
+    "q174_containment_pairs" -> ((s, dir) =>
+      operators.Dedup.ngramContainmentPairs(
+          T(s, dir, "documents").where(col("doc_id") < 500),
+          n = pairShingleN, threshold = 0.5)
+        .orderBy("id_a", "id_b")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -5151,6 +5162,26 @@ object SparkEntry {
         |      9)
         |    ELSE NULL END AS z
         |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+    // q17's string-shingle CTE with the directional divisors; string
+    // grams stand in for the engine's xxhash64 grams (the q17
+    // collision argument)
+    "q174_containment_pairs" ->
+      """WITH s AS MATERIALIZED (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, length(text) - 6),
+        |    i -> substr(text, CAST(i AS INT), 8))) AS sh
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |    AS cont_a_in_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)
+        |    AS cont_b_in_a
+        |FROM s a, s b WHERE a.doc_id < b.doc_id
+        |AND greatest(
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh))
+        |  > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

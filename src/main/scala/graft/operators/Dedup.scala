@@ -297,6 +297,38 @@ object Dedup {
       .where(col("jac") > threshold)
   }
 
+  /** Directional n-gram CONTAINMENT pairs — the asymmetric twin of
+    * [[ngramJaccardPairs]]: cont(A→B) = |A∩B| / |A|. Jaccard misses
+    * wholesale inclusion (a short doc quoted inside a long one has
+    * tiny |A∪B|-relative overlap but containment ≈ 1), and inclusion
+    * is exactly what boilerplate-wrapping and quote-expansion dups
+    * look like in a crawl. Same 8-byte shingle inverted-index join
+    * (never an n² text comparison); keeps pairs where EITHER
+    * direction clears `threshold`. Returns
+    * (id_a, id_b, cont_a_in_b, cont_b_in_a). */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      n: Int,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val shU = udf((t: String) => shingleHashSet(t, n))
+    val sh = df.select(col(idCol).as("id"), explode(shU(col(textCol))).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("id").as("id_a"), col("s"))
+      .join(sh.select(col("id").as("id_b"), col("s")), "s")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("sz_a")).as("cont_a_in_b"),
+        (col("inter").cast("double") / col("sz_b")).as("cont_b_in_a"))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) > threshold)
+  }
+
   // ------------------------------------------------------- MinHash LSH
 
   /** Candidate pairs via LSH banding: the compiled

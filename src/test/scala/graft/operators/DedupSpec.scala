@@ -291,4 +291,24 @@ class SimilaritySpec extends SparkSpec {
     // scores must agree exactly with the brute-force scores
     lsh.foreach { case (id, s) => assert(math.abs(brute(id) - s) < 1e-9) }
   }
+
+  test("containment catches wholesale inclusion that Jaccard dilutes") {
+    import spark.implicits._
+    val short = "the quick brown fox jumps"
+    val long = "PREFIX PADDING TEXT " * 8 + short + " SUFFIX TRAILER " * 8
+    val df = Seq((1L, short), (2L, long), (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    // every 5-gram of the short doc appears in the long one
+    val got = Dedup.ngramContainmentPairs(df, n = 5, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 1)
+    val (a, b, cab, cba) = got.head
+    assert((a, b) === ((1L, 2L)))
+    assert(cab === 1.0)   // short fully inside long
+    assert(cba < 0.5)     // but the long doc is NOT inside the short
+    // and symmetric Jaccard at the same bar would have missed it
+    assert(Dedup.ngramJaccardPairs(df, n = 5, threshold = 0.9)
+      .collect().isEmpty)
+  }
 }
