@@ -2636,7 +2636,25 @@ object SparkEntry {
       operators.Dedup.ngramContainmentPairs(
           T(s, dir, "documents").where(col("doc_id") < 500),
           n = pairShingleN, threshold = 0.5)
-        .orderBy("id_a", "id_b")))
+        .orderBy("id_a", "id_b")),
+
+    // Persisted mergeable histogram artifact (the PQ/IVF/graph
+    // build-once precedent applied to quantiles): base built from 90%
+    // of the feed, the rest folded in by counter sum + staged swap,
+    // p50/p90/p99 probed from the counter table alone — append ≡
+    // rebuild proven end-to-end against the full-feed oracle.
+    "q175_histogram_artifact" -> ((s, dir) => {
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_hist_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode))
+      val ev = T(s, dir, "events").select(col("event_id"), col("value"))
+      operators.Quantiles.writeHistogram(
+        ev.where(col("event_id") % 10 =!= 0), "value", 5.0, base)
+      operators.Quantiles.appendToHistogram(
+        s, base, ev.where(col("event_id") % 10 === 0), "value")
+      operators.Quantiles.histogramQuantiles(s, base,
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -5182,6 +5200,24 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh))
         |  > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // append ≡ rebuild: the oracle bins the FULL feed; the same
+    // real-division ceil-rank predicate picks the same bins
+    "q175_histogram_artifact" ->
+      """WITH b AS (SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+        |  count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM b),
+        |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM b),
+        |q(qname, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |  ('p99', 99, 100)),
+        |sel AS (SELECT q.qname, min(bin) AS mbin
+        |  FROM cum CROSS JOIN n CROSS JOIN q
+        |  WHERE cum >= CAST(n.n * q.num AS DOUBLE) / q.den
+        |  GROUP BY 1)
+        |SELECT s.qname, (SELECT CAST(n AS BIGINT) FROM n) AS n_values,
+        |  s.mbin * 5.0 AS est
+        |FROM sel s ORDER BY qname""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

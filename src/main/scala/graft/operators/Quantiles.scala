@@ -99,4 +99,95 @@ object Quantiles {
       else when(col(valueCol).isNull, lit(null).cast("double"))
         .otherwise((col(valueCol).cast("double") - med) / iqr))
   }
+
+  // ------------------------------------------------ histogram artifact
+
+  /** Build-once mergeable quantile artifact — the persisted-index
+    * precedent (PQ/IVF, MinHash bands, graph tables, CountMin)
+    * applied to quantiles: a parquet counter table of fixed-width
+    * bins (`bin = ⌊value/binWidth⌋`, one row per OCCUPIED bin) plus
+    * a one-row meta. Bins merge by count sum, so a 100-TB corpus
+    * builds per-batch histograms and folds them in
+    * ([[appendToHistogram]]) instead of re-scanning; quantile probes
+    * ([[histogramQuantiles]]) touch only the counter table. Same
+    * estimator contract as the streaming form
+    * (`EventWindows.streamHistogramQuantile`): integer ceil-rank,
+    * lower-edge estimate. */
+  def writeHistogram(
+      df: DataFrame, valCol: String, binWidth: Double,
+      path: String): Unit = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val spark = df.sparkSession
+    df.where(col(valCol).isNotNull)
+      .select(floor(col(valCol) / lit(binWidth)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/bins")
+    import spark.implicits._
+    Seq(binWidth).toDF("bin_width")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fold a batch into a persisted histogram: counter-wise sum +
+    * staged-directory swap (the graph-append device), so probes never
+    * see a half-written counter table. */
+  def appendToHistogram(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, valCol: String): Unit = {
+    val bw =
+      try spark.read.parquet(s"$path/meta").head().getDouble(0)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"no histogram artifact at $path (${e.getMessage})")
+      }
+    val merged = spark.read.parquet(s"$path/bins")
+      .unionByName(df.where(col(valCol).isNotNull)
+        .select(floor(col(valCol) / lit(bw)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt")))
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+    val staging = s"$path/_staging"
+    merged.write.mode("overwrite").parquet(s"$staging/bins")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/bins")
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/bins"),
+      dst), s"rename of $staging/bins failed")
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  /** Probe a persisted histogram for quantiles `(name, num, den)`:
+    * estimate = lower edge of the first bin whose cumulative count
+    * reaches ⌈n·num/den⌉. The ordered window runs over the COUNTER
+    * table (bounded by value-range ÷ binWidth, not by the corpus),
+    * which is the one place a single-partition window is the right
+    * plan. Returns (qname, n_values, est) ordered by qname. */
+  def histogramQuantiles(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      quantiles: Seq[(String, Long, Long)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (qn, num, den) =>
+      require(num >= 1 && num <= den,
+        s"quantile $qn must have 1 <= num <= den, got $num/$den")
+    }
+    val bw = spark.read.parquet(s"$path/meta").head().getDouble(0)
+    val bins = spark.read.parquet(s"$path/bins")
+    val cum = bins.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin")))
+    val n = bins.agg(sum("cnt").as("n"))
+    import spark.implicits._
+    val qdf = quantiles.toDF("qname", "num", "den")
+    // cum ≥ real(n·num/den) ⇔ cum ≥ ⌈n·num/den⌉ for integer cum (and
+    // the exact-integer boundary divides exactly in IEEE), so the
+    // real-division predicate IS the ceil-rank — no integer-div
+    // portability knot
+    cum.crossJoin(broadcast(n)).crossJoin(broadcast(qdf))
+      .where(col("cum") >=
+        (col("n") * col("num")).cast("double") / col("den"))
+      .groupBy("qname")
+      .agg(first(col("n")).as("n_values"),
+        (min(col("bin")) * lit(bw)).as("est"))
+      .orderBy("qname")
+  }
 }

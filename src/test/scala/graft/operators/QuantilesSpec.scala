@@ -104,4 +104,34 @@ class QuantilesSpec extends SparkSpec {
     assert(Quantiles.robustScale(const, "v", "r")
       .where(col("r").isNotNull).count() === 0L)
   }
+
+  test("histogram artifact: append ≡ rebuild, ceil-rank probe exact") {
+    import spark.implicits._
+    def artDir(tag: String): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_hist_$tag").toString
+      new java.io.File(d).deleteOnExit(); d
+    }
+    // 100 values 0.0, 1.0, ..., 99.0; bin width 10 -> bins 0..9 of 10
+    val all = (0 until 100).map(i => (i.toLong, i.toDouble))
+    val df = all.toDF("id", "v")
+    val p1 = artDir("a")
+    Quantiles.writeHistogram(df.where(col("id") % 3 =!= 0), "v", 10.0, p1)
+    Quantiles.appendToHistogram(spark, p1, df.where(col("id") % 3 === 0), "v")
+    val p2 = artDir("b")
+    Quantiles.writeHistogram(df, "v", 10.0, p2)
+    assert(spark.read.parquet(s"$p1/bins").orderBy("bin").collect().toSeq
+      === spark.read.parquet(s"$p2/bins").orderBy("bin").collect().toSeq)
+    // p50: rank ceil(50) = 50 -> bin 4 (cum through bin 4 = 50);
+    // p90: rank 90 -> bin 8; p99: rank 99 -> bin 9
+    val got = Quantiles.histogramQuantiles(spark, p1,
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("p50", 100L, 40.0), ("p90", 100L, 80.0),
+      ("p99", 100L, 90.0)))
+    // appending to a non-artifact fails loudly
+    assert(intercept[IllegalArgumentException](
+      Quantiles.appendToHistogram(spark, "/nonexistent_graft", df, "v"))
+      .getMessage.contains("no histogram artifact"))
+  }
 }
