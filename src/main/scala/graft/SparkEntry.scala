@@ -2654,6 +2654,23 @@ object SparkEntry {
         s, base, ev.where(col("event_id") % 10 === 0), "value")
       operators.Quantiles.histogramQuantiles(s, base,
         Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+    }),
+
+    // Language-ID confusion matrix: declared lang × detected lang
+    // counts plus per-declared-lang hit share — the classifier eval
+    // every curation pipeline runs before trusting q12's detector as
+    // a corpus filter. Exact counts; share one long division.
+    "q176_lang_confusion" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("lang"),
+        operators.TextAnalysis.detectLang(col("text")).as("detected"))
+      val cells = d.groupBy("lang", "detected")
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+      cells.join(tot, "lang")
+        .select(col("lang"), col("detected"), col("n"),
+          (col("n").cast("double") / col("n_lang").cast("double"))
+            .as("share"))
+        .orderBy("lang", "detected")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -5218,6 +5235,20 @@ object SparkEntry {
         |SELECT s.qname, (SELECT CAST(n AS BIGINT) FROM n) AS n_values,
         |  s.mbin * 5.0 AS est
         |FROM sel s ORDER BY qname""".stripMargin,
+
+    // the q25 detector expression crossed with the declared label;
+    // share is one exact long division
+    "q176_lang_confusion" ->
+      s"""WITH d AS (SELECT lang, ${TextAnalysis.detectLangSql}
+         |  AS detected FROM documents),
+         |cells AS (SELECT lang, detected, count(*) AS n FROM d
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+         |  FROM cells GROUP BY 1)
+         |SELECT cells.lang, detected, n,
+         |  CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE) AS share
+         |FROM cells JOIN tot USING (lang)
+         |ORDER BY lang, detected""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same
