@@ -276,4 +276,40 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) === 1,
       p)
   }
+
+  test("q157: CountMin sketch probe broadcasts the counter table") {
+    val p = plan("q157_countmin")
+    // the d×w counter side broadcasts; the key side never shuffles
+    // through a SortMergeJoin
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q167: stratified sample plans the bounded TopK aggregate, " +
+    "never a window sort") {
+    val p = plan("q167_stratified_sample")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("q170: rank normalization windows on the GROUP key (no " +
+    "single-partition window)") {
+    val p = plan("q170_rank_normalize")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(event_type"), p)
+  }
+
+  test("q166: the ≤7-row dow profile broadcasts back onto dailies") {
+    val p = plan("q166_seasonal_dow")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q163: CDC apply aggregates the changelog BEFORE its only join") {
+    val p = plan("q163_cdc_apply")
+    // max_by collapse runs partial+final upstream of the outer join
+    // (SortAggregate: struct-valued max_by has no hash-agg form)
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size >= 1, p)
+  }
 }
