@@ -117,8 +117,32 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: $e") }
     spark.stop()
-    // re-print AFTER spark.stop(): if the driver keeps only a tail of
-    // stdout, the record is the last line and survives the truncation
-    println(line)
+    // The driver's round artifact keeps only the LAST 2000 chars of
+    // stdout (measured from BENCH_r05-r08: tail_len exactly 2000, with
+    // sbt's ~80-char "[success]" epilogue inside it), so the ~4.5 KB
+    // full record above can never survive intact — three rounds of
+    // "parsed": null. The LAST line is therefore a compact twin that
+    // fits the window WITH the full per-query map: keys are the digits
+    // of the query's unique qNN id prefix, values are the per-query
+    // min in centiseconds ("q_csec_by_id"). bench_out.json (written
+    // above) keeps the full-precision long-form record.
+    def compactLine(unitName: String, scale: Double): String = {
+      val qsCompact = results.map { case (k, v) =>
+        "\"" + k.drop(1).takeWhile(_ != '_') + "\":" +
+          math.round(v * scale)
+      }.mkString("{", ",", "}")
+      val sfName = sfDir.split('/').last
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
+        s""""$unitName":$qsCompact,"pass_totals":$pts,""" +
+        s""""retried":$retried,"contended":$contended,""" +
+        s""""failures":$nFailed,""" +
+        f""""load_avg":[$load0%.1f,$load1%.1f],""" +
+        s""""sf":"$sfName","full_record":"bench_out.json"}"""
+    }
+    val cs = compactLine("q_csec_by_id", 100.0)
+    // belt-and-braces: if the map ever outgrows the window, drop to
+    // decisecond values rather than re-losing the record to truncation
+    println(if (cs.length <= 1880) cs
+      else compactLine("q_dsec_by_id", 10.0))
   }
 }

@@ -410,6 +410,120 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
 
+  /** ONE CountMin oracle for q157 (in-memory sketch) and q178 (the
+    * persisted build/append/probe lifecycle): identical md5-hex row
+    * hashes mod 2048 over the FULL corpus — counter-wise sums commute,
+    * so the 90/10 split-and-append artifact must equal it exactly. */
+  private val countMinOracleSql: String =
+    """WITH k AS MATERIALIZED (SELECT l_partkey AS k FROM lineitem),
+      |cnt AS MATERIALIZED (SELECT k, count(*) AS true_cnt FROM k
+      |  GROUP BY 1),
+      |top AS MATERIALIZED (SELECT k, true_cnt FROM cnt
+      |  ORDER BY true_cnt DESC, k LIMIT 20),
+      |sk AS MATERIALIZED (SELECT r.i,
+      |  ('0x' || substr(md5(r.i || '-' || k.k), 1, 8))::BIGINT % 2048
+      |    AS idx, count(*) AS cnt
+      |  FROM k CROSS JOIN range(0, 4) r(i) GROUP BY 1, 2),
+      |est AS (SELECT t.k, t.true_cnt,
+      |  min(coalesce(sk.cnt, 0)) AS est
+      |  FROM top t CROSS JOIN range(0, 4) r(i)
+      |  LEFT JOIN sk ON sk.i = r.i AND sk.idx =
+      |    ('0x' || substr(md5(r.i || '-' || t.k), 1, 8))::BIGINT % 2048
+      |  GROUP BY 1, 2)
+      |SELECT k AS l_partkey, true_cnt, est FROM est
+      |ORDER BY true_cnt DESC, l_partkey""".stripMargin
+
+  // ---- multilingual tokenizer fixture shared by q177's Spark side and
+  // ---- its DuckDB oracle (ONE row source, so the two cannot drift):
+  // ---- five non-Latin scripts + English, all NFC, no astral chars,
+  // ---- no apostrophes (SQL literal safety). The testdata documents
+  // ---- table is pure ASCII, so THIS is where `\p{L}` earns its keep.
+
+  private val unicodeFixtureRows: Seq[(Long, String, String)] = Seq(
+    (0L, "ru", "привет мир привет всем добрый день мир и снова привет"),
+    (1L, "el", "καλημέρα κόσμε ωραία μέρα σήμερα κόσμε καλημέρα"),
+    (2L, "ar", "مرحبا بالعالم اليوم مرحبا بكم في عالم البيانات"),
+    (3L, "zh", "你好世界 今天 天气 很好 你好 数据 管道 你好"),
+    (4L, "fr", "le café est à côté du café naïve déjà vu déjà 2024"),
+    (5L, "en", "the quick brown fox jumps over the lazy dog 42 times"))
+
+  private def unicodeFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    unicodeFixtureRows.toDF("doc_id", "lang", "text")
+  }
+
+  private val unicodeFixtureSqlValues: String = unicodeFixtureRows
+    .map { case (id, lang, text) => s"($id, '$lang', '$text')" }
+    .mkString(",\n        |    ")
+
+  // ---- labeled real-language corpus for the char-n-gram NB detector
+  // ---- (q179): train/test splits shared by the Spark side and the
+  // ---- DuckDB oracle. Real sentences, 5 languages, no apostrophes
+  // ---- (SQL literal safety), all NFC. The zh rows are actual Chinese
+  // ---- — where the marker twin (pinyin word markers) scores zero.
+
+  private val nbTrainRows: Seq[(String, String)] = Seq(
+    "en" -> "the weather is nice today and the sun is shining",
+    "en" -> "data processing at scale requires careful planning of resources",
+    "en" -> "this is a long sentence about the history of science and discovery",
+    "en" -> "children play in the park while parents watch from the benches",
+    "en" -> "the quick brown fox jumps over the lazy dog near the river",
+    "en" -> "machine learning models improve with more training data over time",
+    "de" -> "das wetter ist heute schön und die sonne scheint den ganzen tag",
+    "de" -> "die verarbeitung großer datenmengen erfordert sorgfältige planung",
+    "de" -> "dies ist ein langer satz über die geschichte der wissenschaft",
+    "de" -> "kinder spielen im park während die eltern von den bänken zuschauen",
+    "de" -> "der schnelle braune fuchs springt über den faulen hund am fluss",
+    "de" -> "maschinelles lernen wird mit mehr trainingsdaten immer besser",
+    "fr" -> "le temps est beau et le soleil brille toute la journée",
+    "fr" -> "le traitement des données à grande échelle demande une planification",
+    "fr" -> "ceci est une longue phrase sur la histoire de la science",
+    "fr" -> "les enfants jouent dans le parc pendant que les parents regardent",
+    "fr" -> "le rapide renard brun saute par dessus le chien paresseux",
+    "fr" -> "les modèles apprennent mieux avec plus de données de formation",
+    "es" -> "el clima es agradable hoy y el sol brilla durante todo el día",
+    "es" -> "el procesamiento de datos a gran escala requiere una planificación",
+    "es" -> "esta es una frase larga sobre la historia de la ciencia",
+    "es" -> "los niños juegan en el parque mientras los padres observan",
+    "es" -> "el rápido zorro marrón salta sobre el perro perezoso junto al río",
+    "es" -> "los modelos de aprendizaje mejoran con más datos de entrenamiento",
+    "zh" -> "今天天气很好太阳一直在照耀着大地",
+    "zh" -> "大规模数据处理需要仔细规划计算资源",
+    "zh" -> "这是一个关于科学历史的很长的句子",
+    "zh" -> "孩子们在公园里玩耍父母在长椅上看着",
+    "zh" -> "敏捷的棕色狐狸跳过了河边懒惰的狗",
+    "zh" -> "机器学习模型随着更多训练数据而不断改进")
+
+  private val nbTestRows: Seq[(Long, String, String)] = Seq(
+    (0L, "en", "the library opens early in the morning for students"),
+    (1L, "en", "good food and good friends make the evening pleasant"),
+    (2L, "en", "the train arrives at the station every hour during the day"),
+    (3L, "en", "science and art often inspire each other in surprising ways"),
+    (4L, "de", "die bibliothek öffnet früh am morgen für die studenten"),
+    (5L, "de", "gutes essen und gute freunde machen den abend angenehm"),
+    (6L, "de", "der zug kommt jede stunde am bahnhof an"),
+    (7L, "de", "wissenschaft und kunst inspirieren sich oft gegenseitig"),
+    (8L, "fr", "la bibliothèque ouvre tôt le matin pour les étudiants"),
+    (9L, "fr", "la bonne cuisine et les bons amis rendent la soirée agréable"),
+    (10L, "fr", "le train arrive à la gare toutes les heures pendant la journée"),
+    (11L, "fr", "la science et la art se inspirent souvent mutuellement"),
+    (12L, "es", "la biblioteca abre temprano por la mañana para los estudiantes"),
+    (13L, "es", "la buena comida y los buenos amigos hacen la noche agradable"),
+    (14L, "es", "el tren llega a la estación cada hora durante el día"),
+    (15L, "es", "la ciencia y el arte se inspiran mutuamente con frecuencia"),
+    (16L, "zh", "图书馆早上很早为学生开放"),
+    (17L, "zh", "美食和好朋友让夜晚变得愉快"),
+    (18L, "zh", "火车每小时到达车站一次"),
+    (19L, "zh", "科学与艺术常常相互启发"))
+
+  private val nbTrainSqlValues: String = nbTrainRows
+    .map { case (lang, text) => s"('$lang', '$text')" }
+    .mkString(",\n        |    ")
+
+  private val nbTestSqlValues: String = nbTestRows
+    .map { case (id, lang, text) => s"($id, '$lang', '$text')" }
+    .mkString(",\n        |    ")
+
   /** Flagship query on sf=0.001: full K-Means fit on the embeddings
     * table (the reference's entire pipeline, SURVEY §3.1) → centroids. */
   def entry(spark: SparkSession): DataFrame = {
@@ -1037,7 +1151,7 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       val nDocs = d.count().toDouble
       val tok = d.select(col("lang"), col("doc_id"),
-          explode(split(col("text"), "[^A-Za-z]+")).as("term"))
+          explode(split(col("text"), TextAnalysis.tokenSplitRe)).as("term"))
         .where(col("term") =!= "")
       // ONE pipeline, no self-join: roll up to (doc, term) counts
       // ((doc_id, term) unique after it), then to (lang, term) with
@@ -2671,6 +2785,95 @@ object SparkEntry {
           (col("n").cast("double") / col("n_lang").cast("double"))
             .as("share"))
         .orderBy("lang", "detected")
+    }),
+
+    // Unicode tokenizer coverage — the multilingual row: an inline
+    // fixture in five non-Latin scripts (Cyrillic, Greek, Arabic, CJK,
+    // accented Latin) + English, through the SAME `\p{L}` tokenizer
+    // device the whole text surface shares (TextAnalysis.wordTokens /
+    // tokenSplitRe): per-doc token stats + Shannon entropy (the q169
+    // machinery) + the doc's top TF-IDF term (the q57 scoring, 6-dp).
+    // Under the old `[^A-Za-z]+` split every non-Latin doc here
+    // tokenized to NOTHING — this row pins the fix cross-engine.
+    "q177_unicode_tokens" -> ((s, dir) => {
+      val docs = unicodeFixture(s)
+      val nDocs = unicodeFixtureRows.size.toDouble
+      val ent = operators.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      val cells = docs.select(col("doc_id"),
+          explode(operators.TextAnalysis.wordTokens(col("text")))
+            .as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = cells.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = cells.join(dfreq, "term")
+        .withColumn("score",
+          round(col("tf") * log(lit(nDocs) / col("df")), 6))
+      val top = scored.withColumn("rn",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(desc("score"), asc("term"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+          col("score").as("tfidf"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(ent, "doc_id").join(top, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("n_distinct"), col("entropy"), col("top_term"),
+          col("tfidf"))
+        .orderBy("doc_id")
+    }),
+
+    // Persisted CountMin lifecycle (q157's artifact form, the
+    // q130/q175 build/append/probe precedent): build the sketch from
+    // 90% of lineitem part keys, fold the other 10% in via
+    // counter-wise merge + staged swap, probe the top-20 true-heaviest
+    // parts from the stored counters. Counter sums commute, so the
+    // merged artifact IS the full-feed sketch — the oracle is q157's
+    // full-corpus replay, bit-for-bit.
+    "q178_countmin_artifact" -> ((s, dir) => {
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_cmappend_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode))
+      val li = T(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"))
+      operators.Frequency.writeCountMin(
+        li.where(col("l_orderkey") % 10 =!= 0), "l_partkey",
+        depth = 4, width = 2048, base)
+      operators.Frequency.appendToCountMin(s, base,
+        li.where(col("l_orderkey") % 10 === 0), "l_partkey")
+      val truth = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), col("l_partkey")).limit(20)
+      operators.Frequency.countMinEstimatePersisted(
+          s, base, truth.select("l_partkey"), "l_partkey")
+        .join(truth, "l_partkey")
+        .select(col("l_partkey"), col("true_cnt"), col("est"))
+        .orderBy(desc("true_cnt"), col("l_partkey"))
+    }),
+
+    // Char-bigram Naive Bayes language ID (Cavnar–Trenkle n-gram
+    // profiles, NB-formulated) fit on a labeled real-language train
+    // fixture and evaluated on a held-out test split, side by side
+    // with the q12 marker heuristic on the SAME split — confusion
+    // cells per detector. The NB diagonal dominates (20/20 vs the
+    // markers' 15/20: real zh text scores zero on pinyin word
+    // markers and falls to the tie-break). Exact-replay classifier:
+    // integer gram counts, 12-dp-rounded ln terms, DECIMAL sums.
+    "q179_lang_nb" -> ((s, dir) => {
+      import s.implicits._
+      val train = nbTrainRows.toDF("lang", "text")
+      val test = nbTestRows.toDF("doc_id", "lang", "text")
+      val model = operators.TextAnalysis.charNgramLangModel(
+        train, "lang", "text", n = 2)
+      val nb = operators.TextAnalysis.charNgramDetect(
+          model, test, "doc_id", "text", n = 2)
+        .withColumn("detector", lit("nb"))
+      val mk = test.select(col("doc_id"),
+          operators.TextAnalysis.detectLang(col("text")).as("detected"))
+        .withColumn("detector", lit("marker"))
+      nb.unionByName(mk)
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("detector", "lang", "detected")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("detector", "lang", "detected")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -2946,7 +3149,7 @@ object SparkEntry {
       """SELECT doc_id,
         |length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
         |length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-        |length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+        |length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_alpha
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q12_lang_marker" ->
@@ -3367,7 +3570,7 @@ object SparkEntry {
     "q57_tfidf_top_terms" ->
       """WITH tok AS (
         |SELECT lang, doc_id,
-        |unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS term
+        |unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS term
         |FROM documents),
         |t AS (SELECT * FROM tok WHERE term <> ''),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
@@ -3785,7 +3988,7 @@ object SparkEntry {
     // order-independent, so the 6-dp result hash-matches
     "q92_bm25_topk" ->
       """WITH tok AS (SELECT doc_id,
-        |unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS term
+        |unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS term
         |FROM documents),
         |t AS (SELECT * FROM tok WHERE term <> ''),
         |dl AS (SELECT doc_id, count(*) AS dlen FROM t GROUP BY 1),
@@ -3814,7 +4017,7 @@ object SparkEntry {
     // its DECIMAL-literal arithmetic path.
     "q93_hybrid_rrf" ->
       """WITH tok AS (SELECT doc_id,
-        |unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS term
+        |unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS term
         |FROM documents),
         |t AS (SELECT * FROM tok WHERE term <> ''),
         |dl AS (SELECT doc_id, count(*) AS dlen FROM t GROUP BY 1),
@@ -3857,7 +4060,7 @@ object SparkEntry {
     // both engines so the 9-dp-rounded doubles hash-match
     "q94_collocations" ->
       """WITH ta AS (SELECT doc_id,
-        |list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
         |t -> t <> '') AS a FROM documents),
         |tok AS (SELECT doc_id, unnest(a) AS term,
         |generate_subscripts(a, 1) AS pos FROM ta),
@@ -4070,7 +4273,7 @@ object SparkEntry {
     // 9-dp-round + DECIMAL-sum per doc, 6-dp mean — the q92 device
     "q101_lm_score" ->
       """WITH ta AS (SELECT doc_id,
-        |list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
         |t -> t <> '') AS a FROM documents),
         |tok AS (SELECT doc_id, unnest(a) AS term,
         |generate_subscripts(a, 1) AS pos FROM ta),
@@ -4617,7 +4820,7 @@ object SparkEntry {
     // sum(CASE) is HUGEINT in DuckDB -> CAST back to BIGINT
     "q103_dup_grams" ->
       """WITH ta AS (SELECT doc_id,
-        |list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
         |t -> t <> '') AS a FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |  range(1, len(a) - 6), i -> array_to_string(a[i:i+7], ' '))))
@@ -4775,31 +4978,63 @@ object SparkEntry {
 
     // identical md5-hex row hashes mod 2048, identical counter
     // GROUP BY and min-probe; every value integer-exact
-    "q157_countmin" ->
-      """WITH k AS MATERIALIZED (SELECT l_partkey AS k FROM lineitem),
-        |cnt AS MATERIALIZED (SELECT k, count(*) AS true_cnt FROM k
-        |  GROUP BY 1),
-        |top AS MATERIALIZED (SELECT k, true_cnt FROM cnt
-        |  ORDER BY true_cnt DESC, k LIMIT 20),
-        |sk AS MATERIALIZED (SELECT r.i,
-        |  ('0x' || substr(md5(r.i || '-' || k.k), 1, 8))::BIGINT % 2048
-        |    AS idx, count(*) AS cnt
-        |  FROM k CROSS JOIN range(0, 4) r(i) GROUP BY 1, 2),
-        |est AS (SELECT t.k, t.true_cnt,
-        |  min(coalesce(sk.cnt, 0)) AS est
-        |  FROM top t CROSS JOIN range(0, 4) r(i)
-        |  LEFT JOIN sk ON sk.i = r.i AND sk.idx =
-        |    ('0x' || substr(md5(r.i || '-' || t.k), 1, 8))::BIGINT % 2048
-        |  GROUP BY 1, 2)
-        |SELECT k AS l_partkey, true_cnt, est FROM est
-        |ORDER BY true_cnt DESC, l_partkey""".stripMargin,
+    "q157_countmin" -> countMinOracleSql,
+
+    // the SAME full-corpus oracle as q157: counter-wise sum over a
+    // 90/10 split is EXACTLY the full-feed sketch (integer adds
+    // commute), so the artifact lifecycle must reproduce q157's
+    // numbers bit-for-bit — that identity IS what this row checks
+    "q178_countmin_artifact" -> countMinOracleSql,
+
+    // full NB replay: same VALUES fixtures (ONE Scala Seq each), same
+    // code-point substr bigrams, same Laplace term
+    // round(ln((c+1)/(n_lang+V)), 12) DECIMAL-summed, same
+    // (score desc, lang) argmax; the marker twin is detectLangSql —
+    // generated from the SAME marker map as the engine
+    "q179_lang_nb" ->
+      s"""WITH train(lang, text) AS (VALUES
+        |    $nbTrainSqlValues),
+        |test(doc_id, lang, text) AS (VALUES
+        |    $nbTestSqlValues),
+        |tg AS (SELECT lang, substr(text, CAST(i AS INT), 2) AS g
+        |  FROM (SELECT lang, unnest(range(1, length(text))) AS i, text
+        |    FROM train)),
+        |model AS MATERIALIZED (SELECT lang, g, count(*) AS c
+        |  FROM tg GROUP BY 1, 2),
+        |nl AS (SELECT lang, sum(c) AS n_lang FROM model GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT g) AS v FROM model),
+        |dg AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS g
+        |  FROM (SELECT doc_id, unnest(range(1, length(text))) AS i, text
+        |    FROM test)),
+        |scored AS (SELECT dg.doc_id, nl.lang,
+        |  sum(CAST(round(ln(CAST(coalesce(m.c, 0) + 1 AS DOUBLE) /
+        |    CAST(nl.n_lang + vv.v AS DOUBLE)), 12)
+        |    AS DECIMAL(38,12))) AS score
+        |  FROM dg CROSS JOIN nl CROSS JOIN vv
+        |  LEFT JOIN model m ON m.lang = nl.lang AND m.g = dg.g
+        |  GROUP BY 1, 2),
+        |nb AS (SELECT doc_id, lang AS detected FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, lang) AS rn FROM scored)
+        |  WHERE rn = 1),
+        |mk AS (SELECT doc_id, ${TextAnalysis.detectLangSql} AS detected
+        |  FROM test),
+        |cells AS (
+        |  SELECT 'nb' AS detector, t.lang, nb.detected
+        |  FROM nb JOIN test t USING (doc_id)
+        |  UNION ALL
+        |  SELECT 'marker', t.lang, mk.detected
+        |  FROM mk JOIN test t USING (doc_id))
+        |SELECT detector, lang, detected, count(*) AS n
+        |FROM cells GROUP BY 1, 2, 3
+        |ORDER BY detector, lang, detected""".stripMargin,
 
     // same token split, same p/q/m expression order, one 12-dp round
     // of the final double — ln agrees bit-wise at these magnitudes
     // (the q104 argument)
     "q158_js_drift" ->
       """WITH tk AS MATERIALIZED (SELECT lang,
-        |  unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |  unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
         |    t -> t <> '')) AS tok
         |  FROM documents WHERE lang IN ('en', 'de')),
         |ca AS MATERIALIZED (SELECT tok, count(*) AS c FROM tk
@@ -5082,7 +5317,7 @@ object SparkEntry {
     // same token split, same floor-div batches, integer-exact
     "q168_vocab_growth" ->
       """WITH tk AS (SELECT doc_id // 100 AS batch,
-        |  unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |  unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
         |    t -> t <> '')) AS tok
         |  FROM documents),
         |cells AS MATERIALIZED (SELECT batch, tok, count(*) AS c
@@ -5099,7 +5334,7 @@ object SparkEntry {
     // sum; 0.0 − sum keeps a zero entropy at +0.0 in both engines
     "q169_token_entropy" ->
       """WITH tk AS (SELECT doc_id,
-        |  unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+        |  unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
         |    t -> t <> '')) AS tok
         |  FROM documents),
         |cells AS MATERIALIZED (SELECT doc_id, tok, count(*) AS c
@@ -5249,6 +5484,47 @@ object SparkEntry {
          |  CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE) AS share
          |FROM cells JOIN tot USING (lang)
          |ORDER BY lang, detected""".stripMargin,
+
+    // same VALUES fixture (generated from the ONE Scala Seq), same
+    // '[^\p{L}]+' split, the q169 entropy device (12-dp rounded
+    // p·ln p terms, DECIMAL sum, 0.0 − x) and the q57 TF-IDF scoring
+    // (6-dp round of tf·ln(N/df)) with the same (score desc, term)
+    // top-1 tie-break
+    "q177_unicode_tokens" ->
+      s"""WITH docs(doc_id, lang, text) AS (VALUES
+        |    $unicodeFixtureSqlValues),
+        |tk AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+        |    t -> t <> '')) AS tok
+        |  FROM docs),
+        |cells AS MATERIALIZED (SELECT doc_id, tok, count(*) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n, count(*) AS nd
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT cells.doc_id,
+        |  CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |    AS DECIMAL(38,12)) AS t, n, nd
+        |  FROM cells JOIN tot USING (doc_id)),
+        |ent AS (SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_tokens,
+        |  CAST(any_value(nd) AS BIGINT) AS n_distinct,
+        |  0.0 - CAST(sum(t) AS DOUBLE) AS entropy
+        |  FROM t GROUP BY doc_id),
+        |dfq AS (SELECT tok, count(*) AS df FROM cells GROUP BY 1),
+        |scored AS (SELECT doc_id, tok,
+        |  round(CAST(c AS DOUBLE) *
+        |    ln(${unicodeFixtureRows.size}.0 / CAST(df AS DOUBLE)), 6)
+        |    AS score
+        |  FROM cells JOIN dfq USING (tok)),
+        |top AS (SELECT doc_id, tok AS top_term, score AS tfidf,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tok) AS rn
+        |  FROM scored)
+        |SELECT d.doc_id, d.lang, e.n_tokens, e.n_distinct, e.entropy,
+        |  top.top_term, top.tfidf
+        |FROM docs d JOIN ent e USING (doc_id)
+        |JOIN top ON top.doc_id = d.doc_id AND top.rn = 1
+        |ORDER BY d.doc_id""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

@@ -43,6 +43,10 @@ object Verify {
       case '\r' => "\\r"
       case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
+      // non-ASCII → \uXXXX too (surrogate halves escape to valid JSON
+      // pairs): the dump stays pure ASCII, so no driver-side charset
+      // assumption can corrupt a multilingual oracle fixture
+      case c if c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql

@@ -422,7 +422,7 @@ object Curation {
       textCol: String,
       w: Int): DataFrame = {
     require(w >= 2, s"gram width must be >= 2, got $w")
-    val toks = filter(split(col(textCol), "[^A-Za-z]+"), t => t =!= lit(""))
+    val toks = TextAnalysis.wordTokens(col(textCol))
     val grams = docs
       .select(col(idCol).as("_graft_id"), toks.as("a"))
       .where(size(col("a")) >= w)
@@ -505,7 +505,7 @@ object Curation {
       textCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val toksArr = docs.select(col(idCol).as("_graft_id"),
-      filter(split(col(textCol), "[^A-Za-z]+"), t => t =!= lit("")).as("a"))
+      TextAnalysis.wordTokens(col(textCol)).as("a"))
     val nBi = greatest(size(col("a")) - 1, lit(0))
     def bi = toksArr
       .select(col("_graft_id"), slice(col("a"), lit(1), nBi).as("w1s"),

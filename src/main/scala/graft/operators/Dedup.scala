@@ -305,15 +305,34 @@ object Dedup {
     * look like in a crawl. Same 8-byte shingle inverted-index join
     * (never an n² text comparison); keeps pairs where EITHER
     * direction clears `threshold`. Returns
-    * (id_a, id_b, cont_a_in_b, cont_b_in_a). */
+    * (id_a, id_b, cont_a_in_b, cont_b_in_a).
+    *
+    * `maxDocFreq` is the same hot-shingle scale valve as
+    * [[ngramJaccardPairs]]: a shingle shared by m documents expands to
+    * m² join rows, so one boilerplate n-gram dominates the candidate
+    * stage at corpus scale. With the valve on, shingles whose document
+    * frequency exceeds the cap are dropped from BOTH the sizes and the
+    * intersections — containment over the capped shingle universe
+    * (boilerplate stops counting as inclusion, usually the wanted
+    * semantics). Off by default for exactness. */
   def ngramContainmentPairs(
       df: DataFrame,
       n: Int,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxDocFreq: Option[Int] = None): DataFrame = {
     val shU = udf((t: String) => shingleHashSet(t, n))
-    val sh = df.select(col(idCol).as("id"), explode(shU(col(textCol))).as("s"))
+    val shAll = df.select(col(idCol).as("id"), explode(shU(col(textCol))).as("s"))
+    val sh = maxDocFreq match {
+      case None => shAll
+      case Some(m) =>
+        // over-frequent shingles are few by construction — broadcast
+        // anti-join them away before the self-join fans out
+        val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+          .where(col("df_") > m).select(col("s"))
+        shAll.join(broadcast(hot), Seq("s"), "left_anti")
+    }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("id").as("id_a"), col("s"))
       .join(sh.select(col("id").as("id_b"), col("s")), "s")

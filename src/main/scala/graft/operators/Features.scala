@@ -442,16 +442,27 @@ object Features {
     val xs = cols.map(c => col(c).cast(dec4))
     val pairIdx = for { i <- 0 until d; j <- i until d } yield (i, j)
     val aggs = (count(lit(1)).as("n") +:
-      cols.indices.map(i => sum(xs(i)).as(s"s$i"))) ++
+      cols.indices.map(i => count(xs(i)).as(s"c$i"))) ++
+      cols.indices.map(i => sum(xs(i)).as(s"s$i")) ++
       pairIdx.map { case (i, j) =>
         sum((xs(i) * xs(j)).cast(dec38)).as(s"s${i}_$j")
       }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0).toDouble
     require(n > 0, "need at least one row")
-    val s = cols.indices.map(i => row.getDecimal(1 + i).doubleValue)
+    // moment sums skip nulls while count(*) doesn't, which would
+    // silently bias every covariance — require fully-populated columns
+    // (this also turns an all-null column into a clear error instead of
+    // an opaque NPE on the null Decimal below)
+    cols.indices.foreach { i =>
+      val ci = row.getLong(1 + i)
+      require(ci == row.getLong(0),
+        s"${cols(i)} has ${row.getLong(0) - ci} null value(s) — " +
+          "pcaPowerTop requires non-null inputs (filter or impute first)")
+    }
+    val s = cols.indices.map(i => row.getDecimal(1 + d + i).doubleValue)
     val sij = pairIdx.zipWithIndex.map { case ((i, j), k) =>
-      (i, j) -> row.getDecimal(1 + d + k).doubleValue
+      (i, j) -> row.getDecimal(1 + 2 * d + k).doubleValue
     }.toMap
     def cov(i: Int, j: Int): Double = {
       val (a, b) = (math.min(i, j), math.max(i, j))

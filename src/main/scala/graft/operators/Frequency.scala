@@ -156,4 +156,71 @@ object Frequency {
     * width: the sketch of the concatenated corpora, exactly. */
   def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("i", "idx").agg(sum(col("cnt")).as("cnt"))
+
+  // -------------------------------------- persisted CountMin artifact
+
+  /** Build-once persisted CountMin artifact — the build/append/probe
+    * lifecycle precedent (histogram q175, MinHash bands q87/q145,
+    * graph tables q130, fitted scaler q139) applied to the frequency
+    * sketch: counters at `path/counters`, a one-row `(depth, width)`
+    * meta at `path/meta`. A 100-TB corpus builds per-batch sketches
+    * and folds them in ([[appendToCountMin]] — counter-wise sum is
+    * EXACTLY the full-corpus sketch) instead of ever re-scanning;
+    * probes ([[countMinEstimatePersisted]]) touch only the
+    * depth·width-bounded counter table. */
+  def writeCountMin(
+      df: DataFrame, keyCol: String, depth: Int, width: Int,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    countMinSketch(df, keyCol, depth, width)
+      .write.mode("overwrite").parquet(s"$path/counters")
+    import spark.implicits._
+    Seq((depth, width)).toDF("depth", "width")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readCountMinMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
+    val m =
+      try spark.read.parquet(s"$path/meta").head()
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"no CountMin artifact at $path (${e.getMessage})")
+      }
+    (m.getInt(0), m.getInt(1))
+  }
+
+  /** Fold a batch into a persisted sketch: counter-wise sum + staged
+    * directory swap (the graph/histogram append device), so probes
+    * never see a half-written counter table. Append ≡ rebuild
+    * bitwise — FrequencySpec proves it. */
+  def appendToCountMin(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, keyCol: String): Unit = {
+    val (depth, width) = readCountMinMeta(spark, path)
+    val merged = countMinMerge(
+      spark.read.parquet(s"$path/counters"),
+      countMinSketch(df, keyCol, depth, width))
+    val staging = s"$path/_staging"
+    merged.write.mode("overwrite").parquet(s"$staging/counters")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/counters")
+    fs.delete(dst, true)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$staging/counters"), dst),
+      s"rename of $staging/counters failed")
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  /** Probe a persisted sketch for `keys` — [[countMinEstimate]]
+    * against the stored counters, with depth/width from the artifact
+    * meta (the caller cannot mismatch them). */
+  def countMinEstimatePersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, keys: DataFrame, keyCol: String): DataFrame = {
+    val (depth, width) = readCountMinMeta(spark, path)
+    countMinEstimate(spark.read.parquet(s"$path/counters"),
+      keys, keyCol, depth, width)
+  }
 }

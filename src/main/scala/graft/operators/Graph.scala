@@ -879,12 +879,22 @@ object Graph {
     var labels = gt.nodes.select(col("node"), col("node").as("lbl"))
       .repartition(col("node"))
       .localCheckpoint(eager = true)
-    (1 to iters).foreach { _ =>
+    // early fixpoint stop (the kCoreImpl stationary device): each round
+    // is a pure function of the previous labels, so a round that changes
+    // NOTHING proves every remaining round is a no-op — the result is
+    // bit-identical to running the full `iters`, and the oracle's
+    // cap-round recursive-CTE replay still matches. The per-round
+    // changed-count is one aggregate over the freshly checkpointed
+    // label table (N rows, co-partitioned — no extra shuffle).
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       // exact in-neighbor label counts (one E-row shuffle), then the
       // deterministic argmax: min over (−count, label) structs picks
       // the most frequent label, smallest on ties
       val cnts = ed
-        .join(labels.hint("shuffle_hash"), col("src") === col("node"))
+        .join(labels.select("node", "lbl").hint("shuffle_hash"),
+          col("src") === col("node"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
       val pick = cnts
@@ -893,12 +903,17 @@ object Graph {
           .as("m"))
         .select(col("node"), col("m").getField("l").as("new_lbl"))
       val next = labels
+        .select(col("node"), col("lbl").as("prev"))
         .join(pick.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+          coalesce(col("new_lbl"), col("prev")).as("lbl"),
+          col("prev"))
         .localCheckpoint(eager = true)
+      val changed = next.where(col("lbl") =!= col("prev")).count()
       releaseCheckpoint(labels)
       labels = next
+      converged = changed == 0L
+      it += 1
     }
     ed.unpersist()
     labels.select(col("node"), col("lbl")).orderBy(col("node"))

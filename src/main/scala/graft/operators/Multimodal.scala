@@ -78,7 +78,11 @@ object Multimodal {
   def imageDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: corrupt payloads surface
+      // RuntimeExceptions from codec internals (IllegalArgumentException,
+      // CMMException, IndexOutOfBounds) and the totality posture — a bad
+      // blob in 100 TB of crawl must not kill the job — covers those too
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0)
       stubDecodeFeatures(payload, dim)
     else {
@@ -117,7 +121,11 @@ object Multimodal {
   def imageResizeNearest(payload: Array[Byte], outW: Int): Array[Byte] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: corrupt payloads surface
+      // RuntimeExceptions from codec internals (IllegalArgumentException,
+      // CMMException, IndexOutOfBounds) and the totality posture — a bad
+      // blob in 100 TB of crawl must not kill the job — covers those too
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0) payload
     else {
       val w = img.getWidth; val h = img.getHeight
@@ -153,11 +161,19 @@ object Multimodal {
   def imageAHashBits(payload: Array[Byte]): String = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: corrupt payloads surface
+      // RuntimeExceptions from codec internals (IllegalArgumentException,
+      // CMMException, IndexOutOfBounds) and the totality posture — a bad
+      // blob in 100 TB of crawl must not kill the job — covers those too
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0) null
     else {
       val w = img.getWidth; val h = img.getHeight
       val n = w.toLong * h
+      // lum ≤ 255 < 2⁸, so lum·n needs n < 2⁵⁵ to stay in a long —
+      // loud guard instead of silent wraparound on a pathological image
+      require(n < (Long.MaxValue >> 8),
+        s"image too large for integer aHash: $w x $h pixels")
       val lums = new Array[Long](w * h)
       var total = 0L
       var y = 0
@@ -296,8 +312,9 @@ object Multimodal {
         }
       } finally ais.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => null
-      case _: java.io.IOException => null
+      // NonFatal: codec internals throw RuntimeExceptions on corrupt
+      // payloads, not just the checked decode exceptions
+      case scala.util.control.NonFatal(_) => null
     }
 
   def audioDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {

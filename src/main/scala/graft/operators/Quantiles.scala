@@ -172,19 +172,34 @@ object Quantiles {
     }
     val bw = spark.read.parquet(s"$path/meta").head().getDouble(0)
     val bins = spark.read.parquet(s"$path/bins")
+    // The cumulative sum below is an unpartitioned window — single-task
+    // by design, correct ONLY because it runs over the bounded
+    // occupied-bin counter table, never the corpus. A tiny binWidth
+    // against a wide value range silently breaks that contract, so
+    // guard it loudly instead of letting one task absorb the artifact.
+    val maxBins = spark.conf
+      .getOption("spark.graft.histogram.maxProbeBins")
+      .map(_.toLong).getOrElse(4000000L)
+    val nBins = bins.count()
+    require(nBins <= maxBins,
+      s"histogram at $path has $nBins occupied bins > cap $maxBins — " +
+        "binWidth is too small for the value range; rebuild with a " +
+        "coarser binWidth (or raise spark.graft.histogram.maxProbeBins)")
     val cum = bins.withColumn("cum",
       sum("cnt").over(org.apache.spark.sql.expressions.Window
         .orderBy("bin")))
     val n = bins.agg(sum("cnt").as("n"))
     import spark.implicits._
     val qdf = quantiles.toDF("qname", "num", "den")
-    // cum ≥ real(n·num/den) ⇔ cum ≥ ⌈n·num/den⌉ for integer cum (and
-    // the exact-integer boundary divides exactly in IEEE), so the
-    // real-division predicate IS the ceil-rank — no integer-div
-    // portability knot
+    // cum ≥ ⌈n·num/den⌉ ⇔ cum·den ≥ n·num for positive integers — no
+    // division at all, so the predicate stays exact past 2⁵³ (a double
+    // rank loses integer exactness there) and past 2⁶³ (a long product
+    // n·num overflows there, n ~ 1e14 at the 100-TB posture). DECIMAL
+    // (38,0) products are exact to 10³⁸.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     cum.crossJoin(broadcast(n)).crossJoin(broadcast(qdf))
-      .where(col("cum") >=
-        (col("n") * col("num")).cast("double") / col("den"))
+      .where(col("cum").cast(d38) * col("den") >=
+        col("n").cast(d38) * col("num"))
       .groupBy("qname")
       .agg(first(col("n")).as("n_values"),
         (min(col("bin")) * lit(bw)).as("est"))

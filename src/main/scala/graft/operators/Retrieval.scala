@@ -31,7 +31,8 @@ object Retrieval {
     *
     * @param docs    corpus with `idCol` (long) and `textCol` (string)
     * @param query   query terms (matched exactly against
-    *                `[A-Za-z]+` word tokens)
+    *                `\p{L}`-class word tokens —
+    *                [[TextAnalysis.tokenSplitRe]])
     * @param k1      BM25 term-frequency saturation (typical 1.2)
     * @param b       BM25 length normalization (typical 0.75)
     * @param topK    result size
@@ -49,7 +50,7 @@ object Retrieval {
 
     val nDocs = docs.count().toDouble
     def tok = docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), "[^A-Za-z]+")).as("term"))
+        explode(split(col(textCol), TextAnalysis.tokenSplitRe)).as("term"))
       .where(col("term") =!= "")
     // The doc-length table is doc-sized (one row per doc), orders of
     // magnitude below the exploded token stream — materialize IT

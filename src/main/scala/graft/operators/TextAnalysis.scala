@@ -14,6 +14,24 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
+  /** THE shared word-token definition of the whole text surface
+    * (token stats, TF-IDF, entropy, collocations, drift, vocabulary
+    * growth, BM25, chunking, packing): maximal runs of Unicode
+    * letters — `\p{L}`, not `[A-Za-z]`, so Cyrillic, Greek, Arabic,
+    * CJK, and accented-Latin text tokenizes instead of vanishing.
+    * Written in the Java-regex ∩ RE2 common subset, so DuckDB oracles
+    * run the IDENTICAL pattern ([[tokenSplitRe]] spliced verbatim).
+    * Tokens stay case-SENSITIVE: Spark 4's collation-aware `lower()`
+    * pays a ~40 s one-time ICU init per JVM, and Unicode case folding
+    * is the one place engines disagree (ß, İ) — case-exact tokens are
+    * deterministic everywhere. */
+  val tokenSplitRe = "[^\\p{L}]+"
+
+  /** Unicode letter runs of `text` with empties dropped — the array
+    * form every operator explodes or slices. */
+  def wordTokens(text: Column): Column =
+    filter(split(text, tokenSplitRe), t => t =!= lit(""))
+
   /** Counts of character classes — building blocks for quality scores. */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,!?;:]", "")).cast("long")
@@ -22,10 +40,11 @@ object TextAnalysis {
     length(regexp_replace(text, "[^0-9]", "")).cast("long")
 
   def upperCount(text: Column): Column =
-    length(regexp_replace(text, "[^A-Z]", "")).cast("long")
+    length(regexp_replace(text, "[^\\p{Lu}]", "")).cast("long")
 
+  /** Unicode letter count (`\p{L}` — the [[tokenSplitRe]] class). */
   def alphaCount(text: Column): Column =
-    length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    length(regexp_replace(text, "[^\\p{L}]", "")).cast("long")
 
   /** Occurrences of a whole word (case-insensitive via `(?i)` — NOT
     * `lower()`: Spark 4's collation-aware `lower` triggers a one-time
@@ -90,6 +109,76 @@ object TextAnalysis {
       .map { case (l, s) => s"WHEN $s = $g THEN '$l'" }
       .mkString(" ")
     s"CASE $whens ELSE 'und' END"
+  }
+
+  // ------------------------- char-n-gram Naive Bayes language ID
+  // The trainable upgrade of the marker heuristic above (q12/q25/q176
+  // keep the marker form as the oracle-friendly twin): multinomial
+  // Naive Bayes over character n-grams — the standard public
+  // language-ID technique (Cavnar & Trenkle 1994 n-gram profiles;
+  // NB formulation as in any IR textbook). All arithmetic is the
+  // repo's exact-replay discipline: integer gram counts, one
+  // Laplace-smoothed double division per term, ln rounded to 12 dp,
+  // DECIMAL(38,12) summed — so a DuckDB oracle replays the classifier
+  // bit-for-bit.
+
+  /** Character n-grams of `text` at every position (1..len−n+1);
+    * empty array when the text is shorter than `n`; null for null.
+    * Code-point based in both Spark and DuckDB (`substr`), so CJK
+    * text grams correctly. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val cnt = length(text) - (n - 1)
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(cnt < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt),
+        i => text.substr(i, lit(n))))
+  }
+
+  /** Fit the model: per-(lang, gram) occurrence counts over a labeled
+    * training corpus — the fit/apply artifact shape (q139 scaler
+    * precedent); gram-vocabulary sized (bounded by charset², not by
+    * corpus), so the apply side can always broadcast it. */
+  def charNgramLangModel(
+      train: DataFrame, langCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    train.select(col(langCol).as("lang"),
+        explode(charNgrams(col(textCol), n)).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+  }
+
+  /** Classify `docs` with a fitted [[charNgramLangModel]]:
+    * score(doc, lang) = Σ over gram occurrences of
+    * round(ln((c+1)/(n_lang+V)), 12) as an exact DECIMAL sum
+    * (Laplace smoothing, V = distinct training grams; uniform priors
+    * — train with balanced classes). Argmax by (score desc, lang asc).
+    * Docs with no grams (text shorter than n) emit no row.
+    *
+    * Scale posture: the model, per-lang totals, and V are all
+    * vocabulary-sized broadcasts; scoring is map-side joins over the
+    * exploded gram stream + ONE (doc, lang) hash aggregate; the
+    * argmax window is keyed by doc — nothing corpus-global. */
+  def charNgramDetect(
+      model: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val nl = model.groupBy("lang").agg(sum("c").as("n_lang"))
+    val v = model.agg(count_distinct(col("g")).as("v"))
+    val term = round(
+      log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+        (col("n_lang") + col("v")).cast("double")), 12).cast(dec)
+    val scored = docs
+      .select(col(idCol), explode(charNgrams(col(textCol), n)).as("g"))
+      .crossJoin(broadcast(nl))
+      .join(broadcast(model), Seq("lang", "g"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(term).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(desc("score"), asc("lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("lang").as("detected"))
   }
 
   /** Rolling polynomial fingerprint of the full text (deterministic
@@ -188,8 +277,7 @@ object TextAnalysis {
       topK: Int = 20): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(topK > 0, s"topK must be positive, got $topK")
-    val toksArr = docs.select(
-      filter(split(col(textCol), "[^A-Za-z]+"), t => t =!= lit("")).as("a"))
+    val toksArr = docs.select(wordTokens(col(textCol)).as("a"))
     val tok = toksArr.select(explode(col("a")).as("term"))
     val cu = tok.groupBy("term").agg(count(lit(1)).as("c"))
 
@@ -240,8 +328,7 @@ object TextAnalysis {
       topK: Int = 20): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     def counts(df: DataFrame): DataFrame = df
-      .select(explode(filter(split(col(textCol), "[^A-Za-z]+"),
-        t => t =!= lit(""))).as("tok"))
+      .select(explode(wordTokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val ca = counts(a).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = counts(b).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -286,8 +373,7 @@ object TextAnalysis {
     val cells = docs
       .select(floor(col(idCol) / lit(batchSize.toDouble)).cast("long")
           .as("batch"),
-        explode(filter(split(col(textCol), "[^A-Za-z]+"),
-          t => t =!= lit(""))).as("tok"))
+        explode(wordTokens(col(textCol))).as("tok"))
       .groupBy("batch", "tok").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = cells.groupBy("tok").agg(min("batch").as("fb"))
@@ -314,8 +400,7 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cells = docs
       .select(col(idCol),
-        explode(filter(split(col(textCol), "[^A-Za-z]+"),
-          t => t =!= lit(""))).as("tok"))
+        explode(wordTokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
     val totals = cells.groupBy(idCol)
       .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))

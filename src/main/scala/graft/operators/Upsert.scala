@@ -143,8 +143,11 @@ object Upsert {
       .select(keys.map(col) :+
         struct(payload.map(col): _*).as("_graft_tgt"): _*)
       .join(last, keys, "full_outer")
+      // coalesce: a NULL op must read as "not a delete" (upsert), not
+      // slip through `=!=`'s three-valued NULL and silently drop the key
       .where(col("_graft_last").isNull ||
-        col("_graft_last").getField("_op") =!= "delete")
+        coalesce(col("_graft_last").getField("_op") =!= "delete",
+          lit(true)))
       .select(cols.map {
         case k if keys.contains(k) => col(k)
         case c => when(col("_graft_last").isNotNull,

@@ -237,7 +237,7 @@ class CurationSpec extends SparkSpec {
       3L -> "entirely different words appear here now",
       4L -> "too short", 5L -> "").toMap
       .map { case (id, t) =>
-        id -> t.split("[^A-Za-z]+").toSeq.filter(_.nonEmpty) }
+        id -> t.split(TextAnalysis.tokenSplitRe).toSeq.filter(_.nonEmpty) }
     val gramSets: Map[Long, Set[String]] = toks.collect {
       case (id, a) if a.size >= w =>
         id -> a.sliding(w).map(_.mkString(" ")).toSet

@@ -311,4 +311,44 @@ class SimilaritySpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(df, n = 5, threshold = 0.9)
       .collect().isEmpty)
   }
+
+  test("containment maxDocFreq valve: identity below the cap, drops hot shingles above") {
+    import spark.implicits._
+    val short = "the quick brown fox jumps"
+    val long = "PREFIX PADDING TEXT " * 8 + short + " SUFFIX TRAILER " * 8
+    val df = Seq((1L, short), (2L, long), (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).sorted.toSeq
+    // (a) valve set ABOVE every shingle's document frequency (3 docs →
+    //     df ≤ 3): result must be bitwise identical to valve-off
+    assert(
+      rows(Dedup.ngramContainmentPairs(df, n = 5, threshold = 0.9,
+        maxDocFreq = Some(3))) ===
+        rows(Dedup.ngramContainmentPairs(df, n = 5, threshold = 0.9)))
+    // (b) a boilerplate shingle present in EVERY doc: the valve at
+    //     cap 2 removes it from sizes AND intersections — capped-universe
+    //     containment — while valve-off counts it
+    val boiler = " SHARED-BOILERPLATE-BANNER"
+    val df2 = Seq((1L, short + boiler), (2L, long + boiler),
+      (3L, "completely different words here" + boiler)).toDF("doc_id", "text")
+    val valved = Dedup.ngramContainmentPairs(df2, n = 5, threshold = 0.9,
+      maxDocFreq = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc1 is still fully contained in doc2 on the capped universe
+    assert(valved === Set((1L, 2L)))
+    // and the capped pipeline never scored the (1,3)/(2,3) pairs that
+    // share ONLY the boilerplate shingles: threshold 0 keeps every
+    // scored pair, so absence proves the hot shingles never joined
+    val scored = Dedup.ngramContainmentPairs(df2, n = 5, threshold = 0.0,
+      maxDocFreq = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!scored.contains((1L, 3L)) && !scored.contains((2L, 3L)))
+    // while valve-off DOES score them (the m² fan-out the valve exists
+    // to prevent)
+    val unscored = Dedup.ngramContainmentPairs(df2, n = 5, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unscored.contains((1L, 3L)) && unscored.contains((2L, 3L)))
+  }
 }

@@ -311,4 +311,22 @@ class FeaturesSpec extends SparkSpec {
       Features.pcaPowerTop(df, Seq("x"), 5))
       .getMessage.contains("two columns"))
   }
+
+  test("pcaPowerTop refuses null inputs loudly instead of biasing the moments") {
+    import spark.implicits._
+    // a partly-null column: sum() skips the null while count(*) counts
+    // the row, so proceeding would silently bias every covariance —
+    // and an ALL-null column would NPE on the null aggregated Decimal
+    val partly = Seq((1.0, Option(2.0)), (2.0, None), (3.0, Option(5.0)))
+      .toDF("x", "y")
+    val e1 = intercept[IllegalArgumentException](
+      Features.pcaPowerTop(partly, Seq("x", "y"), 5))
+    assert(e1.getMessage.contains("null value") &&
+      e1.getMessage.contains("y"), e1.getMessage)
+    val allNull = Seq((1.0, Option.empty[Double]), (2.0, None))
+      .toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException](
+      Features.pcaPowerTop(allNull, Seq("x", "y"), 5))
+    assert(e2.getMessage.contains("null value"), e2.getMessage)
+  }
 }

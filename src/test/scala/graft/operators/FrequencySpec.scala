@@ -89,6 +89,37 @@ class FrequencySpec extends SparkSpec {
     assert(merged === full)
   }
 
+  test("persisted CountMin artifact: append ≡ rebuild bitwise, probe answers from disk") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_cm_artifact").toString
+    new java.io.File(d).deleteOnExit()
+    val df = cmFixture.withColumn(
+      "half", pmod(xxhash64(col("tok")), lit(2)))
+    // lifecycle: build from half 0, fold half 1 in via staged swap
+    Frequency.writeCountMin(
+      df.where(col("half") === 0), "tok", depth = 3, width = 16, d)
+    Frequency.appendToCountMin(spark, d, df.where(col("half") === 1), "tok")
+    val merged = spark.read.parquet(s"$d/counters")
+      .orderBy("i", "idx").collect().toSeq
+    val full = Frequency.countMinSketch(cmFixture, "tok",
+        depth = 3, width = 16)
+      .orderBy("i", "idx").collect().toSeq
+    assert(merged === full)
+    // probe reads depth/width from the artifact meta and answers with
+    // the sketch guarantee (est >= true) for every key
+    val truth = cmFixture.groupBy("tok").agg(count(lit(1)).as("t"))
+    val est = Frequency.countMinEstimatePersisted(
+        spark, d, truth.select("tok"), "tok")
+      .join(truth, "tok")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(est.length === 33 && est.forall { case (e, t) => e >= t })
+    // missing artifact fails loudly, not with a parquet stack trace
+    assert(intercept[IllegalArgumentException](
+      Frequency.countMinEstimatePersisted(spark, "/nonexistent_graft_cm",
+        truth.select("tok"), "tok"))
+      .getMessage.contains("no CountMin artifact"))
+  }
+
   test("countMin sketch build carries no key column past the explode") {
     // the shuffle moves (i, idx) partials only — the plan must not
     // reference the key column after the projection feeding the agg

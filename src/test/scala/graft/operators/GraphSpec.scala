@@ -155,8 +155,11 @@ class GraphSpec extends SparkSpec {
 
   test("distributed loop performs zero driver-side collects") {
     import spark.implicits._
-    val recorded = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[String]())
+    // CopyOnWriteArrayList: iteration (the .asScala.contains polls
+    // below) is snapshot-safe against the listener thread's concurrent
+    // adds — a synchronizedList would CME without external locking
+    val recorded =
+      new java.util.concurrent.CopyOnWriteArrayList[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -327,8 +330,11 @@ class GraphSpec extends SparkSpec {
 
   test("personalized loop performs zero driver-side collects") {
     import spark.implicits._
-    val recorded = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[String]())
+    // CopyOnWriteArrayList: iteration (the .asScala.contains polls
+    // below) is snapshot-safe against the listener thread's concurrent
+    // adds — a synchronizedList would CME without external locking
+    val recorded =
+      new java.util.concurrent.CopyOnWriteArrayList[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -602,6 +608,49 @@ class GraphSpec extends SparkSpec {
     assert(got === bruteLpa(both, 5))
   }
 
+  test("labelPropagation stops at the stationary fixpoint, result identical to full run") {
+    import spark.implicits._
+    // two disjoint triangles converge to their min labels in 2 rounds;
+    // with the fixpoint stop, iters=100 must (a) answer identically to
+    // the 100-round replica and (b) run a bounded number of Spark jobs
+    // (each LPA round costs a handful; 100 live rounds would cost
+    // hundreds)
+    val tri = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 7L -> 8L, 8L -> 9L,
+      9L -> 7L)
+    val both = tri ++ tri.map(_.swap)
+    // suites share the SparkContext and run in parallel, so count ONLY
+    // this test's jobs: the job group is thread-local and inherited by
+    // every job the LPA loop (and its localCheckpoints) submits
+    val group = s"graft-lpa-fixpoint-${System.nanoTime()}"
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          counter.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(jl)
+    spark.sparkContext.setJobGroup(group, "lpa fixpoint test")
+    try {
+      val got = Graph.labelPropagation(both.toDF("src", "dst"),
+          "src", "dst", iters = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteLpa(both, 100))
+      assert(got.values.toSet === Set(1L, 7L))
+      // listener events are async — give the bus a moment to drain
+      Thread.sleep(500)
+      // build+3 live rounds (the changed-nothing round included) is
+      // ~20 jobs; 100 live rounds would be several hundred
+      assert(counter.get() < 60, s"jobs = ${counter.get()}")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(jl)
+    }
+  }
+
   test("labelPropagation parity on the 300-node random digraph") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
@@ -685,8 +734,11 @@ class GraphSpec extends SparkSpec {
 
   test("pageRank auto-selects the loop body by node count") {
     import spark.implicits._
-    val recorded = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[String]())
+    // CopyOnWriteArrayList: iteration (the .asScala.contains polls
+    // below) is snapshot-safe against the listener thread's concurrent
+    // adds — a synchronizedList would CME without external locking
+    val recorded =
+      new java.util.concurrent.CopyOnWriteArrayList[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,

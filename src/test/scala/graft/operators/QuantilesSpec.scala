@@ -134,4 +134,45 @@ class QuantilesSpec extends SparkSpec {
       Quantiles.appendToHistogram(spark, "/nonexistent_graft", df, "v"))
       .getMessage.contains("no histogram artifact"))
   }
+
+  test("histogram probe guards the single-task window against a pathological binWidth") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_hist_guard").toString
+    new java.io.File(d).deleteOnExit()
+    // 100 distinct values at binWidth 1.0 -> 100 occupied bins
+    Quantiles.writeHistogram(
+      (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+      "v", 1.0, d)
+    spark.conf.set("spark.graft.histogram.maxProbeBins", "5")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Quantiles.histogramQuantiles(spark, d, Seq(("p50", 1L, 2L))))
+      assert(e.getMessage.contains("occupied bins"))
+    } finally spark.conf.unset("spark.graft.histogram.maxProbeBins")
+    // and under the cap the same probe answers
+    assert(Quantiles.histogramQuantiles(spark, d, Seq(("p50", 1L, 2L)))
+      .collect().head.getDouble(2) === 49.0)
+  }
+
+  test("histogram ceil-rank stays exact past double precision (decimal cross-multiply)") {
+    import spark.implicits._
+    // counts a real 100-TB corpus produces: n·num would overflow a long
+    // and lose integer exactness as a double. Write the counter table
+    // directly (the artifact layout is the contract) with
+    // cnt(bin0) = 2^60+1 — not double-representable — and probe the
+    // quantile whose exact ceil-rank is EXACTLY cum(bin0): the decimal
+    // cross-multiplied predicate must put it in bin0, not bin1.
+    val d = java.nio.file.Files.createTempDirectory("graft_hist_big").toString
+    new java.io.File(d).deleteOnExit()
+    val big = (1L << 60) + 1L
+    Seq((0L, big), (1L, 1L)).toDF("bin", "cnt")
+      .coalesce(1).write.parquet(s"$d/bins")
+    Seq(10.0).toDF("bin_width").coalesce(1).write.parquet(s"$d/meta")
+    val got = Quantiles.histogramQuantiles(spark, d,
+        Seq(("pbig", big, big + 1L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // n = 2^60+2, rank = ceil(n·big/(big+1)) = ceil(big·(big+1)/(big+1))
+    //   = big = cum(bin0) exactly -> bin 0, lower edge 0.0
+    assert(got.toSeq === Seq(("pbig", big + 1L, 0.0)))
+  }
 }

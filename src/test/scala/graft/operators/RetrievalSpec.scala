@@ -13,7 +13,7 @@ class RetrievalSpec extends SparkSpec {
 
   private def brute(query: Seq[String], k1: Double, b: Double) = {
     val toks = corpus.map { case (id, t) =>
-      id -> t.split("[^A-Za-z]+").filter(_.nonEmpty).toSeq
+      id -> t.split(TextAnalysis.tokenSplitRe).filter(_.nonEmpty).toSeq
     }
     val nDocs = corpus.size.toDouble
     val avgdl = toks.map(_._2.size).sum / nDocs

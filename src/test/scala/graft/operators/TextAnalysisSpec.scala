@@ -26,6 +26,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(upperCount(col("text")), t) === 1L)
   }
 
+  test("wordTokens + alphaCount are Unicode-aware (\\p{L}, not ASCII)") {
+    import spark.implicits._
+    def toks(t: String): Seq[String] =
+      Seq(t).toDF("text").select(wordTokens(col("text")).as("a"))
+        .head().getSeq[String](0)
+    // Cyrillic / Greek / Arabic / CJK / accented Latin all tokenize —
+    // under the old [^A-Za-z]+ split every one of these came out EMPTY
+    assert(toks("привет мир, как дела? 123") ===
+      Seq("привет", "мир", "как", "дела"))
+    assert(toks("καλημέρα κόσμε — ωραία μέρα") ===
+      Seq("καλημέρα", "κόσμε", "ωραία", "μέρα"))
+    assert(toks("مرحبا بالعالم اليوم") === Seq("مرحبا", "بالعالم", "اليوم"))
+    assert(toks("你好，世界。今天天气很好") === Seq("你好", "世界", "今天天气很好"))
+    assert(toks("naïve café über straße") ===
+      Seq("naïve", "café", "über", "straße"))
+    // digits/punct/underscore still separate; pure-ASCII behavior is
+    // UNCHANGED (existing oracle rows stay green)
+    assert(toks("ascii-only text_with_underscores 42") ===
+      Seq("ascii", "only", "text", "with", "underscores"))
+    assert(one(alphaCount(col("text")), "naïve café 42!") === 9L)
+    assert(one(upperCount(col("text")), "Über École e") === 2L)
+  }
+
   test("wordOccurrences: whole-word, case-insensitive") {
     assert(one(wordOccurrences(col("text"), "the"), "The theater the THE") === 3L)
   }

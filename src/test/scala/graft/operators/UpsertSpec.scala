@@ -134,4 +134,20 @@ class UpsertSpec extends SparkSpec {
       Upsert.applyChangeLog(target, changes, Seq("missing"))
     }
   }
+
+  test("applyChangeLog: a NULL op upserts ('anything else'), never silently deletes") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // op is null for key 1 (must upsert to a1) and for the absent key 3
+    // (must insert) — under bare `=!=` three-valued logic both rows
+    // would vanish instead
+    val changes = Seq(
+      (1L, "a1", Option.empty[String], 1L),
+      (2L, "xx", Option("delete"), 1L),
+      (3L, "c", Option.empty[String], 1L))
+      .toDF("k", "v", "op", "seq")
+    val got = Upsert.applyChangeLog(target, changes, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a1"), (3L, "c")))
+  }
 }
