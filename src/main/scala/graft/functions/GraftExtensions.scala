@@ -27,25 +27,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def binary(
+  private def nary(
       name: String,
       clazz: Class[_],
-      make: (Expression, Expression) => Expression) = {
+      arity: Int,
+      make: Seq[Expression] => Expression) = {
     val builder = (args: Seq[Expression]) => {
-      require(args.length == 2,
-        s"$name expects exactly 2 arguments, got ${args.length}")
-      make(args(0), args(1))
+      require(args.length == arity,
+        s"$name expects exactly $arity arguments, got ${args.length}")
+      make(args)
     }
     (FunctionIdentifier(name),
       new ExpressionInfo(clazz.getName, name),
       builder)
   }
 
+  private def binary(
+      name: String,
+      clazz: Class[_],
+      make: (Expression, Expression) => Expression) =
+    nary(name, clazz, 2, args => make(args(0), args(1)))
+
   /** (identifier, info, builder) triples in `injectFunction` shape. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     binary("vec_dot", classOf[VecDot], VecDot.apply),
-    binary("vec_sqdist", classOf[VecSqDist], VecSqDist.apply))
+    binary("vec_sqdist", classOf[VecSqDist], VecSqDist.apply),
+    // the dedup text kernels — same compiled kernels the operators
+    // run, reachable from pure SQL (arguments: see TextExpressions)
+    nary("graft_simhash", classOf[GraftSimhash], 1,
+      args => GraftSimhash(args(0))),
+    nary("graft_shingles", classOf[GraftShingles], 2,
+      args => GraftShingles(args(0), args(1))),
+    nary("graft_minhash_bands", classOf[GraftMinhashBands], 4,
+      args => GraftMinhashBands(args(0), args(1), args(2), args(3))))
 
   /** Register on a live session (the builder-time extension path only
     * reaches sessions created after it is configured). Idempotent —

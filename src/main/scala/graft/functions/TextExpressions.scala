@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Dedup
+
+/** Native Catalyst forms of the dedup text kernels
+  * ([[graft.operators.Dedup.simhashFn]] / `shingleHashSet` /
+  * `minhashBandHashes`) — the SAME compiled single-pass kernels the
+  * operators run, exposed as whole-stage-codegen'd expressions instead
+  * of `ScalaUDF`s, so (a) the hot dedup scans stay inside one codegen
+  * span (no UDF serialization boundary, no Row↔Scala conversion per
+  * document), and (b) pure-SQL users reach them through
+  * [[GraftExtensions]] (`graft_simhash` / `graft_shingles` /
+  * `graft_minhash_bands`).
+  *
+  * Null semantics mirror the ScalaUDF form bit-for-bit (the operators
+  * swapped to these must not change a single oracle hash): a null text
+  * reaches the kernel as `null` — SimHash of null is the all-zero
+  * fingerprint, shingles/bands of null are the empty array — so the
+  * result is never null and `nullable` is false. A null gram size
+  * behaves as the UDF's primitive default (0), for the same reason.
+  */
+private[functions] trait KernelCall { self: Expression =>
+
+  override def nullable: Boolean = false
+
+  /** `String` (possibly null) out of a UTF8String child slot. */
+  protected final def str(v: Any): String =
+    if (v == null) null else v.asInstanceOf[UTF8String].toString
+
+  /** Java source for "child value or null as a String". */
+  protected final def strJava(child: ExprCode): String =
+    s"(${child.isNull} ? null : ${child.value}.toString())"
+
+  protected final def intOrZero(v: Any): Int =
+    if (v == null) 0 else v.asInstanceOf[Int]
+}
+
+/** 64-bit SimHash fingerprint of whitespace tokens — SQL name
+  * `graft_simhash`. */
+case class GraftSimhash(child: Expression)
+    extends UnaryExpression with KernelCall {
+
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def eval(input: InternalRow): Any =
+    Dedup.simhashFn(str(child.eval(input)))
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} =
+          graft.operators.Dedup.simhashFn(${strJava(c)});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftSimhash = copy(child = newChild)
+}
+
+/** Sorted distinct character-n-gram hashes — SQL name
+  * `graft_shingles(text, n)`. */
+case class GraftShingles(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+
+  override def prettyName: String = "graft_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int) arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def eval(input: InternalRow): Any =
+    new GenericArrayData(Dedup.shingleHashSet(
+      str(left.eval(input)), intOrZero(right.eval(input))))
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = left.genCode(ctx)
+    val n = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${t.code}
+        ${n.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.operators.Dedup.shingleHashSet(
+              ${strJava(t)}, ${n.value}));
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash LSH band hashes — SQL name
+  * `graft_minhash_bands(text, n, bands, rows_per_band)`. */
+case class GraftMinhashBands(
+    first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with KernelCall {
+
+  override def prettyName: String = "graft_minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType &&
+        Seq(second, third, fourth).forall(_.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int, int, int) arguments, got " +
+        children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def eval(input: InternalRow): Any =
+    new GenericArrayData(Dedup.minhashBandHashes(
+      str(first.eval(input)), intOrZero(second.eval(input)),
+      intOrZero(third.eval(input)), intOrZero(fourth.eval(input))))
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = first.genCode(ctx)
+    val n = second.genCode(ctx)
+    val b = third.genCode(ctx)
+    val r = fourth.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${t.code}
+        ${n.code}
+        ${b.code}
+        ${r.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.operators.Dedup.minhashBandHashes(
+              ${strJava(t)}, ${n.value}, ${b.value}, ${r.value}));
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression,
+      q: Expression): GraftMinhashBands =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** Column-API entry points for the text-kernel expressions — the
+  * typed twins of the `graft_*` SQL functions, used by the Dedup
+  * operators themselves (one expression, two surfaces). */
+object TextKernelFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+  import org.apache.spark.sql.graftshim.{column, expression}
+
+  def simhashCol(text: Column): Column =
+    column(GraftSimhash(expression(text)))
+
+  def shinglesCol(text: Column, n: Int): Column =
+    column(GraftShingles(expression(text), expression(lit(n))))
+
+  def minhashBandsCol(
+      text: Column, n: Int, bands: Int, rowsPerBand: Int): Column =
+    column(GraftMinhashBands(expression(text), expression(lit(n)),
+      expression(lit(bands)), expression(lit(rowsPerBand))))
+}

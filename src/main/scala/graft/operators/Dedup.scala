@@ -266,7 +266,8 @@ object Dedup {
     // 64-bit shingle hashes stand in for the shingle strings: counts
     // (and hence Jaccard) are identical absent a 64-bit collision
     // (~n²/2⁶⁵), and the shuffle carries 8-byte keys instead of strings.
-    val shU = udf((t: String) => shingleHashSet(t, n))
+    val shU = (c: Column) =>
+      graft.functions.TextKernelFunctions.shinglesCol(c, n)
     val shAll = df.select(col(idCol).as("id"), explode(shU(col(textCol))).as("s"))
     // Scale valve: a shingle in m docs contributes m² join rows, so a
     // stop-word-like shingle dominates the pair generation. Capping
@@ -322,7 +323,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val shU = udf((t: String) => shingleHashSet(t, n))
+    val shU = (c: Column) =>
+      graft.functions.TextKernelFunctions.shinglesCol(c, n)
     val shAll = df.select(col(idCol).as("id"), explode(shU(col(textCol))).as("s"))
     val sh = maxDocFreq match {
       case None => shAll
@@ -362,7 +364,8 @@ object Dedup {
       rowsPerBand: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val bandU = udf((t: String) => minhashBandHashes(t, n, bands, rowsPerBand))
+    val bandU = (c: Column) => graft.functions.TextKernelFunctions
+      .minhashBandsCol(c, n, bands, rowsPerBand)
     val banded = df.select(
       col(idCol).as("id"),
       posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
@@ -386,7 +389,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val cand = minhashCandidates(df, n, bands, rowsPerBand, idCol, textCol)
-    val shU = udf((t: String) => shingleHashSet(t, n))
+    val shU = (c: Column) =>
+      graft.functions.TextKernelFunctions.shinglesCol(c, n)
     val jacU = udf((a: Seq[Long], b: Seq[Long]) =>
       jaccardSorted(a.toArray, b.toArray))
     val sh = df.select(col(idCol).as("id"), shU(col(textCol)).as("sh"))
@@ -414,7 +418,8 @@ object Dedup {
       rowsPerBand: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    val bandU = udf((t: String) => minhashBandHashes(t, n, bands, rowsPerBand))
+    val bandU = (c: Column) => graft.functions.TextKernelFunctions
+      .minhashBandsCol(c, n, bands, rowsPerBand)
     df.select(col(idCol).as("id"),
         posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
       .write.mode("overwrite").parquet(path)
@@ -446,7 +451,8 @@ object Dedup {
         throw new IllegalArgumentException(
           s"no MinHash index at $path (${e.getMessage})")
       }
-    val bandU = udf((t: String) => minhashBandHashes(t, n, bands, rowsPerBand))
+    val bandU = (c: Column) => graft.functions.TextKernelFunctions
+      .minhashBandsCol(c, n, bands, rowsPerBand)
     val add = delta.select(col(idCol).as("id"),
       posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
     val staging = s"${path}_stage"
@@ -477,14 +483,16 @@ object Dedup {
       rowsPerBand: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val bandU = udf((t: String) => minhashBandHashes(t, n, bands, rowsPerBand))
+    val bandU = (c: Column) => graft.functions.TextKernelFunctions
+      .minhashBandsCol(c, n, bands, rowsPerBand)
     val probes = delta.select(col(idCol).as("id_new"),
       posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
     val cand = spark.read.parquet(path)
       .join(broadcast(probes), Seq("band", "bh"))
       .select(col("id").as("id_old"), col("id_new"))
       .distinct()
-    val shU = udf((t: String) => shingleHashSet(t, n))
+    val shU = (c: Column) =>
+      graft.functions.TextKernelFunctions.shinglesCol(c, n)
     val jacU = udf((a: Seq[Long], b: Seq[Long]) =>
       jaccardSorted(a.toArray, b.toArray))
     val candIds = cand.select(col("id_old")).distinct()
@@ -509,8 +517,7 @@ object Dedup {
     * aggregate-over-tokens Column expressions are interpreted per
     * element and ~20× slower. */
   def simhash(text: Column): Column = {
-    val u = udf((t: String) => simhashFn(t))
-    u(text)
+    graft.functions.TextKernelFunctions.simhashCol(text)
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

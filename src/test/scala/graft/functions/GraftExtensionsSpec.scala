@@ -32,6 +32,57 @@ class GraftExtensionsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("text kernels are callable from pure SQL and match the operator kernels") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_simhash('hello world hello') AS fp,
+        |graft_shingles('abcd', 3) AS sh,
+        |graft_minhash_bands('abcdef', 3, 4, 2) AS mb,
+        |graft_simhash(CAST(NULL AS STRING)) AS fp_null,
+        |graft_shingles(CAST(NULL AS STRING), 3) AS sh_null""".stripMargin)
+      .head()
+    assert(row.getLong(0) ===
+      graft.operators.Dedup.simhashFn("hello world hello"))
+    assert(row.getSeq[Long](1) ===
+      graft.operators.Dedup.shingleHashSet("abcd", 3).toSeq)
+    assert(row.getSeq[Long](2) ===
+      graft.operators.Dedup.minhashBandHashes("abcdef", 3, 4, 2).toSeq)
+    // null semantics mirror the ScalaUDF form: kernel sees null,
+    // result is total (never null)
+    assert(row.getLong(3) === graft.operators.Dedup.simhashFn(null))
+    assert(row.getSeq[Long](4).isEmpty)
+  }
+
+  test("SQL and Column API plan the identical text-kernel expression; no ScalaUDF") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "jumps over the lazy dog")
+      .toDF("text").cache()
+    val viaSql = df.selectExpr("graft_simhash(text) AS fp",
+      "graft_shingles(text, 5) AS sh", "graft_minhash_bands(text, 5, 4, 2) AS mb")
+    val viaCol = df.select(
+      TextKernelFunctions.simhashCol(
+        org.apache.spark.sql.functions.col("text")).as("fp"),
+      TextKernelFunctions.shinglesCol(
+        org.apache.spark.sql.functions.col("text"), 5).as("sh"),
+      TextKernelFunctions.minhashBandsCol(
+        org.apache.spark.sql.functions.col("text"), 5, 4, 2).as("mb"))
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.expressions.mkString
+        .replaceAll("#\\d+", "#")
+    assert(shape(viaSql) === shape(viaCol))
+    assert(!viaCol.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    assert(viaSql.collect().toSeq === viaCol.collect().toSeq)
+    // and the dedup operators themselves now plan these expressions,
+    // not UDFs: the banded index path must be UDF-free
+    val banded = graft.operators.Dedup.minhashCandidates(
+      df.withColumn("doc_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id()),
+      n = 5, bands = 4, rowsPerBand = 2)
+    assert(!banded.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    df.unpersist()
+  }
+
   test("wrong arity fails with the arity message, not an analyzer crash") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
