@@ -2874,6 +2874,44 @@ object SparkEntry {
         .groupBy("detector", "lang", "detected")
         .agg(count(lit(1)).as("n"))
         .orderBy("detector", "lang", "detected")
+    }),
+
+    // Persisted NB language-model lifecycle (the q178 CountMin shape
+    // applied to the q179 classifier): fit on 4-of-6 sentences per
+    // language, fold the remaining 2 in via count-sum + staged swap,
+    // classify the held-out test split from the stored counters. Gram
+    // counts are integer sums, so the split-and-append model IS the
+    // full-train model — the oracle is q179's full-train NB replay,
+    // bit-for-bit.
+    "q180_lang_model_artifact" -> ((s, dir) => {
+      import s.implicits._
+      val base = TempCleanup.register(sys.props("java.io.tmpdir") +
+        s"/graft_lmappend_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode))
+      val train = nbTrainRows.zipWithIndex
+        .map { case ((lang, text), i) => (i.toLong, lang, text) }
+        .toDF("row_id", "lang", "text")
+      val test = nbTestRows.toDF("doc_id", "lang", "text")
+      val model0 = operators.TextAnalysis.charNgramLangModel(
+        train.where(col("row_id") % 6 < 4), "lang", "text", n = 2)
+      operators.TextAnalysis.writeLangModel(model0, n = 2, base)
+      operators.TextAnalysis.appendToLangModel(s, base,
+        train.where(col("row_id") % 6 >= 4), "lang", "text")
+      operators.TextAnalysis.charNgramDetectPersisted(
+          s, base, test, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Unicode script profile on the multilingual fixture: per-doc
+    // letter totals, per-script letter counts (Unicode Script
+    // property, the same class spelled \p{IsX} in Java and \p{X} in
+    // RE2), and the dominant script — the pre-language-ID router of a
+    // multilingual corpus. Pure codegen'd regexp counts, one scan.
+    "q181_script_profile" -> ((s, dir) => {
+      val docs = unicodeFixture(s)
+      operators.TextAnalysis.scriptProfile(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy("doc_id")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -5028,6 +5066,71 @@ object SparkEntry {
         |SELECT detector, lang, detected, count(*) AS n
         |FROM cells GROUP BY 1, 2, 3
         |ORDER BY detector, lang, detected""".stripMargin,
+
+    // q179's NB replay on the FULL train fixture: integer gram counts
+    // sum, so the engine's 4+2-per-language split-and-append artifact
+    // must reproduce the full-train predictions exactly
+    "q180_lang_model_artifact" ->
+      s"""WITH train(lang, text) AS (VALUES
+        |    $nbTrainSqlValues),
+        |test(doc_id, lang, text) AS (VALUES
+        |    $nbTestSqlValues),
+        |tg AS (SELECT lang, substr(text, CAST(i AS INT), 2) AS g
+        |  FROM (SELECT lang, unnest(range(1, length(text))) AS i, text
+        |    FROM train)),
+        |model AS MATERIALIZED (SELECT lang, g, count(*) AS c
+        |  FROM tg GROUP BY 1, 2),
+        |nl AS (SELECT lang, sum(c) AS n_lang FROM model GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT g) AS v FROM model),
+        |dg AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS g
+        |  FROM (SELECT doc_id, unnest(range(1, length(text))) AS i, text
+        |    FROM test)),
+        |scored AS (SELECT dg.doc_id, nl.lang,
+        |  sum(CAST(round(ln(CAST(coalesce(m.c, 0) + 1 AS DOUBLE) /
+        |    CAST(nl.n_lang + vv.v AS DOUBLE)), 12)
+        |    AS DECIMAL(38,12))) AS score
+        |  FROM dg CROSS JOIN nl CROSS JOIN vv
+        |  LEFT JOIN model m ON m.lang = nl.lang AND m.g = dg.g
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang AS detected FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, lang) AS rn FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // same VALUES fixture; the \p{IsX} Java classes and DuckDB's RE2
+    // \p{X} name the same Unicode Script property; counts are BMP code
+    // points in both engines (UTF-16 units = code points here); the
+    // window argmax mirrors the engine's (−count, name) min-struct
+    "q181_script_profile" ->
+      s"""WITH docs(doc_id, lang, text) AS (VALUES
+        |    $unicodeFixtureSqlValues),
+        |wide AS (SELECT doc_id, lang,
+        |  length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+        |    AS n_letters,
+        |  length(regexp_replace(text, '[^\\p{Arabic}]', '', 'g'))
+        |    AS n_arabic,
+        |  length(regexp_replace(text, '[^\\p{Cyrillic}]', '', 'g'))
+        |    AS n_cyrillic,
+        |  length(regexp_replace(text, '[^\\p{Greek}]', '', 'g'))
+        |    AS n_greek,
+        |  length(regexp_replace(text, '[^\\p{Han}]', '', 'g'))
+        |    AS n_han,
+        |  length(regexp_replace(text, '[^\\p{Latin}]', '', 'g'))
+        |    AS n_latin
+        |  FROM docs),
+        |u AS (SELECT doc_id, 'arabic' AS s, n_arabic AS c FROM wide
+        |  UNION ALL SELECT doc_id, 'cyrillic', n_cyrillic FROM wide
+        |  UNION ALL SELECT doc_id, 'greek', n_greek FROM wide
+        |  UNION ALL SELECT doc_id, 'han', n_han FROM wide
+        |  UNION ALL SELECT doc_id, 'latin', n_latin FROM wide),
+        |dom AS (SELECT doc_id, s, c, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY c DESC, s) AS rn FROM u)
+        |SELECT w.doc_id, w.lang, w.n_letters, w.n_arabic, w.n_cyrillic,
+        |  w.n_greek, w.n_han, w.n_latin,
+        |  CASE WHEN w.n_letters = 0 THEN 'und'
+        |       WHEN d.c = 0 THEN 'other' ELSE d.s END AS dominant
+        |FROM wide w JOIN dom d ON d.doc_id = w.doc_id AND d.rn = 1
+        |ORDER BY w.doc_id""".stripMargin,
 
     // same token split, same p/q/m expression order, one 12-dp round
     // of the final double — ln agrees bit-wise at these magnitudes

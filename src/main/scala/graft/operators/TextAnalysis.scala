@@ -181,6 +181,111 @@ object TextAnalysis {
       .select(col(idCol), col("lang").as("detected"))
   }
 
+  // ------------------- persisted language-model artifact (NB counts)
+  // The build-once/append/probe lifecycle (histogram q175, CountMin
+  // q178, MinHash bands q87/q145, graph q130, scaler q139) applied to
+  // the [[charNgramLangModel]]: gram counts at `path/model`, a one-row
+  // `n` meta at `path/meta`. Counts are integer sums, so folding a new
+  // labeled batch in ([[appendToLangModel]]) produces EXACTLY the
+  // model fit on the concatenated corpus — a 100-TB labeled feed
+  // trains incrementally, never re-scanning, and classification reads
+  // only the vocabulary-bounded counter table.
+
+  /** Persist a fitted [[charNgramLangModel]] with its gram size. */
+  def writeLangModel(model: DataFrame, n: Int, path: String): Unit = {
+    val spark = model.sparkSession
+    model.write.mode("overwrite").parquet(s"$path/model")
+    import spark.implicits._
+    Seq(n).toDF("n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readLangModelN(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val m =
+      try spark.read.parquet(s"$path/meta").head()
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"no language-model artifact at $path (${e.getMessage})")
+      }
+    m.getInt(0)
+  }
+
+  /** Fold a labeled batch into a persisted model: per-(lang, gram)
+    * count sums + staged directory swap (the CountMin/histogram append
+    * device), so readers never see a half-written counter table.
+    * Append ≡ rebuild bitwise — TextAnalysisSpec proves it. */
+  def appendToLangModel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      train: DataFrame, langCol: String, textCol: String): Unit = {
+    val n = readLangModelN(spark, path)
+    val merged = spark.read.parquet(s"$path/model")
+      .unionByName(charNgramLangModel(train, langCol, textCol, n))
+      .groupBy("lang", "g").agg(sum(col("c")).as("c"))
+    val staging = s"$path/_staging"
+    merged.write.mode("overwrite").parquet(s"$staging/model")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/model")
+    fs.delete(dst, true)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$staging/model"), dst),
+      s"rename of $staging/model failed")
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  /** Classify with a persisted model — [[charNgramDetect]] against the
+    * stored counts, gram size from the artifact meta (the caller
+    * cannot mismatch it). */
+  def charNgramDetectPersisted(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = readLangModelN(spark, path)
+    charNgramDetect(spark.read.parquet(s"$path/model"),
+      docs, idCol, textCol, n)
+  }
+
+  // --------------------------------------- Unicode script profiling
+
+  /** (name, Java regex class, RE2/DuckDB regex class) per script —
+    * the same Unicode Script property, two spellings. Alphabetical,
+    * so the dominant-script tie-break is stable. */
+  val scriptClasses: Seq[(String, String, String)] = Seq(
+    ("arabic", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("greek", "\\p{IsGreek}", "\\p{Greek}"),
+    ("han", "\\p{IsHan}", "\\p{Han}"),
+    ("latin", "\\p{IsLatin}", "\\p{Latin}"))
+
+  /** Per-document Unicode script histogram: total letter count
+    * (`\p{L}`), per-script letter counts (Unicode Script property —
+    * [[scriptClasses]]), and the dominant script (most letters,
+    * alphabetically-first on ties; `und` for letterless docs). The
+    * router a multilingual corpus needs BEFORE language ID: script is
+    * deterministic per code point (no model), and most script buckets
+    * map to disjoint language families. Pure codegen'd regexp counts —
+    * one scan, zero shuffles, zero UDFs. */
+  def scriptProfile(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = scriptClasses.map { case (name, javaRe, _) =>
+      length(regexp_replace(col(textCol), s"[^$javaRe]", ""))
+        .cast("long").as(s"n_$name")
+    }
+    val withCounts = docs.select(
+      (col(idCol) +: alphaCount(col(textCol)).as("n_letters") +:
+        counts): _*)
+    // argmax by min-struct: smallest (−count, name) = largest count,
+    // alphabetically-first name on ties
+    val best = array_min(array(scriptClasses.map { case (name, _, _) =>
+      struct((-col(s"n_$name")).as("neg"), lit(name).as("s"))
+    }: _*))
+    withCounts.withColumn("dominant",
+      when(col("n_letters") === 0, lit("und"))
+        // letters exist but none in a profiled script (all-zero max)
+        .when(best.getField("neg") === 0, lit("other"))
+        .otherwise(best.getField("s")))
+  }
+
   /** Rolling polynomial fingerprint of the full text (deterministic
     * 64-bit document hash) — document-level fingerprinting primitive.
     * Uses Spark's xxhash64 (codegen'd, stable across runs/clusters) —

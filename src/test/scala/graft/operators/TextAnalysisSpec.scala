@@ -413,4 +413,66 @@ class SourcesSpec extends SparkSpec {
       TextAnalysis.distributionDrift(a, Seq("123 456").toDF("text")))
     assert(e.getMessage.contains("non-empty"))
   }
+
+  test("persisted language model: append ≡ rebuild bitwise, classify from disk") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "en", "the cat sat on the mat"),
+      (1L, "en", "a dog ran in the park"),
+      (2L, "de", "die katze sass auf der matte"),
+      (3L, "de", "ein hund lief durch den park"))
+      .toDF("row_id", "lang", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lm_spec").toString
+    try {
+      TextAnalysis.writeLangModel(
+        TextAnalysis.charNgramLangModel(
+          train.where($"row_id" < 2), "lang", "text", 2), 2, base)
+      TextAnalysis.appendToLangModel(spark, base,
+        train.where($"row_id" >= 2), "lang", "text")
+      val appended = spark.read.parquet(s"$base/model")
+        .orderBy("lang", "g").collect().toSeq
+      val rebuilt = TextAnalysis.charNgramLangModel(
+          train, "lang", "text", 2)
+        .orderBy("lang", "g").collect().toSeq
+      assert(appended === rebuilt)
+      // no staging leftovers after the swap
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/_staging")))
+      val got = TextAnalysis.charNgramDetectPersisted(spark, base,
+          Seq((10L, "der hund und die katze"), (11L, "the dog and the cat"))
+            .toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((10L, "de"), (11L, "en")))
+      // probing a path with no artifact fails loudly
+      val e = intercept[IllegalArgumentException](
+        TextAnalysis.charNgramDetectPersisted(spark, s"$base/nope",
+          train, "row_id", "text"))
+      assert(e.getMessage.contains("no language-model artifact"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
+  test("scriptProfile counts scripts, routes und/other, breaks ties alphabetically") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "привет world"),        // 6 cyrillic vs 5 latin
+      (1L, "你好 мир"),             // 2 han vs 3 cyrillic
+      (2L, "123 456"),             // no letters at all -> und
+      (3L, "안녕하세요"),            // hangul: letters, none profiled -> other
+      (4L, "αβ ab"))               // 2 greek vs 2 latin tie -> greek
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(8))).toSeq
+    assert(got === Seq((0L, 11L, "cyrillic"), (1L, 5L, "cyrillic"),
+      (2L, 0L, "und"), (3L, 5L, "other"), (4L, 4L, "greek")))
+    val row0 = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .where($"doc_id" === 0).head()
+    assert(row0.getAs[Long]("n_cyrillic") === 6L)
+    assert(row0.getAs[Long]("n_latin") === 5L)
+    assert(row0.getAs[Long]("n_han") === 0L)
+  }
 }
