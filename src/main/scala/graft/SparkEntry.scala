@@ -410,12 +410,13 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
 
-  /** ONE CountMin oracle for q157 (in-memory sketch) and q178 (the
-    * persisted build/append/probe lifecycle): identical md5-hex row
-    * hashes mod 2048 over the FULL corpus — counter-wise sums commute,
-    * so the 90/10 split-and-append artifact must equal it exactly. */
-  private val countMinOracleSql: String =
-    """WITH k AS MATERIALIZED (SELECT l_partkey AS k FROM lineitem),
+  /** ONE CountMin oracle shape for q157 (in-memory sketch), q178 (the
+    * persisted build/append/probe lifecycle), and q182 (the streamed
+    * build): identical md5-hex row hashes mod 2048 over the FULL
+    * corpus — counter-wise sums commute, so any split-and-append
+    * (batch or micro-batch) must equal it exactly. */
+  private def countMinOracleFor(table: String, keyCol: String): String =
+    s"""WITH k AS MATERIALIZED (SELECT $keyCol AS k FROM $table),
       |cnt AS MATERIALIZED (SELECT k, count(*) AS true_cnt FROM k
       |  GROUP BY 1),
       |top AS MATERIALIZED (SELECT k, true_cnt FROM cnt
@@ -430,8 +431,11 @@ object SparkEntry {
       |  LEFT JOIN sk ON sk.i = r.i AND sk.idx =
       |    ('0x' || substr(md5(r.i || '-' || t.k), 1, 8))::BIGINT % 2048
       |  GROUP BY 1, 2)
-      |SELECT k AS l_partkey, true_cnt, est FROM est
-      |ORDER BY true_cnt DESC, l_partkey""".stripMargin
+      |SELECT k AS $keyCol, true_cnt, est FROM est
+      |ORDER BY true_cnt DESC, $keyCol""".stripMargin
+
+  private val countMinOracleSql: String =
+    countMinOracleFor("lineitem", "l_partkey")
 
   // ---- multilingual tokenizer fixture shared by q177's Spark side and
   // ---- its DuckDB oracle (ONE row source, so the two cannot drift):
@@ -2912,7 +2916,17 @@ object SparkEntry {
       operators.TextAnalysis.scriptProfile(docs, "doc_id", "text")
         .join(docs.select("doc_id", "lang"), "doc_id")
         .orderBy("doc_id")
-    }))
+    }),
+
+    // Streaming CountMin ingestion: the events feed arrives as a
+    // 3-file micro-batch stream; each batch's sketch folds into the
+    // persisted artifact inside foreachBatch (counters+meta swapped
+    // in one staged rename carrying the last applied batch id — the
+    // exactly-once guard over a non-idempotent fold). Counter sums
+    // commute, so the probe must match the full-corpus replay
+    // bit-for-bit — same oracle shape as q157/q178, on events.
+    "q182_stream_countmin" -> ((s, dir) =>
+      streaming.EventWindows.streamCountMin(s, dir)))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -5023,6 +5037,11 @@ object SparkEntry {
     // commute), so the artifact lifecycle must reproduce q157's
     // numbers bit-for-bit — that identity IS what this row checks
     "q178_countmin_artifact" -> countMinOracleSql,
+
+    // and the same identity for the STREAMED build: the micro-batch
+    // split is an id-hash 3-way split, counter sums commute, so the
+    // foreachBatch-folded artifact must replay the full events corpus
+    "q182_stream_countmin" -> countMinOracleFor("events", "user_id"),
 
     // full NB replay: same VALUES fixtures (ONE Scala Seq each), same
     // code-point substr bigrams, same Laplace term

@@ -894,4 +894,91 @@ object EventWindows {
         col("m.n_events").as("n_events"), col("m.est").as("est"))
       .orderBy("event_type", "qname")
   }
+
+  /** Streaming build of the persisted CountMin artifact (q178's
+    * lifecycle driven by a stream): each micro-batch's sketch is
+    * counter-wise-summed into the parquet artifact inside
+    * `foreachBatch` — the deployment shape of a continuously-ingesting
+    * frequency service. Counter sums commute, so the batch split
+    * doesn't matter: the final artifact is EXACTLY the full-corpus
+    * sketch, and the probe must match q157's full replay bit-for-bit.
+    *
+    * Exactly-once under foreachBatch's at-least-once contract: the
+    * sketch fold is NOT idempotent (re-summing a batch double-counts),
+    * so the artifact's meta carries the last applied batch id and the
+    * counters+meta swap in ONE staged directory rename — a replayed
+    * batch sees `batchId <= last_batch` and skips. All state lives in
+    * the artifact; the stream itself is stateless.
+    *
+    * Returns (user_id, true_cnt, est) for the top-20 true-heaviest
+    * users, probed from the stored counters. */
+  def streamCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Frequency
+    val depth = 4; val width = 2048
+    val sdir = upsertStreamDir(spark, dir)
+    val stateBase = graft.TempCleanup.register(sys.props("java.io.tmpdir") +
+      s"/graft_cmstream_${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode))
+    val statePath = s"$stateBase/state"
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(stateBase), true)
+    val s = spark.newSession()
+    val schema =
+      s.read.option("pathGlobFilter", "*.parquet").parquet(sdir).schema
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft_cm_ckpt_")
+    def fold(
+        batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit = {
+      val statePq = new org.apache.hadoop.fs.Path(statePath)
+      val exists = hfs.exists(statePq)
+      val lastApplied =
+        if (!exists) -1L
+        else s.read.parquet(s"$statePath/meta").head().getLong(2)
+      if (batchId <= lastApplied) return // replayed batch: already folded
+      val sk = Frequency.countMinSketch(
+        batch.select(col("user_id")), "user_id", depth, width)
+      val merged =
+        if (!exists) sk
+        else Frequency.countMinMerge(
+          s.read.parquet(s"$statePath/counters"), sk)
+      val stage = s"$stateBase/_stage"
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      merged.write.mode("overwrite").parquet(s"$stage/counters")
+      import s.implicits._
+      Seq((depth, width, batchId)).toDF("depth", "width", "last_batch")
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
+      hfs.delete(statePq, true)
+      require(hfs.rename(new org.apache.hadoop.fs.Path(stage), statePq),
+        "sketch swap rename failed")
+    }
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(sdir)
+      .writeStream
+      .foreachBatch(fold _)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      try q.stop()
+      finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val walk = Files.walk(ckpt)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    val truth = graft.sources.Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(desc("true_cnt"), col("user_id")).limit(20)
+    Frequency.countMinEstimatePersisted(
+        spark, statePath, truth.select("user_id"), "user_id")
+      .join(truth, "user_id")
+      .select(col("user_id"), col("true_cnt"), col("est"))
+      .orderBy(desc("true_cnt"), col("user_id"))
+  }
 }

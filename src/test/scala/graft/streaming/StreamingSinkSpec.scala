@@ -84,4 +84,26 @@ class StreamingSinkSpec extends SparkSpec {
       .orderBy("user_id").collect().map(_.toString).toSeq
     assert(again === batch)
   }
+
+  test("streamCountMin: micro-batch folds equal the one-shot sketch of the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventWindows.streamCountMin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // counter sums commute: the 3-micro-batch artifact must equal the
+    // sketch built in one pass over the whole corpus
+    val ev = graft.sources.Tables(spark, dir, "events")
+    val oneShot = graft.operators.Frequency.countMinSketch(
+      ev.select(col("user_id")), "user_id", 4, 2048)
+    val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(desc("true_cnt"), col("user_id")).limit(20)
+    val batch = graft.operators.Frequency.countMinEstimate(
+        oneShot, truth.select("user_id"), "user_id", 4, 2048)
+      .join(truth, "user_id")
+      .select(col("user_id"), col("true_cnt"), col("est"))
+      .orderBy(desc("true_cnt"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream.nonEmpty && stream === batch)
+    // CountMin guarantee on every probed line: est >= true
+    assert(stream.forall { case (_, t, e) => e >= t })
+  }
 }
