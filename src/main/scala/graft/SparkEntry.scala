@@ -2926,7 +2926,25 @@ object SparkEntry {
     // commute, so the probe must match the full-corpus replay
     // bit-for-bit — same oracle shape as q157/q178, on events.
     "q182_stream_countmin" -> ((s, dir) =>
-      streaming.EventWindows.streamCountMin(s, dir)))
+      streaming.EventWindows.streamCountMin(s, dir)),
+
+    // CJK unigram segmentation vs the plain letter-run tokenizer on
+    // the multilingual fixture: Han text has no spaces, so wordTokens
+    // yields one giant token per clause while cjkAwareTokens pads
+    // every Han code point into its own token (the Lucene-style IR
+    // fallback); alphabetic scripts are unchanged (n_plain == n_cjk).
+    "q183_cjk_tokens" -> ((s, dir) => {
+      val docs = unicodeFixture(s)
+      docs.select(col("doc_id"), col("lang"),
+          size(operators.TextAnalysis.wordTokens(col("text")))
+            .cast("long").as("n_tokens_plain"),
+          operators.TextAnalysis.cjkAwareTokens(col("text")).as("a"))
+        .select(col("doc_id"), col("lang"), col("n_tokens_plain"),
+          size(col("a")).cast("long").as("n_tokens_cjk"),
+          size(array_distinct(col("a"))).cast("long")
+            .as("n_distinct_cjk"))
+        .orderBy("doc_id")
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -5042,6 +5060,26 @@ object SparkEntry {
     // split is an id-hash 3-way split, counter sums commute, so the
     // foreachBatch-folded artifact must replay the full events corpus
     "q182_stream_countmin" -> countMinOracleFor("events", "user_id"),
+
+    // same VALUES fixture; RE2's (\p{Han}) → ' \1 ' pad is the same
+    // Unicode Script substitution as Java's (\p{IsHan}) → ' $1 ',
+    // then the shared '[^\p{L}]+' split — integer-exact counts
+    "q183_cjk_tokens" ->
+      s"""WITH docs(doc_id, lang, text) AS (VALUES
+        |    $unicodeFixtureSqlValues),
+        |p AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+        |    t -> t <> '') AS a FROM docs),
+        |c AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(
+        |    regexp_replace(text, '(\\p{Han})', ' \\1 ', 'g'),
+        |    '[^\\p{L}]+'), t -> t <> '') AS a FROM docs)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(len(p.a) AS BIGINT) AS n_tokens_plain,
+        |  CAST(len(c.a) AS BIGINT) AS n_tokens_cjk,
+        |  CAST(len(list_distinct(c.a)) AS BIGINT) AS n_distinct_cjk
+        |FROM docs d JOIN p USING (doc_id) JOIN c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // full NB replay: same VALUES fixtures (ONE Scala Seq each), same
     // code-point substr bigrams, same Laplace term

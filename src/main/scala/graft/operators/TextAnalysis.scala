@@ -32,6 +32,18 @@ object TextAnalysis {
   def wordTokens(text: Column): Column =
     filter(split(text, tokenSplitRe), t => t =!= lit(""))
 
+  /** [[wordTokens]] with unigram segmentation of Han runs: CJK text
+    * has no spaces, so a letter-run tokenizer yields one giant token
+    * per clause — the standard IR fallback (used by Lucene's CJK
+    * analysis and the CC-pipeline tokenizers) is to treat each Han
+    * character as a token. Implemented as a codegen'd regexp pad
+    * (space around every `\p{Han}` code point) before the shared
+    * `\p{L}` split — one extra scan, no UDF. Kana/Hangul are true
+    * alphabets/syllabaries and keep their runs. DuckDB replays the
+    * identical semantics with RE2's `(\p{Han})` → `' \1 '`. */
+  def cjkAwareTokens(text: Column): Column =
+    wordTokens(regexp_replace(text, "(\\p{IsHan})", " $1 "))
+
   /** Counts of character classes — building blocks for quality scores. */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,!?;:]", "")).cast("long")

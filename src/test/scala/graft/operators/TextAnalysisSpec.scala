@@ -455,6 +455,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("cjkAwareTokens segments Han per char, leaves alphabets untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hello world"),
+      (1L, "你好世界"),
+      (2L, "mixed 数据 text"),
+      (3L, "καλημέρα κόσμε")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        TextAnalysis.cjkAwareTokens($"text").as("a"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(got === Seq(
+      (0L, Seq("hello", "world")),
+      (1L, Seq("你", "好", "世", "界")),
+      (2L, Seq("mixed", "数", "据", "text")),
+      (3L, Seq("καλημέρα", "κόσμε"))))
+    // plain wordTokens keeps the Han clause as ONE run-token
+    val plain = docs.where($"doc_id" === 1)
+      .select(TextAnalysis.wordTokens($"text")).head().getSeq[String](0)
+    assert(plain === Seq("你好世界"))
+  }
+
   test("scriptProfile counts scripts, routes und/other, breaks ties alphabetically") {
     import spark.implicits._
     val docs = Seq(
@@ -466,7 +488,7 @@ class SourcesSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val got = TextAnalysis.scriptProfile(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(8))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(7))).toSeq
     assert(got === Seq((0L, 11L, "cyrillic"), (1L, 5L, "cyrillic"),
       (2L, 0L, "und"), (3L, 5L, "other"), (4L, 4L, "greek")))
     val row0 = TextAnalysis.scriptProfile(docs, "doc_id", "text")
