@@ -162,65 +162,67 @@ object Frequency {
   /** Build-once persisted CountMin artifact — the build/append/probe
     * lifecycle precedent (histogram q175, MinHash bands q87/q145,
     * graph tables q130, fitted scaler q139) applied to the frequency
-    * sketch: counters at `path/counters`, a one-row `(depth, width)`
-    * meta at `path/meta`. A 100-TB corpus builds per-batch sketches
-    * and folds them in ([[appendToCountMin]] — counter-wise sum is
-    * EXACTLY the full-corpus sketch) instead of ever re-scanning;
-    * probes ([[countMinEstimatePersisted]]) touch only the
+    * sketch: each version holds `counters` plus a one-row
+    * `(depth, width)` meta, published through the versioned-pointer
+    * device ([[graft.sources.Artifacts]]) so probes can run
+    * CONCURRENTLY with appends — a reader always resolves a complete
+    * version. A 100-TB corpus builds per-batch sketches and folds
+    * them in ([[appendToCountMin]] — counter-wise sum is EXACTLY the
+    * full-corpus sketch) instead of ever re-scanning; probes
+    * ([[countMinEstimatePersisted]]) touch only the
     * depth·width-bounded counter table. */
   def writeCountMin(
       df: DataFrame, keyCol: String, depth: Int, width: Int,
       path: String): Unit = {
     val spark = df.sparkSession
-    countMinSketch(df, keyCol, depth, width)
-      .write.mode("overwrite").parquet(s"$path/counters")
     import spark.implicits._
-    Seq((depth, width)).toDF("depth", "width")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      countMinSketch(df, keyCol, depth, width)
+        .write.mode("overwrite").parquet(s"$vdir/counters")
+      Seq((depth, width)).toDF("depth", "width")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
   }
 
-  private def readCountMinMeta(
-      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
-    val m =
-      try spark.read.parquet(s"$path/meta").head()
-      catch { case e: Exception =>
-        throw new IllegalArgumentException(
-          s"no CountMin artifact at $path (${e.getMessage})")
-      }
-    (m.getInt(0), m.getInt(1))
-  }
+  private def latestCountMinDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    try graft.sources.Artifacts.latestDir(spark, path)
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(
+        s"no CountMin artifact at $path (${e.getMessage})")
+    }
 
-  /** Fold a batch into a persisted sketch: counter-wise sum + staged
-    * directory swap (the graph/histogram append device), so probes
-    * never see a half-written counter table. Append ≡ rebuild
-    * bitwise — FrequencySpec proves it. */
+  /** Fold a batch into a persisted sketch: counter-wise sum published
+    * as the next version (the old version stays live until the
+    * pointer moves, so concurrent probes are safe — no staged-swap
+    * read gap). Append ≡ rebuild bitwise — FrequencySpec proves it. */
   def appendToCountMin(
       spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame, keyCol: String): Unit = {
-    val (depth, width) = readCountMinMeta(spark, path)
+    val cur = latestCountMinDir(spark, path)
+    val m = spark.read.parquet(s"$cur/meta").head()
+    val (depth, width) = (m.getInt(0), m.getInt(1))
     val merged = countMinMerge(
-      spark.read.parquet(s"$path/counters"),
+      spark.read.parquet(s"$cur/counters"),
       countMinSketch(df, keyCol, depth, width))
-    val staging = s"$path/_staging"
-    merged.write.mode("overwrite").parquet(s"$staging/counters")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(s"$path/counters")
-    fs.delete(dst, true)
-    require(fs.rename(
-      new org.apache.hadoop.fs.Path(s"$staging/counters"), dst),
-      s"rename of $staging/counters failed")
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    import spark.implicits._
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      merged.write.mode("overwrite").parquet(s"$vdir/counters")
+      Seq((depth, width)).toDF("depth", "width")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
   }
 
   /** Probe a persisted sketch for `keys` — [[countMinEstimate]]
     * against the stored counters, with depth/width from the artifact
-    * meta (the caller cannot mismatch them). */
+    * meta (the caller cannot mismatch them). Resolves ONE version for
+    * both reads, so a concurrent append cannot split the probe. */
   def countMinEstimatePersisted(
       spark: org.apache.spark.sql.SparkSession,
       path: String, keys: DataFrame, keyCol: String): DataFrame = {
-    val (depth, width) = readCountMinMeta(spark, path)
-    countMinEstimate(spark.read.parquet(s"$path/counters"),
-      keys, keyCol, depth, width)
+    val vdir = latestCountMinDir(spark, path)
+    val m = spark.read.parquet(s"$vdir/meta").head()
+    countMinEstimate(spark.read.parquet(s"$vdir/counters"),
+      keys, keyCol, m.getInt(0), m.getInt(1))
   }
 }

@@ -905,15 +905,19 @@ object EventWindows {
     *
     * Exactly-once under foreachBatch's at-least-once contract: the
     * sketch fold is NOT idempotent (re-summing a batch double-counts),
-    * so the artifact's meta carries the last applied batch id and the
-    * counters+meta swap in ONE staged directory rename — a replayed
-    * batch sees `batchId <= last_batch` and skips. All state lives in
-    * the artifact; the stream itself is stateless.
+    * so the artifact's meta carries the last applied batch id and
+    * counters+meta publish as ONE new version
+    * ([[graft.sources.Artifacts.publishVersion]] — pointer repoints
+    * only after the version is complete) — a replayed batch sees
+    * `batchId <= last_batch` and skips, and probes running WHILE a
+    * batch folds resolve the previous complete version. All state
+    * lives in the artifact; the stream itself is stateless.
     *
     * Returns (user_id, true_cnt, est) for the top-20 true-heaviest
     * users, probed from the stored counters. */
   def streamCountMin(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Frequency
+    import graft.sources.Artifacts
     val depth = 4; val width = 2048
     val sdir = upsertStreamDir(spark, dir)
     val stateBase = graft.TempCleanup.register(sys.props("java.io.tmpdir") +
@@ -931,27 +935,25 @@ object EventWindows {
     def fold(
         batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         batchId: Long): Unit = {
-      val statePq = new org.apache.hadoop.fs.Path(statePath)
-      val exists = hfs.exists(statePq)
-      val lastApplied =
-        if (!exists) -1L
-        else s.read.parquet(s"$statePath/meta").head().getLong(2)
+      val cur = Artifacts.latestVersion(s, statePath)
+        .map(v => s"$statePath/v$v")
+      val lastApplied = cur
+        .map(d => s.read.parquet(s"$d/meta").head().getLong(2))
+        .getOrElse(-1L)
       if (batchId <= lastApplied) return // replayed batch: already folded
       val sk = Frequency.countMinSketch(
         batch.select(col("user_id")), "user_id", depth, width)
-      val merged =
-        if (!exists) sk
-        else Frequency.countMinMerge(
-          s.read.parquet(s"$statePath/counters"), sk)
-      val stage = s"$stateBase/_stage"
-      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      merged.write.mode("overwrite").parquet(s"$stage/counters")
-      import s.implicits._
-      Seq((depth, width, batchId)).toDF("depth", "width", "last_batch")
-        .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
-      hfs.delete(statePq, true)
-      require(hfs.rename(new org.apache.hadoop.fs.Path(stage), statePq),
-        "sketch swap rename failed")
+      val merged = cur match {
+        case None => sk
+        case Some(d) =>
+          Frequency.countMinMerge(s.read.parquet(s"$d/counters"), sk)
+      }
+      Artifacts.publishVersion(s, statePath) { vdir =>
+        merged.write.mode("overwrite").parquet(s"$vdir/counters")
+        import s.implicits._
+        Seq((depth, width, batchId)).toDF("depth", "width", "last_batch")
+          .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+      }
     }
     val q = s.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")

@@ -99,7 +99,8 @@ class FrequencySpec extends SparkSpec {
     Frequency.writeCountMin(
       df.where(col("half") === 0), "tok", depth = 3, width = 16, d)
     Frequency.appendToCountMin(spark, d, df.where(col("half") === 1), "tok")
-    val merged = spark.read.parquet(s"$d/counters")
+    val merged = spark.read.parquet(
+      graft.sources.Artifacts.latestDir(spark, d) + "/counters")
       .orderBy("i", "idx").collect().toSeq
     val full = Frequency.countMinSketch(cmFixture, "tok",
         depth = 3, width = 16)
