@@ -196,64 +196,65 @@ object TextAnalysis {
   // ------------------- persisted language-model artifact (NB counts)
   // The build-once/append/probe lifecycle (histogram q175, CountMin
   // q178, MinHash bands q87/q145, graph q130, scaler q139) applied to
-  // the [[charNgramLangModel]]: gram counts at `path/model`, a one-row
-  // `n` meta at `path/meta`. Counts are integer sums, so folding a new
-  // labeled batch in ([[appendToLangModel]]) produces EXACTLY the
-  // model fit on the concatenated corpus — a 100-TB labeled feed
-  // trains incrementally, never re-scanning, and classification reads
-  // only the vocabulary-bounded counter table.
+  // the [[charNgramLangModel]]: each version holds the gram counts at
+  // `model` plus a one-row `n` meta, published through the
+  // versioned-pointer device ([[graft.sources.Artifacts]]) so
+  // classification can run concurrently with retraining. Counts are
+  // integer sums, so folding a new labeled batch in
+  // ([[appendToLangModel]]) produces EXACTLY the model fit on the
+  // concatenated corpus — a 100-TB labeled feed trains incrementally,
+  // never re-scanning, and classification reads only the
+  // vocabulary-bounded counter table.
 
   /** Persist a fitted [[charNgramLangModel]] with its gram size. */
   def writeLangModel(model: DataFrame, n: Int, path: String): Unit = {
     val spark = model.sparkSession
-    model.write.mode("overwrite").parquet(s"$path/model")
     import spark.implicits._
-    Seq(n).toDF("n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      model.write.mode("overwrite").parquet(s"$vdir/model")
+      Seq(n).toDF("n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
   }
 
-  private def readLangModelN(
-      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
-    val m =
-      try spark.read.parquet(s"$path/meta").head()
-      catch { case e: Exception =>
-        throw new IllegalArgumentException(
-          s"no language-model artifact at $path (${e.getMessage})")
-      }
-    m.getInt(0)
-  }
+  private def latestLangModelDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    try graft.sources.Artifacts.latestDir(spark, path)
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(
+        s"no language-model artifact at $path (${e.getMessage})")
+    }
 
   /** Fold a labeled batch into a persisted model: per-(lang, gram)
-    * count sums + staged directory swap (the CountMin/histogram append
-    * device), so readers never see a half-written counter table.
-    * Append ≡ rebuild bitwise — TextAnalysisSpec proves it. */
+    * count sums published as the next version (the old version stays
+    * live until the pointer moves — concurrent classification is
+    * safe). Append ≡ rebuild bitwise — TextAnalysisSpec proves it. */
   def appendToLangModel(
       spark: org.apache.spark.sql.SparkSession, path: String,
       train: DataFrame, langCol: String, textCol: String): Unit = {
-    val n = readLangModelN(spark, path)
-    val merged = spark.read.parquet(s"$path/model")
+    val cur = latestLangModelDir(spark, path)
+    val n = spark.read.parquet(s"$cur/meta").head().getInt(0)
+    val merged = spark.read.parquet(s"$cur/model")
       .unionByName(charNgramLangModel(train, langCol, textCol, n))
       .groupBy("lang", "g").agg(sum(col("c")).as("c"))
-    val staging = s"$path/_staging"
-    merged.write.mode("overwrite").parquet(s"$staging/model")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(s"$path/model")
-    fs.delete(dst, true)
-    require(fs.rename(
-      new org.apache.hadoop.fs.Path(s"$staging/model"), dst),
-      s"rename of $staging/model failed")
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    import spark.implicits._
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      merged.write.mode("overwrite").parquet(s"$vdir/model")
+      Seq(n).toDF("n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
   }
 
   /** Classify with a persisted model — [[charNgramDetect]] against the
     * stored counts, gram size from the artifact meta (the caller
-    * cannot mismatch it). */
+    * cannot mismatch it). Resolves ONE version for both reads, so a
+    * concurrent append cannot split the probe. */
   def charNgramDetectPersisted(
       spark: org.apache.spark.sql.SparkSession, path: String,
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = readLangModelN(spark, path)
-    charNgramDetect(spark.read.parquet(s"$path/model"),
+    val vdir = latestLangModelDir(spark, path)
+    val n = spark.read.parquet(s"$vdir/meta").head().getInt(0)
+    charNgramDetect(spark.read.parquet(s"$vdir/model"),
       docs, idCol, textCol, n)
   }
 

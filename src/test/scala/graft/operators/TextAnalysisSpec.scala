@@ -430,15 +430,18 @@ class SourcesSpec extends SparkSpec {
           train.where($"row_id" < 2), "lang", "text", 2), 2, base)
       TextAnalysis.appendToLangModel(spark, base,
         train.where($"row_id" >= 2), "lang", "text")
-      val appended = spark.read.parquet(s"$base/model")
+      val appended = spark.read.parquet(
+          graft.sources.Artifacts.latestDir(spark, base) + "/model")
         .orderBy("lang", "g").collect().toSeq
       val rebuilt = TextAnalysis.charNgramLangModel(
           train, "lang", "text", 2)
         .orderBy("lang", "g").collect().toSeq
       assert(appended === rebuilt)
-      // no staging leftovers after the swap
-      assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$base/_staging")))
+      // the pre-append version stays live for concurrent readers
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/v1")))
+      assert(graft.sources.Artifacts.latestDir(spark, base)
+        === s"$base/v2")
       val got = TextAnalysis.charNgramDetectPersisted(spark, base,
           Seq((10L, "der hund und die katze"), (11L, "the dog and the cat"))
             .toDF("doc_id", "text"), "doc_id", "text")
