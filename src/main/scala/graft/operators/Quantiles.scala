@@ -118,41 +118,45 @@ object Quantiles {
       path: String): Unit = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val spark = df.sparkSession
-    df.where(col(valCol).isNotNull)
-      .select(floor(col(valCol) / lit(binWidth)).cast("long").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(s"$path/bins")
     import spark.implicits._
-    Seq(binWidth).toDF("bin_width")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      df.where(col(valCol).isNotNull)
+        .select(floor(col(valCol) / lit(binWidth)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$vdir/bins")
+      Seq(binWidth).toDF("bin_width")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
   }
 
-  /** Fold a batch into a persisted histogram: counter-wise sum +
-    * staged-directory swap (the graph-append device), so probes never
-    * see a half-written counter table. */
+  private def latestHistogramDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    try graft.sources.Artifacts.latestDir(spark, path)
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(
+        s"no histogram artifact at $path (${e.getMessage})")
+    }
+
+  /** Fold a batch into a persisted histogram: counter-wise sum
+    * published as the next version (the old version stays live until
+    * the pointer moves — [[graft.sources.Artifacts]]), so probes can
+    * run concurrently with appends. */
   def appendToHistogram(
       spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame, valCol: String): Unit = {
-    val bw =
-      try spark.read.parquet(s"$path/meta").head().getDouble(0)
-      catch { case e: Exception =>
-        throw new IllegalArgumentException(
-          s"no histogram artifact at $path (${e.getMessage})")
-      }
-    val merged = spark.read.parquet(s"$path/bins")
+    val cur = latestHistogramDir(spark, path)
+    val bw = spark.read.parquet(s"$cur/meta").head().getDouble(0)
+    val merged = spark.read.parquet(s"$cur/bins")
       .unionByName(df.where(col(valCol).isNotNull)
         .select(floor(col(valCol) / lit(bw)).cast("long").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("cnt")))
       .groupBy("bin").agg(sum("cnt").as("cnt"))
-    val staging = s"$path/_staging"
-    merged.write.mode("overwrite").parquet(s"$staging/bins")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(s"$path/bins")
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/bins"),
-      dst), s"rename of $staging/bins failed")
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    import spark.implicits._
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      merged.write.mode("overwrite").parquet(s"$vdir/bins")
+      Seq(bw).toDF("bin_width")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
   }
 
   /** Probe a persisted histogram for quantiles `(name, num, den)`:
@@ -170,8 +174,9 @@ object Quantiles {
       require(num >= 1 && num <= den,
         s"quantile $qn must have 1 <= num <= den, got $num/$den")
     }
-    val bw = spark.read.parquet(s"$path/meta").head().getDouble(0)
-    val bins = spark.read.parquet(s"$path/bins")
+    val vdir = latestHistogramDir(spark, path)
+    val bw = spark.read.parquet(s"$vdir/meta").head().getDouble(0)
+    val bins = spark.read.parquet(s"$vdir/bins")
     // The cumulative sum below is an unpartitioned window — single-task
     // by design, correct ONLY because it runs over the bounded
     // occupied-bin counter table, never the corpus. A tiny binWidth

@@ -120,8 +120,10 @@ class QuantilesSpec extends SparkSpec {
     Quantiles.appendToHistogram(spark, p1, df.where(col("id") % 3 === 0), "v")
     val p2 = artDir("b")
     Quantiles.writeHistogram(df, "v", 10.0, p2)
-    assert(spark.read.parquet(s"$p1/bins").orderBy("bin").collect().toSeq
-      === spark.read.parquet(s"$p2/bins").orderBy("bin").collect().toSeq)
+    def binsOf(p: String) = spark.read.parquet(
+      graft.sources.Artifacts.latestDir(spark, p) + "/bins")
+    assert(binsOf(p1).orderBy("bin").collect().toSeq
+      === binsOf(p2).orderBy("bin").collect().toSeq)
     // p50: rank ceil(50) = 50 -> bin 4 (cum through bin 4 = 50);
     // p90: rank 90 -> bin 8; p99: rank 99 -> bin 9
     val got = Quantiles.histogramQuantiles(spark, p1,
@@ -165,9 +167,11 @@ class QuantilesSpec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("graft_hist_big").toString
     new java.io.File(d).deleteOnExit()
     val big = (1L << 60) + 1L
-    Seq((0L, big), (1L, 1L)).toDF("bin", "cnt")
-      .coalesce(1).write.parquet(s"$d/bins")
-    Seq(10.0).toDF("bin_width").coalesce(1).write.parquet(s"$d/meta")
+    graft.sources.Artifacts.publishVersion(spark, d) { vdir =>
+      Seq((0L, big), (1L, 1L)).toDF("bin", "cnt")
+        .coalesce(1).write.parquet(s"$vdir/bins")
+      Seq(10.0).toDF("bin_width").coalesce(1).write.parquet(s"$vdir/meta")
+    }
     val got = Quantiles.histogramQuantiles(spark, d,
         Seq(("pbig", big, big + 1L)))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
