@@ -192,8 +192,10 @@ object Dedup {
     val bf = fps.stat.bloomFilter("fp", n, fpp)
     val os = new java.io.ByteArrayOutputStream()
     bf.writeTo(os)
-    Seq(Tuple1(os.toByteArray)).toDF("bloom")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      Seq(Tuple1(os.toByteArray)).toDF("bloom")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/bloom")
+    }
   }
 
   /** Probe the persisted Bloom gate with an ingest batch: returns the
@@ -214,7 +216,14 @@ object Dedup {
       batch: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val bytes = spark.read.parquet(path).head().getAs[Array[Byte]]("bloom")
+    val vdir =
+      try graft.sources.Artifacts.latestDir(spark, path)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"no Bloom gate at $path (${e.getMessage})")
+      }
+    val bytes = spark.read.parquet(s"$vdir/bloom")
+      .head().getAs[Array[Byte]]("bloom")
     val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bytes))
     val bc = spark.sparkContext.broadcast(bf)
@@ -420,19 +429,29 @@ object Dedup {
       textCol: String = "text"): Unit = {
     val bandU = (c: Column) => graft.functions.TextKernelFunctions
       .minhashBandsCol(c, n, bands, rowsPerBand)
-    df.select(col(idCol).as("id"),
-        posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
-      .write.mode("overwrite").parquet(path)
+    graft.sources.Artifacts.publishVersion(df.sparkSession, path) {
+      vdir =>
+        df.select(col(idCol).as("id"),
+            posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
+          .write.mode("overwrite").parquet(s"$vdir/bands")
+    }
   }
+
+  private def latestMinhashDir(spark: SparkSession, path: String): String =
+    try graft.sources.Artifacts.latestDir(spark, path)
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(
+        s"no MinHash index at $path (${e.getMessage})")
+    }
 
   /** Fold an ingest batch into a persisted MinHash band index — the
     * graph/IVF APPEND lifecycle applied to the dedup tier: band ONLY
     * the new docs (banding is per-document, so append ≡ rebuild by
     * construction — the index is a plain (id, band, bh) row set) and
-    * union their rows into the artifact via a staged sibling-dir swap.
-    * Cost ∝ batch; the corpus is never re-banded. Same non-atomic-swap
-    * caveat as [[Graph.appendToGraphTable]]: no concurrent appends or
-    * probes during the swap. Caller must not re-append ids already in
+    * union their rows into the next published version
+    * ([[graft.sources.Artifacts]] — probes may run concurrently; only
+    * appends must be serialized). Cost ∝ batch; the corpus is never
+    * re-banded. Caller must not re-append ids already in
     * the index (rows would double and inflate candidate generation —
     * harmless for correctness since probes dedup candidates, but
     * wasteful). */
@@ -445,24 +464,16 @@ object Dedup {
       rowsPerBand: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    val existing =
-      try spark.read.parquet(path).select("id", "band", "bh")
-      catch { case e: Exception =>
-        throw new IllegalArgumentException(
-          s"no MinHash index at $path (${e.getMessage})")
-      }
+    val existing = spark.read
+      .parquet(s"${latestMinhashDir(spark, path)}/bands")
+      .select("id", "band", "bh")
     val bandU = (c: Column) => graft.functions.TextKernelFunctions
       .minhashBandsCol(c, n, bands, rowsPerBand)
     val add = delta.select(col(idCol).as("id"),
       posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
-    val staging = s"${path}_stage"
-    existing.union(add).write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dst),
-      s"rename of $staging failed")
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      existing.union(add).write.mode("overwrite").parquet(s"$vdir/bands")
+    }
   }
 
   /** Probe the persisted index with an ingest batch: near-dup
@@ -487,7 +498,8 @@ object Dedup {
       .minhashBandsCol(c, n, bands, rowsPerBand)
     val probes = delta.select(col(idCol).as("id_new"),
       posexplode(bandU(col(textCol))).as(Seq("band", "bh")))
-    val cand = spark.read.parquet(path)
+    val cand = spark.read
+      .parquet(s"${latestMinhashDir(spark, path)}/bands")
       .join(broadcast(probes), Seq("band", "bh"))
       .select(col("id").as("id_old"), col("id_new"))
       .distinct()

@@ -138,12 +138,15 @@ object Features {
       sum((col(c) * col(c)).cast(DecimalType(28, 8))).cast("double")
         .as(s"${c}__ssq")))
     val one = df.agg(aggs.head, aggs.tail: _*)
-    cols.map(c => one.select(lit(c).as("column"),
+    val stats = cols.map(c => one.select(lit(c).as("column"),
         col(s"${c}__mn").as("mn"), col(s"${c}__mx").as("mx"),
         col(s"${c}__n").as("n"), col(s"${c}__s").as("s"),
         col(s"${c}__ssq").as("ssq")))
       .reduce(_.unionByName(_))
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.sources.Artifacts.publishVersion(df.sparkSession, path) {
+      vdir =>
+        stats.coalesce(1).write.mode("overwrite").parquet(s"$vdir/stats")
+    }
   }
 
   /** Apply a persisted scaler artifact: for every fitted column, add
@@ -155,7 +158,13 @@ object Features {
     * column yields null `_minmax` (min = max) and null `_z` (sd = 0)
     * rather than ±Inf/NaN. */
   def applyScaler(df: DataFrame, path: String): DataFrame = {
-    val stats = df.sparkSession.read.parquet(path)
+    val vdir =
+      try graft.sources.Artifacts.latestDir(df.sparkSession, path)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"no scaler artifact at $path (${e.getMessage})")
+      }
+    val stats = df.sparkSession.read.parquet(s"$vdir/stats")
       .select("column", "mn", "mx", "n", "s", "ssq").collect()
     require(stats.nonEmpty, s"no scaler artifact at $path")
     stats.foldLeft(df) { (d, r) =>

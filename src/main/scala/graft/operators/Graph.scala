@@ -195,13 +195,22 @@ object Graph {
     val gt = buildGraphTable(edges, srcCol, dstCol, weightCol,
       assumeDistinct)
     try {
-      gt.edges.write.mode("overwrite").parquet(s"$path/edges")
-      gt.nodes.write.mode("overwrite").parquet(s"$path/nodes")
-      Seq((gt.numNodes, gt.numSrcNodes, gt.numEdges))
-        .toDF("n_nodes", "n_src", "n_edges")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+        gt.edges.write.mode("overwrite").parquet(s"$vdir/edges")
+        gt.nodes.write.mode("overwrite").parquet(s"$vdir/nodes")
+        Seq((gt.numNodes, gt.numSrcNodes, gt.numEdges))
+          .toDF("n_nodes", "n_src", "n_edges")
+          .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+      }
     } finally gt.unpersist()
   }
+
+  private def latestGraphDir(spark: SparkSession, path: String): String =
+    try graft.sources.Artifacts.latestDir(spark, path)
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(
+        s"no graph artifact at $path (${e.getMessage})")
+    }
 
   /** Merge a new edge batch into a persisted graph artifact — the
     * IVF-append lifecycle applied to graphs: a deployment builds the
@@ -220,10 +229,11 @@ object Graph {
     * Out-weight totals, the node list, and the meta row are
     * recomputed in the same pass.
     *
-    * The new artifact is written to a staging dir and swapped in via
-    * three renames — like [[graft.operators.Similarity]]'s IVF
-    * append, NOT atomic: do not run concurrent appends or probes
-    * against the same path during the swap. */
+    * The merged artifact publishes as the next version
+    * ([[graft.sources.Artifacts.publishVersion]]): readers resolve a
+    * complete version at any moment, so probes may run concurrently
+    * with an append; concurrent APPENDS must still be serialized
+    * (single-writer, like any artifact fold). */
   def appendToGraphTable(
       spark: SparkSession,
       path: String,
@@ -231,12 +241,9 @@ object Graph {
       srcCol: String,
       dstCol: String,
       weightCol: Option[String] = None): Unit = {
-    val existing =
-      try spark.read.parquet(s"$path/edges").select("src", "dst", "w")
-      catch { case e: Exception =>
-        throw new IllegalArgumentException(
-          s"no graph artifact at $path (${e.getMessage})")
-      }
+    val existing = spark.read
+      .parquet(s"${latestGraphDir(spark, path)}/edges")
+      .select("src", "dst", "w")
     val batch = weightCol match {
       case None =>
         edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -257,24 +264,15 @@ object Graph {
     }
     val gt = buildGraphTable(merged, "src", "dst",
       weightCol = weightCol.map(_ => "w"), assumeDistinct = true)
-    val staging = s"$path/_staging"
     try {
-      gt.edges.write.mode("overwrite").parquet(s"$staging/edges")
-      gt.nodes.write.mode("overwrite").parquet(s"$staging/nodes")
-      import spark.implicits._
-      Seq((gt.numNodes, gt.numSrcNodes, gt.numEdges))
-        .toDF("n_nodes", "n_src", "n_edges")
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      Seq("edges", "nodes", "meta").foreach { d =>
-        val dst = new org.apache.hadoop.fs.Path(s"$path/$d")
-        fs.delete(dst, true)
-        require(fs.rename(
-          new org.apache.hadoop.fs.Path(s"$staging/$d"), dst),
-          s"rename of $staging/$d failed")
+      graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+        gt.edges.write.mode("overwrite").parquet(s"$vdir/edges")
+        gt.nodes.write.mode("overwrite").parquet(s"$vdir/nodes")
+        import spark.implicits._
+        Seq((gt.numNodes, gt.numSrcNodes, gt.numEdges))
+          .toDF("n_nodes", "n_src", "n_edges")
+          .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
       }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     } finally gt.unpersist()
   }
 
@@ -282,11 +280,12 @@ object Graph {
     * (one row), so preconditions (sink check, body auto-selection)
     * cost nothing at query time. */
   def readGraphTable(spark: SparkSession, path: String): GraphTable = {
-    val m = spark.read.parquet(s"$path/meta")
+    val vdir = latestGraphDir(spark, path)
+    val m = spark.read.parquet(s"$vdir/meta")
       .select("n_nodes", "n_src", "n_edges").head()
     GraphTable(
-      spark.read.parquet(s"$path/edges"),
-      spark.read.parquet(s"$path/nodes"),
+      spark.read.parquet(s"$vdir/edges"),
+      spark.read.parquet(s"$vdir/nodes"),
       m.getLong(0), m.getLong(1), m.getLong(2), cached = false)
   }
 

@@ -160,7 +160,9 @@ class DedupSpec extends SparkSpec {
     Dedup.writeMinhashIndex(all, s"$d1/idx", n = 8)
     Dedup.writeMinhashIndex(half1, s"$d2/idx", n = 8)
     Dedup.appendToMinhashIndex(spark, s"$d2/idx", half2, n = 8)
-    def rows(p: String) = spark.read.parquet(p).collect()
+    def rows(p: String) = spark.read.parquet(
+        graft.sources.Artifacts.latestDir(spark, p) + "/bands")
+      .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(rows(s"$d2/idx") === rows(s"$d1/idx"))
     intercept[IllegalArgumentException] {
