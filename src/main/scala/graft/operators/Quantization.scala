@@ -191,21 +191,23 @@ object Quantization {
       coarse: Option[Similarity.IvfIndex] = None): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    cb.books.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
-    }.toSeq.toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
-    encodePQ(emb, idCol, embCol, cb)
-      .write.mode("overwrite").parquet(s"$path/codes")
-    coarse.foreach { ivf =>
-      ivf.assigned
-        .select(col(ivf.idCol), codesCol(col(ivf.embCol), cb).as("codes"),
-          col("cell"))
-        .write.partitionBy("cell").mode("overwrite")
-        .parquet(s"$path/cellcodes")
-      ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      cb.books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+      }.toSeq.toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/books")
+      encodePQ(emb, idCol, embCol, cb)
+        .write.mode("overwrite").parquet(s"$vdir/codes")
+      coarse.foreach { ivf =>
+        ivf.assigned
+          .select(col(ivf.idCol), codesCol(col(ivf.embCol), cb).as("codes"),
+            col("cell"))
+          .write.partitionBy("cell").mode("overwrite")
+          .parquet(s"$vdir/cellcodes")
+        ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cluster", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$vdir/coarse")
+      }
     }
   }
 
@@ -213,8 +215,14 @@ object Quantization {
     * m·k rows; the code tables stay distributed). */
   def readPqIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String,
+      path0: String,
       idCol: String = "vec_id"): PqIndex = {
+    val path =
+      try graft.sources.Artifacts.latestDir(spark, path0)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"no PQ index at $path0 (${e.getMessage})")
+      }
     val br = spark.read.parquet(s"$path/books")
       .select("subspace", "code", "centroid").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
