@@ -312,4 +312,44 @@ class PlanSpec extends SparkSpec {
     assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size >= 1, p)
   }
+
+  test("q179: NB scoring broadcasts model/totals/vocab; argmax windows " +
+    "on the doc key; no ScalaUDF anywhere") {
+    val p = plan("q179_lang_nb")
+    // model, per-lang totals, and V are vocabulary-sized broadcasts —
+    // the gram stream never shuffles through a SortMergeJoin
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the argmax window is keyed by doc — never a single partition
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  // q181/q183 run on an inline fixture that Catalyst constant-folds to
+  // a LocalTableScan, so plan-shape is asserted on the SAME operators
+  // over the parquet documents table (the 100-TB shape).
+  test("scriptProfile over parquet is pure map-side regexp counts — " +
+    "zero exchanges, no UDF") {
+    val docs = sources.Tables(spark, dir, "documents")
+    val p = operators.TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("regexp_replace"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("cjkAwareTokens over parquet stays inside codegen (regexp pad " +
+    "+ split, no UDF, map-side before the aggregate)") {
+    val docs = sources.Tables(spark, dir, "documents")
+    val df = docs.select(org.apache.spark.sql.functions.explode(
+        operators.TextAnalysis.cjkAwareTokens(
+          org.apache.spark.sql.functions.col("text"))).as("tok"))
+      .groupBy("tok").count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("regexp_replace"), p)
+    // exactly the one aggregate exchange — tokenization adds none
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
 }
