@@ -42,6 +42,12 @@ private[functions] trait KernelCall { self: Expression =>
 
   protected final def intOrZero(v: Any): Int =
     if (v == null) 0 else v.asInstanceOf[Int]
+
+  /** Java source for "child int value or 0 when null" — keeps the
+    * codegen path bit-identical to [[intOrZero]] in `eval` (a null
+    * int slot is default-initialized to -1 by Spark, not 0). */
+  protected final def intJava(child: ExprCode): String =
+    s"(${child.isNull} ? 0 : ${child.value})"
 }
 
 /** 64-bit SimHash fingerprint of whitespace tokens — SQL name
@@ -106,7 +112,7 @@ case class GraftShingles(left: Expression, right: Expression)
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
             graft.operators.Dedup.shingleHashSet(
-              ${strJava(t)}, ${n.value}));
+              ${strJava(t)}, ${intJava(n)}));
       """,
       isNull = FalseLiteral)
   }
@@ -154,7 +160,7 @@ case class GraftMinhashBands(
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
             graft.operators.Dedup.minhashBandHashes(
-              ${strJava(t)}, ${n.value}, ${b.value}, ${r.value}));
+              ${strJava(t)}, ${intJava(n)}, ${intJava(b)}, ${intJava(r)}));
       """,
       isNull = FalseLiteral)
   }

@@ -201,7 +201,9 @@ object Frequency {
       path: String, df: DataFrame, keyCol: String): Unit = {
     val cur = latestCountMinDir(spark, path)
     val m = spark.read.parquet(s"$cur/meta").head()
-    val (depth, width) = (m.getInt(0), m.getInt(1))
+    // by name, not ordinal: batch meta is 2-column and streaming meta
+    // is 3-column — a field reorder must not swap depth/width
+    val (depth, width) = (m.getAs[Int]("depth"), m.getAs[Int]("width"))
     val merged = countMinMerge(
       spark.read.parquet(s"$cur/counters"),
       countMinSketch(df, keyCol, depth, width))
@@ -223,6 +225,6 @@ object Frequency {
     val vdir = latestCountMinDir(spark, path)
     val m = spark.read.parquet(s"$vdir/meta").head()
     countMinEstimate(spark.read.parquet(s"$vdir/counters"),
-      keys, keyCol, m.getInt(0), m.getInt(1))
+      keys, keyCol, m.getAs[Int]("depth"), m.getAs[Int]("width"))
   }
 }

@@ -233,85 +233,166 @@ object Similarity {
     IvfIndex(model.centroids, assigned, idCol, embCol)
   }
 
-  /** Persist an IVF index to disk: the assignment table is written as
-    * parquet **partitioned by cell**, so probes against the re-read
-    * index touch only the probed cells' files (partition pruning at the
-    * source — the 100 TB deployment shape, where nprobe/nlist of the
-    * corpus is read per query instead of a full scan + filter). The
-    * centroids ride along as a k-row parquet. */
+  /** Persist an IVF index to disk — **versioned + segmented** (the
+    * last artifact off in-place append; every other persisted index
+    * already publishes through [[graft.sources.Artifacts]]).
+    *
+    * Layout marries the versioned-pointer device to immutable data
+    * segments so probe-during-append safety does NOT cost a corpus
+    * rewrite per append (the property that kept IVF on in-place
+    * append until now):
+    *
+    *   base/segments/seg-1/assigned/cell=…   immutable once written
+    *   base/segments/seg-2/assigned/cell=…   (one per build/append)
+    *   base/v1/centroids                     k-row quantizer
+    *   base/v1/manifest                      (ord, segment) rows
+    *   base/v1/_PUBLISHED, base/_latest      Artifacts device
+    *
+    * A version is a tiny manifest naming the segments that constitute
+    * the index; appends write ONE new segment (∝ batch, never the
+    * corpus) and publish a manifest that lists one more name. A probe
+    * resolves ONE complete version and reads only segments that
+    * manifest names — a concurrent append cannot expose a partial
+    * batch (the read-gap the in-place `mode("append")` had). Each
+    * segment's assignment table is parquet **partitioned by cell**,
+    * so probes prune to the probed cells' files in every segment
+    * (nprobe/nlist of the corpus read per query at 100 TB).
+    * Unreferenced segments (crashed publishes, rebuilt indexes,
+    * GC'd versions) are deleted after the pointer moves — same
+    * `keepVersions − 1`-publish-wide read window as the base device. */
   def writeIvfIndex(index: IvfIndex, path: String): Unit = {
     val spark = index.assigned.sparkSession
-    import spark.implicits._
+    val seg = nextIvfSegment(spark, path)
     index.assigned
       .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$path/assigned")
-    index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq
-      .toDF("cluster", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .parquet(s"$path/segments/$seg/assigned")
+    publishIvfVersion(spark, path, index.centroids, Seq(seg))
   }
 
   /** Incremental maintenance: append a batch to a persisted IVF index
     * WITHOUT re-fitting the coarse quantizer — the q87 delta-probe
     * precedent applied to ANN. New rows are assigned to cells with the
     * index's existing centroids (the same codegen'd argmin CASE chain
-    * the build used) and appended to the cell-partitioned parquet;
-    * dynamic partition append touches only the cells the batch lands
-    * in, and existing files are never rewritten. Probes after an
-    * append see old + new rows through the same partition pruning,
-    * and equal `assignCol` inputs give equal cells, so
+    * the build used) and written as a NEW immutable segment; the next
+    * version's manifest lists it alongside the existing ones. Existing
+    * files are never rewritten, append cost is ∝ batch, and probes
+    * (old version during the append, new after) always see a complete
+    * segment set. Equal `assignCol` inputs give equal cells, so
     * append-then-probe ≡ assign-union-then-probe for unchanged
-    * centroids (IvfSpec proves it).
+    * centroids (IvfSpec proves it). Single-writer, same as every
+    * Artifacts adopter: concurrent appends must be serialized.
     *
     * Re-fit policy (runbook): appends skew cell sizes as the data
-    * distribution drifts — re-fit the quantizer and rebuild when the
-    * largest cell outgrows its build-time share by ~4× or probe
-    * latency SLOs slip; until then append cost is ∝ batch, not corpus. */
+    * distribution drifts — re-fit the quantizer and rebuild (a fresh
+    * [[writeIvfIndex]] publishes a 1-segment manifest and the old
+    * segments age out) when the largest cell outgrows its build-time
+    * share by ~4× or probe latency SLOs slip. */
   def appendToIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       batch: DataFrame,
       idCol: String = "vec_id",
       embCol: String = "embedding"): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("cluster", "centroid")
-      .orderBy("cluster")
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
-    // fail loudly on a corrupt/empty index or a dimension-mismatched
-    // batch BEFORE any file lands — a parquet append is not atomic, so
-    // a half-written batch would be visible to concurrent probes.
-    // (Concurrency contract: appends must not run concurrently with
-    // each other; a probe racing an append may see a partial batch —
-    // serialize through the pipeline scheduler, the runbook note.)
-    require(cents.nonEmpty, s"$path/centroids is empty — not an IVF index")
+    val cur = graft.sources.Artifacts.latestDir(spark, path)
+    val cents = readIvfCentroids(spark, cur)
+    require(cents.nonEmpty, s"$cur/centroids is empty — not an IVF index")
     val dim = cents(0).length
     val mismatched = batch
       .select(size(col(embCol)).as("d")).where(col("d") =!= dim).limit(1)
     require(mismatched.isEmpty,
       s"batch embedding dimension != index dimension $dim")
+    val seg = nextIvfSegment(spark, path)
     batch
       .select(col(idCol), col(embCol))
       .withColumn("cell", assignCol(col(embCol), cents))
-      .write.partitionBy("cell").mode("append")
-      .parquet(s"$path/assigned")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/segments/$seg/assigned")
+    publishIvfVersion(spark, path, cents, readIvfManifest(spark, cur) :+ seg)
   }
 
-  /** Re-open a persisted IVF index. Probes on the result prune to the
-    * probed cell partitions (assert-able via PartitionFilters in the
-    * scan node). */
+  /** Re-open a persisted IVF index: resolve ONE published version and
+    * union its manifest's segments. Probes on the result prune to the
+    * probed cell partitions in every segment scan (the `cell` filter
+    * pushes through the union — assert-able via PartitionFilters). */
   def readIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       idCol: String = "vec_id",
       embCol: String = "embedding"): IvfIndex = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val vdir = graft.sources.Artifacts.latestDir(spark, path)
+    val assigned = readIvfManifest(spark, vdir)
+      .map(seg => spark.read.parquet(s"$path/segments/$seg/assigned"))
+      .reduce(_ unionByName _)
+    IvfIndex(readIvfCentroids(spark, vdir), assigned, idCol, embCol)
+  }
+
+  private def readIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Array[Array[Float]] =
+    spark.read.parquet(s"$vdir/centroids")
       .select("cluster", "centroid")
       .orderBy("cluster")
       .collect()
       .map(_.getSeq[Float](1).toArray)
-    IvfIndex(cents, spark.read.parquet(s"$path/assigned"), idCol, embCol)
+
+  /** Segment names in manifest order (ascending `ord`). */
+  private def readIvfManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Seq[String] =
+    spark.read.parquet(s"$vdir/manifest")
+      .orderBy("ord")
+      .collect()
+      .map(_.getAs[String]("segment")).toSeq
+
+  /** Next monotonic immutable-segment name (`seg-K`). Single-writer
+    * contract (the Artifacts device's) covers the scan-then-pick. */
+  private def nextIvfSegment(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val h = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val next =
+      if (!h.exists(segBase)) 1
+      else h.listStatus(segBase).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .flatMap(n => if (n.startsWith("seg-"))
+          n.stripPrefix("seg-").toIntOption else None)
+        .foldLeft(0)(math.max) + 1
+    s"seg-$next"
+  }
+
+  /** Publish (centroids, manifest) as the next version, then delete
+    * segments no LIVE version references (crashed-publish orphans,
+    * rebuilt-over segments, segments only GC'd versions named). */
+  private def publishIvfVersion(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[Array[Float]],
+      segments: Seq[String]): Unit = {
+    import spark.implicits._
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/centroids")
+      segments.zipWithIndex
+        .map { case (s, i) => (i, s) }
+        .toDF("ord", "segment")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/manifest")
+    }
+    val live = graft.sources.Artifacts.publishedVersions(spark, path)
+      .flatMap(v => readIvfManifest(spark, s"$path/v$v")).toSet
+    val h = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
+    if (h.exists(segBase)) h.listStatus(segBase).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => !live.contains(p.getName))
+      .foreach(p => h.delete(p, true))
   }
 
   /** One-shot IVF ANN (build + single probe). For repeated queries,

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned artifact directories with an atomic `latest` pointer —
   * the concurrency upgrade of the staged-swap device every persisted
@@ -39,12 +39,17 @@ object Artifacts {
   private val PTR = "_latest"
   private val DONE = "_PUBLISHED"
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // Resolve the filesystem FROM the base path, not the default FS:
+  // an artifact base on a non-default scheme (s3a://, hdfs:// while
+  // the default is file://) must have its pointer/sentinel/delete ops
+  // land on the same FS Spark writes the data to.
+  private def fs(spark: SparkSession, base: String): FileSystem =
+    new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def versionOf(name: String): Option[Int] =
     if (name.length > 1 && name.charAt(0) == 'v' &&
-        name.drop(1).forall(_.isDigit)) Some(name.drop(1).toInt)
+        name.drop(1).forall(_.isDigit))
+      name.drop(1).toIntOption // overflow-length digit runs are not versions
     else None
 
   private def pointerVersion(h: FileSystem, base: String): Option[Int] = {
@@ -53,9 +58,14 @@ object Artifacts {
     else {
       val in = h.open(p)
       try {
+        // read to EOF: a single read() may legally return a short count
+        // on chunked/remote filesystems, which would parse as garbage
+        // and silently defeat the pointer.
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        versionOf(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+        var n = 0
+        var r = in.read(buf, 0, buf.length)
+        while (r > 0 && n < buf.length) { n += r; r = in.read(buf, n, buf.length - n) }
+        versionOf(new String(buf, 0, n, "UTF-8").trim)
       } finally in.close()
     }
   }
@@ -70,10 +80,16 @@ object Artifacts {
       .sorted
   }
 
+  /** All complete (sentinel-marked) versions at `base`, ascending —
+    * for callers that keep shared state outside the version dirs
+    * (e.g. IVF segment GC needs every live manifest). */
+  def publishedVersions(spark: SparkSession, base: String): Seq[Int] =
+    completedVersions(fs(spark, base), base)
+
   /** Highest published version, preferring the pointer (atomicity),
     * falling back to the sentinel scan (crash recovery). */
   def latestVersion(spark: SparkSession, base: String): Option[Int] = {
-    val h = fs(spark)
+    val h = fs(spark, base)
     pointerVersion(h, base)
       .filter(v => h.exists(new Path(s"$base/v$v/$DONE")))
       .orElse(completedVersions(h, base).lastOption)
@@ -98,7 +114,7 @@ object Artifacts {
   def publishVersion(spark: SparkSession, base: String,
       keepVersions: Int = 2)(write: String => Unit): String = {
     require(keepVersions >= 1, s"keepVersions must be >= 1")
-    val h = fs(spark)
+    val h = fs(spark, base)
     val next = latestVersion(spark, base).getOrElse(0) + 1
     val vdir = s"$base/v$next"
     h.delete(new Path(vdir), true) // orphan of a crashed publish
@@ -116,5 +132,31 @@ object Artifacts {
     completedVersions(h, base).dropRight(keepVersions)
       .foreach(v => h.delete(new Path(s"$base/v$v"), true))
     vdir
+  }
+
+  /** Inspection: one row per `vK` directory under `base` —
+    * (version, published, files, bytes, is_latest). `published` is
+    * false for an orphan of a crashed publish (no `_PUBLISHED`
+    * sentinel); exactly one published row has `is_latest = true`.
+    * Driver-side listing of a handful of version dirs — a lifecycle
+    * debugging utility, not a query path. */
+  def describe(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    val h = fs(spark, base)
+    val b = new Path(base)
+    val latest = latestVersion(spark, base)
+    val rows =
+      if (!h.exists(b)) Seq.empty[(Int, Boolean, Long, Long, Boolean)]
+      else h.listStatus(b).toSeq
+        .filter(_.isDirectory)
+        .flatMap(st => versionOf(st.getPath.getName))
+        .sorted
+        .map { v =>
+          val vp = new Path(s"$base/v$v")
+          val pub = h.exists(new Path(s"$base/v$v/$DONE"))
+          val sum = h.getContentSummary(vp)
+          (v, pub, sum.getFileCount, sum.getLength, latest.contains(v))
+        }
+    rows.toDF("version", "published", "files", "bytes", "is_latest")
   }
 }

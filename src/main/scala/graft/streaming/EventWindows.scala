@@ -938,7 +938,7 @@ object EventWindows {
       val cur = Artifacts.latestVersion(s, statePath)
         .map(v => s"$statePath/v$v")
       val lastApplied = cur
-        .map(d => s.read.parquet(s"$d/meta").head().getLong(2))
+        .map(d => s.read.parquet(s"$d/meta").head().getAs[Long]("last_batch"))
         .getOrElse(-1L)
       if (batchId <= lastApplied) return // replayed batch: already folded
       val sk = Frequency.countMinSketch(

@@ -119,6 +119,75 @@ class IvfSpec extends SparkSpec {
     } finally built.unpersist()
   }
 
+  test("versioned IVF: a reader opened before an append keeps probing " +
+    "its complete version; a new reader sees the delta") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = emb.orderBy("vec_id").limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+    val built = Similarity.buildIvfIndex(base, nlist = 4,
+      initCentroids = Some(init))
+    val dir = java.nio.file.Files.createTempDirectory("ivfver").toString
+    try {
+      Similarity.writeIvfIndex(built, dir)
+      assert(graft.sources.Artifacts.latestDir(spark, dir) === s"$dir/v1")
+      // reader A resolves v1 BEFORE the append
+      val before = Similarity.readIvfIndex(spark, dir)
+      Similarity.appendToIvfIndex(spark, dir, delta)
+      assert(graft.sources.Artifacts.latestDir(spark, dir) === s"$dir/v2")
+      val q = emb.where(col("vec_id") === 5).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      // A's probe still runs against the complete pre-append segment
+      // set (keepVersions retention holds v1 and its segment live) —
+      // no odd ids, no partial batch
+      val a = before.probe(q, 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSeq
+      assert(a.nonEmpty && a.forall(_ % 2 == 0))
+      // a reader resolving AFTER the append sees base + delta
+      val after = Similarity.readIvfIndex(spark, dir)
+      val b = after.probe(q, 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSeq
+      assert(b.exists(_ % 2 == 1) && b.exists(_ % 2 == 0))
+      // append wrote a NEW segment, not a rewrite: two immutable
+      // segments on disk, v2's manifest names both
+      val segs = new java.io.File(s"$dir/segments").list().sorted.toSeq
+      assert(segs === Seq("seg-1", "seg-2"))
+    } finally built.unpersist()
+  }
+
+  test("versioned IVF: rebuild publishes a fresh 1-segment manifest and " +
+    "orphaned segments are GC'd once no live version names them") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = emb.orderBy("vec_id").limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val built = Similarity.buildIvfIndex(emb, nlist = 4,
+      initCentroids = Some(init))
+    val dir = java.nio.file.Files.createTempDirectory("ivfgc").toString
+    try {
+      Similarity.writeIvfIndex(built, dir)                   // v1: seg-1
+      Similarity.appendToIvfIndex(spark, dir,
+        emb.where(col("vec_id") < 4))                        // v2: seg-1,2
+      Similarity.writeIvfIndex(built, dir)                   // v3: seg-3
+      // keepVersions=2 holds v2+v3 live; v2 still names seg-1/seg-2 so
+      // they survive, and the rebuild's manifest is just seg-3
+      assert(graft.sources.Artifacts.latestDir(spark, dir) === s"$dir/v3")
+      val segs = new java.io.File(s"$dir/segments").list().sorted.toSeq
+      assert(segs === Seq("seg-1", "seg-2", "seg-3"))
+      // one more publish ages v2 out -> seg-1/seg-2 unreferenced -> GC'd
+      Similarity.appendToIvfIndex(spark, dir,
+        emb.where(col("vec_id") >= 4 && col("vec_id") < 8)) // v4: seg-3,4
+      val segs2 = new java.io.File(s"$dir/segments").list().sorted.toSeq
+      assert(segs2 === Seq("seg-3", "seg-4"))
+      // and the surviving index is exactly rebuild + delta
+      val got = Similarity.readIvfIndex(spark, dir)
+        .assigned.count()
+      assert(got === emb.count() + 4)
+    } finally built.unpersist()
+  }
+
   test("ivfTopK with nprobe = nlist equals exact brute-force top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select(col("embedding"))
