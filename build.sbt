@@ -15,6 +15,16 @@ libraryDependencies ++= Seq(
 scalacOptions ++= Seq("-encoding", "UTF-8")
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout/stderr (no sbt "[info] " log
+// prefix), and the "[success] Total time ..." epilogue is suppressed:
+// the bench driver parses graft.Bench's final stdout line as JSON, and
+// both "[info] {...}" and a trailing "[success] ..." line break that.
+// Success/failure still reads from the exit code.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

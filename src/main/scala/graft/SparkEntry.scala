@@ -449,7 +449,14 @@ object SparkEntry {
     (2L, "ar", "مرحبا بالعالم اليوم مرحبا بكم في عالم البيانات"),
     (3L, "zh", "你好世界 今天 天气 很好 你好 数据 管道 你好"),
     (4L, "fr", "le café est à côté du café naïve déjà vu déjà 2024"),
-    (5L, "en", "the quick brown fox jumps over the lazy dog 42 times"))
+    (5L, "en", "the quick brown fox jumps over the lazy dog 42 times"),
+    // r10: the five scripts the router previously sent to 'other' —
+    // Hangul, kana (ja mixes kana + Han), Devanagari, Thai, Hebrew
+    (6L, "ko", "안녕하세요 세계 좋은 아침 입니다 데이터 처리"),
+    (7L, "ja", "こんにちは 世界 今日は いい 天気 です データ"),
+    (8L, "hi", "नमस्ते दुनिया आज मौसम अच्छा है डेटा"),
+    (9L, "th", "สวัสดีชาวโลก วันนี้อากาศดี ข้อมูล"),
+    (10L, "he", "שלום עולם היום מזג האוויר נעים נתונים"))
 
   private def unicodeFixture(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -496,7 +503,27 @@ object SparkEntry {
     "zh" -> "这是一个关于科学历史的很长的句子",
     "zh" -> "孩子们在公园里玩耍父母在长椅上看着",
     "zh" -> "敏捷的棕色狐狸跳过了河边懒惰的狗",
-    "zh" -> "机器学习模型随着更多训练数据而不断改进")
+    "zh" -> "机器学习模型随着更多训练数据而不断改进",
+    // r10: Korean, Japanese, Hindi — the scripts the wider router now
+    // profiles (q180's 4-of-6/2-of-6 split needs 6 rows per language)
+    "ko" -> "오늘 날씨가 좋고 해가 하루 종일 빛나고 있습니다",
+    "ko" -> "대규모 데이터 처리는 자원의 신중한 계획이 필요합니다",
+    "ko" -> "이것은 과학의 역사에 관한 긴 문장입니다",
+    "ko" -> "아이들은 공원에서 놀고 부모들은 벤치에서 지켜봅니다",
+    "ko" -> "빠른 갈색 여우가 강가의 게으른 개를 뛰어넘습니다",
+    "ko" -> "기계 학습 모델은 더 많은 훈련 데이터로 개선됩니다",
+    "ja" -> "今日はいい天気で太陽が一日中輝いています",
+    "ja" -> "大規模なデータ処理にはリソースの慎重な計画が必要です",
+    "ja" -> "これは科学の歴史についての長い文章です",
+    "ja" -> "子供たちは公園で遊び親はベンチから見守っています",
+    "ja" -> "すばやい茶色のキツネが川辺の怠け者の犬を飛び越えます",
+    "ja" -> "機械学習モデルは訓練データが増えると改善されます",
+    "hi" -> "आज मौसम अच्छा है और सूरज पूरे दिन चमक रहा है",
+    "hi" -> "बड़े पैमाने पर डेटा संसाधन की सावधानीपूर्वक योजना चाहिए",
+    "hi" -> "यह विज्ञान के इतिहास के बारे में एक लंबा वाक्य है",
+    "hi" -> "बच्चे पार्क में खेलते हैं और माता पिता बेंच से देखते हैं",
+    "hi" -> "तेज भूरी लोमड़ी नदी के पास आलसी कुत्ते के ऊपर कूदती है",
+    "hi" -> "मशीन लर्निंग मॉडल अधिक प्रशिक्षण डेटा से बेहतर होते हैं")
 
   private val nbTestRows: Seq[(Long, String, String)] = Seq(
     (0L, "en", "the library opens early in the morning for students"),
@@ -518,7 +545,13 @@ object SparkEntry {
     (16L, "zh", "图书馆早上很早为学生开放"),
     (17L, "zh", "美食和好朋友让夜晚变得愉快"),
     (18L, "zh", "火车每小时到达车站一次"),
-    (19L, "zh", "科学与艺术常常相互启发"))
+    (19L, "zh", "科学与艺术常常相互启发"),
+    (20L, "ko", "도서관은 학생들을 위해 아침 일찍 문을 엽니다"),
+    (21L, "ko", "좋은 음식과 좋은 친구는 저녁을 즐겁게 만듭니다"),
+    (22L, "ja", "図書館は学生のために朝早く開きます"),
+    (23L, "ja", "おいしい食事と良い友達は夜を楽しくします"),
+    (24L, "hi", "पुस्तकालय छात्रों के लिए सुबह जल्दी खुलता है"),
+    (25L, "hi", "अच्छा खाना और अच्छे दोस्त शाम को सुखद बनाते हैं"))
 
   private val nbTrainSqlValues: String = nbTrainRows
     .map { case (lang, text) => s"('$lang', '$text')" }
@@ -2938,12 +2971,86 @@ object SparkEntry {
       docs.select(col("doc_id"), col("lang"),
           size(operators.TextAnalysis.wordTokens(col("text")))
             .cast("long").as("n_tokens_plain"),
-          operators.TextAnalysis.cjkAwareTokens(col("text")).as("a"))
+          operators.TextAnalysis.cjkAwareTokens(col("text")).as("a"),
+          operators.TextAnalysis.cjkBigramTokens(col("text")).as("b"))
         .select(col("doc_id"), col("lang"), col("n_tokens_plain"),
           size(col("a")).cast("long").as("n_tokens_cjk"),
           size(array_distinct(col("a"))).cast("long")
-            .as("n_distinct_cjk"))
+            .as("n_distinct_cjk"),
+          // Lucene-style OVERLAPPING Han bigrams (the IR-standard CJK
+          // unit — unigrams inflate df and destroy phrase stats):
+          // L-run → L−1 bigrams, isolated Han char → unigram,
+          // alphabetic scripts identical to the plain tokenizer
+          size(col("b")).cast("long").as("n_tokens_bigram"),
+          size(array_distinct(col("b"))).cast("long")
+            .as("n_distinct_bigram"))
         .orderBy("doc_id")
+    }),
+
+    // Opt-in ASCII case folding on the retrieval surface: q92's BM25
+    // with fold = true and a MIXED-CASE query — corpus tokens and
+    // query terms both fold A-Z→a-z (a 26-char translate map: no ICU
+    // init, no ß/İ divergence, replayed bit-identically by DuckDB's
+    // translate), so 'The'/'Spark'/'DUP' retrieve the lowercase
+    // corpus the unfolded query would miss entirely. Existing rows
+    // (q92 itself) stay case-exact and unchanged.
+    "q184_folded_bm25" -> ((s, dir) => {
+      operators.Retrieval.bm25TopK(T(s, dir, "documents"),
+        "doc_id", "text", Seq("The", "Spark", "DUP"), fold = true)
+    }),
+
+    // The q177 corpus-token line ROUTED through the CJK bigram
+    // tokenizer (tokenEntropy's tokenizer option): under plain
+    // wordTokens a Han document is one clause-sized token (the zh
+    // row's entropy degraded toward ln of its clause count); under
+    // overlapping bigrams it gets real token statistics while the
+    // alphabetic rows keep their plain-tokenizer numbers exactly.
+    "q185_cjk_bigram_stats" -> ((s, dir) => {
+      val docs = unicodeFixture(s)
+      val nDocs = unicodeFixtureRows.size.toDouble
+      val ent = operators.TextAnalysis.tokenEntropy(docs, "doc_id",
+        "text", operators.TextAnalysis.cjkBigramTokens)
+      val cells = docs.select(col("doc_id"),
+          explode(operators.TextAnalysis.cjkBigramTokens(col("text")))
+            .as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = cells.groupBy("term").agg(count(lit(1)).as("df"))
+      val top = cells.join(dfreq, "term")
+        .withColumn("score",
+          round(col("tf") * log(lit(nDocs) / col("df")), 6))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(desc("score"), asc("term"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+          col("score").as("tfidf"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(ent, "doc_id").join(top, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("n_distinct"), col("entropy"), col("top_term"),
+          col("tfidf"))
+        .orderBy("doc_id")
+    }),
+
+    // CORPUS-scale NB fit (q179 fits on a 48-sentence in-code
+    // fixture; this line fits on the sf-scaled documents table, so
+    // the distributed gram-counter path and the
+    // vocabulary-bounded-broadcast claim are exercised at bench
+    // scale): fit the char-bigram model on documents(lang, text),
+    // self-classify the corpus from it, emit the confusion matrix.
+    // Model size is |alphabet|²-bounded regardless of corpus size;
+    // scoring is map-side broadcast joins + one (doc, lang) hash
+    // aggregate + a doc-keyed argmax — nothing corpus-global.
+    "q186_lang_nb_corpus" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val model = operators.TextAnalysis.charNgramLangModel(
+        d, "lang", "text", n = 2)
+      operators.TextAnalysis.charNgramDetect(
+          model, d, "doc_id", "text", n = 2)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang", "detected")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "detected")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -5073,12 +5180,97 @@ object SparkEntry {
         |c AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(
         |    regexp_replace(text, '(\\p{Han})', ' \\1 ', 'g'),
-        |    '[^\\p{L}]+'), t -> t <> '') AS a FROM docs)
+        |    '[^\\p{L}]+'), t -> t <> '') AS a FROM docs),
+        |bg AS (SELECT doc_id,
+        |  flatten(list_transform(
+        |    list_filter(regexp_split_to_array(
+        |      regexp_replace(text, '(\\p{Han}+)', ' \\1 ', 'g'),
+        |      '[^\\p{L}]+'), t -> t <> ''),
+        |    t -> CASE WHEN regexp_matches(t, '^\\p{Han}{2,}$$')
+        |      THEN list_transform(range(1, length(t)),
+        |        i -> substr(t, CAST(i AS INT), 2))
+        |      ELSE [t] END)) AS a FROM docs)
         |SELECT d.doc_id, d.lang,
         |  CAST(len(p.a) AS BIGINT) AS n_tokens_plain,
         |  CAST(len(c.a) AS BIGINT) AS n_tokens_cjk,
-        |  CAST(len(list_distinct(c.a)) AS BIGINT) AS n_distinct_cjk
+        |  CAST(len(list_distinct(c.a)) AS BIGINT) AS n_distinct_cjk,
+        |  CAST(len(bg.a) AS BIGINT) AS n_tokens_bigram,
+        |  CAST(len(list_distinct(bg.a)) AS BIGINT) AS n_distinct_bigram
         |FROM docs d JOIN p USING (doc_id) JOIN c USING (doc_id)
+        |JOIN bg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the q92 BM25 replay with the SAME 26-char ASCII fold applied to
+    // the tokenized text (asciiFoldSql — generated from the same char
+    // ranges as the engine's translate) and to the query terms
+    "q184_folded_bm25" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |unnest(regexp_split_to_array(
+        |${operators.TextAnalysis.asciiFoldSql("text")}, '[^\\p{L}]+'))
+        |AS term FROM documents),
+        |t AS (SELECT * FROM tok WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dlen FROM t GROUP BY 1),
+        |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |AS n_docs,
+        |CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) /
+        |CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |WHERE term IN ('the', 'spark', 'dup') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |(tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl)),
+        |9) AS ts
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |CROSS JOIN st)
+        |SELECT doc_id,
+        |round(CAST(sum(CAST(ts AS DECIMAL(28,9))) AS DOUBLE), 6) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the q177 replay with the Han-BIGRAM token stream (same pad →
+    // split → slide as the q183 bg CTE), same entropy and TF-IDF
+    // devices — alphabetic rows must come out identical to q177
+    "q185_cjk_bigram_stats" ->
+      s"""WITH docs(doc_id, lang, text) AS (VALUES
+        |    $unicodeFixtureSqlValues),
+        |tk AS (SELECT doc_id,
+        |  unnest(flatten(list_transform(
+        |    list_filter(regexp_split_to_array(
+        |      regexp_replace(text, '(\\p{Han}+)', ' \\1 ', 'g'),
+        |      '[^\\p{L}]+'), t -> t <> ''),
+        |    t -> CASE WHEN regexp_matches(t, '^\\p{Han}{2,}$$')
+        |      THEN list_transform(range(1, length(t)),
+        |        i -> substr(t, CAST(i AS INT), 2))
+        |      ELSE [t] END))) AS tok
+        |  FROM docs),
+        |cells AS MATERIALIZED (SELECT doc_id, tok, count(*) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n, count(*) AS nd
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT cells.doc_id,
+        |  CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |    AS DECIMAL(38,12)) AS t, n, nd
+        |  FROM cells JOIN tot USING (doc_id)),
+        |ent AS (SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_tokens,
+        |  CAST(any_value(nd) AS BIGINT) AS n_distinct,
+        |  0.0 - CAST(sum(t) AS DOUBLE) AS entropy
+        |  FROM t GROUP BY doc_id),
+        |dfq AS (SELECT tok, count(*) AS df FROM cells GROUP BY 1),
+        |scored AS (SELECT doc_id, tok,
+        |  round(CAST(c AS DOUBLE) *
+        |    ln(${unicodeFixtureRows.size}.0 / CAST(df AS DOUBLE)), 6)
+        |    AS score
+        |  FROM cells JOIN dfq USING (tok)),
+        |top AS (SELECT doc_id, tok AS top_term, score AS tfidf,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tok) AS rn
+        |  FROM scored)
+        |SELECT d.doc_id, d.lang, e.n_tokens, e.n_distinct, e.entropy,
+        |  top.top_term, top.tfidf
+        |FROM docs d JOIN ent e USING (doc_id)
+        |JOIN top ON top.doc_id = d.doc_id AND top.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
 
     // full NB replay: same VALUES fixtures (ONE Scala Seq each), same
@@ -5157,33 +5349,33 @@ object SparkEntry {
     // same VALUES fixture; the \p{IsX} Java classes and DuckDB's RE2
     // \p{X} name the same Unicode Script property; counts are BMP code
     // points in both engines (UTF-16 units = code points here); the
-    // window argmax mirrors the engine's (−count, name) min-struct
+    // window argmax mirrors the engine's (−count, name) min-struct.
+    // GENERATED from TextAnalysis.scriptClasses (the RE2 column), so
+    // adding a script to the router extends the oracle automatically.
     "q181_script_profile" ->
       s"""WITH docs(doc_id, lang, text) AS (VALUES
         |    $unicodeFixtureSqlValues),
         |wide AS (SELECT doc_id, lang,
         |  length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
         |    AS n_letters,
-        |  length(regexp_replace(text, '[^\\p{Arabic}]', '', 'g'))
-        |    AS n_arabic,
-        |  length(regexp_replace(text, '[^\\p{Cyrillic}]', '', 'g'))
-        |    AS n_cyrillic,
-        |  length(regexp_replace(text, '[^\\p{Greek}]', '', 'g'))
-        |    AS n_greek,
-        |  length(regexp_replace(text, '[^\\p{Han}]', '', 'g'))
-        |    AS n_han,
-        |  length(regexp_replace(text, '[^\\p{Latin}]', '', 'g'))
-        |    AS n_latin
+        |${operators.TextAnalysis.scriptClasses
+          .map { case (name, _, re2) =>
+            s"  length(regexp_replace(text, '[^$re2]', '', 'g'))\n" +
+            s"        |    AS n_$name" }
+          .mkString("", ",\n        |", "")}
         |  FROM docs),
-        |u AS (SELECT doc_id, 'arabic' AS s, n_arabic AS c FROM wide
-        |  UNION ALL SELECT doc_id, 'cyrillic', n_cyrillic FROM wide
-        |  UNION ALL SELECT doc_id, 'greek', n_greek FROM wide
-        |  UNION ALL SELECT doc_id, 'han', n_han FROM wide
-        |  UNION ALL SELECT doc_id, 'latin', n_latin FROM wide),
+        |u AS (${operators.TextAnalysis.scriptClasses.zipWithIndex
+          .map { case ((name, _, _), i) =>
+            if (i == 0)
+              s"SELECT doc_id, '$name' AS s, n_$name AS c FROM wide"
+            else s"  UNION ALL SELECT doc_id, '$name', n_$name FROM wide" }
+          .mkString("", "\n        |", "")}),
         |dom AS (SELECT doc_id, s, c, row_number() OVER (
         |  PARTITION BY doc_id ORDER BY c DESC, s) AS rn FROM u)
-        |SELECT w.doc_id, w.lang, w.n_letters, w.n_arabic, w.n_cyrillic,
-        |  w.n_greek, w.n_han, w.n_latin,
+        |SELECT w.doc_id, w.lang, w.n_letters,
+        |${operators.TextAnalysis.scriptClasses
+          .map { case (name, _, _) => s"  w.n_$name" }
+          .mkString("", ",\n        |", ",")}
         |  CASE WHEN w.n_letters = 0 THEN 'und'
         |       WHEN d.c = 0 THEN 'other' ELSE d.s END AS dominant
         |FROM wide w JOIN dom d ON d.doc_id = w.doc_id AND d.rn = 1
@@ -5685,6 +5877,36 @@ object SparkEntry {
         |FROM docs d JOIN ent e USING (doc_id)
         |JOIN top ON top.doc_id = d.doc_id AND top.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the q179 NB replay with train = test = the documents TABLE
+    // (corpus-scale fit): same substr bigrams, same Laplace term
+    // round(ln((c+1)/(n_lang+V)), 12) DECIMAL-summed, same
+    // (score desc, lang) argmax, rolled up to the confusion matrix
+    "q186_lang_nb_corpus" ->
+      s"""WITH tg AS (SELECT lang, substr(text, CAST(i AS INT), 2) AS g
+        |  FROM (SELECT lang, unnest(range(1, length(text))) AS i, text
+        |    FROM documents)),
+        |model AS MATERIALIZED (SELECT lang, g, count(*) AS c
+        |  FROM tg GROUP BY 1, 2),
+        |nl AS (SELECT lang, sum(c) AS n_lang FROM model GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT g) AS v FROM model),
+        |dg AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS g
+        |  FROM (SELECT doc_id, unnest(range(1, length(text))) AS i, text
+        |    FROM documents)),
+        |scored AS (SELECT dg.doc_id, nl.lang,
+        |  sum(CAST(round(ln(CAST(coalesce(m.c, 0) + 1 AS DOUBLE) /
+        |    CAST(nl.n_lang + vv.v AS DOUBLE)), 12)
+        |    AS DECIMAL(38,12))) AS score
+        |  FROM dg CROSS JOIN nl CROSS JOIN vv
+        |  LEFT JOIN model m ON m.lang = nl.lang AND m.g = dg.g
+        |  GROUP BY 1, 2),
+        |nb AS (SELECT doc_id, lang AS detected FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, lang) AS rn FROM scored)
+        |  WHERE rn = 1)
+        |SELECT d.lang, nb.detected, count(*) AS n
+        |FROM nb JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

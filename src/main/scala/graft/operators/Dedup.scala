@@ -79,6 +79,17 @@ object Dedup {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** [[jaccardSorted]] as a pure-builtin Column over DISTINCT-element
+    * arrays (shingleHashSet output is sorted-distinct):
+    * |a∩b| / |a∪b| via `array_intersect`/`array_union` — codegen'd,
+    * no UDF serialization boundary on the verify stage, and the same
+    * one int-over-int double division (bit-identical scores). */
+  def jaccardCol(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === lit(0.0), lit(0.0)).otherwise(inter / union)
+  }
+
   /** LSH band hashes of `text`: minhash signature of `bands*rowsPerBand`
     * hash functions (h_k(x) = mix64(x ^ seed_k) over the distinct
     * shingle hashes), folded into one 64-bit hash per band. One pass
@@ -400,13 +411,12 @@ object Dedup {
     val cand = minhashCandidates(df, n, bands, rowsPerBand, idCol, textCol)
     val shU = (c: Column) =>
       graft.functions.TextKernelFunctions.shinglesCol(c, n)
-    val jacU = udf((a: Seq[Long], b: Seq[Long]) =>
-      jaccardSorted(a.toArray, b.toArray))
     val sh = df.select(col(idCol).as("id"), shU(col(textCol)).as("sh"))
     cand
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jacU(col("sh_a"), col("sh_b")).as("jac"))
+      .select(col("id_a"), col("id_b"),
+        jaccardCol(col("sh_a"), col("sh_b")).as("jac"))
       .where(col("jac") > threshold)
   }
 
@@ -505,8 +515,6 @@ object Dedup {
       .distinct()
     val shU = (c: Column) =>
       graft.functions.TextKernelFunctions.shinglesCol(c, n)
-    val jacU = udf((a: Seq[Long], b: Seq[Long]) =>
-      jaccardSorted(a.toArray, b.toArray))
     val candIds = cand.select(col("id_old")).distinct()
     val shOld = corpus
       .join(broadcast(candIds), corpus(idCol) === candIds("id_old"),
@@ -517,7 +525,7 @@ object Dedup {
     cand.join(shOld, "id_old")
       .join(broadcast(shNew), "id_new")
       .select(col("id_new"), col("id_old"),
-        jacU(col("sh_old"), col("sh_new")).as("jac"))
+        jaccardCol(col("sh_old"), col("sh_new")).as("jac"))
       .where(col("jac") > threshold)
   }
 

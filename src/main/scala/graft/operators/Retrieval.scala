@@ -36,6 +36,12 @@ object Retrieval {
     * @param k1      BM25 term-frequency saturation (typical 1.2)
     * @param b       BM25 length normalization (typical 0.75)
     * @param topK    result size
+    * @param fold    opt-in deterministic ASCII case fold
+    *                ([[TextAnalysis.asciiFold]]): corpus tokens AND
+    *                query terms fold A-Z → a-z before matching, so
+    *                "The" scores with "the" (retrieval quality) while
+    *                non-ASCII case stays exact (determinism). Token
+    *                boundaries and doc lengths are unchanged.
     */
   def bm25TopK(
       docs: DataFrame,
@@ -44,13 +50,18 @@ object Retrieval {
       query: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20,
+      fold: Boolean = false): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     require(topK > 0, s"topK must be positive, got $topK")
 
+    val queryTerms =
+      if (fold) query.map(TextAnalysis.asciiFoldStr) else query
     val nDocs = docs.count().toDouble
+    def text =
+      if (fold) TextAnalysis.asciiFold(col(textCol)) else col(textCol)
     def tok = docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), TextAnalysis.tokenSplitRe)).as("term"))
+        explode(split(text, TextAnalysis.tokenSplitRe)).as("term"))
       .where(col("term") =!= "")
     // The doc-length table is doc-sized (one row per doc), orders of
     // magnitude below the exploded token stream — materialize IT
@@ -68,7 +79,7 @@ object Retrieval {
       .fold(0L)(_.asInstanceOf[Long])
     val avgdl = totTokens / nDocs
 
-    val tf = tok.where(col("term").isin(query: _*))
+    val tf = tok.where(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
 

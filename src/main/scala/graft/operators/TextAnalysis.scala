@@ -32,6 +32,44 @@ object TextAnalysis {
   def wordTokens(text: Column): Column =
     filter(split(text, tokenSplitRe), t => t =!= lit(""))
 
+  // ------------------------------------ opt-in deterministic folding
+
+  /** Opt-in ASCII-range case fold: `A-Z` → `a-z`, every other code
+    * point untouched. The IR surface (TF-IDF, BM25, collocations,
+    * heavy hitters) is case-SENSITIVE by default (the
+    * [[tokenSplitRe]] determinism note: ICU init cost, ß/İ folding
+    * divergence) — but "The" ≠ "the" is wrong for retrieval quality,
+    * so this is the 90% fix with none of the ICU hazard: a fixed
+    * 26-character `translate` map is locale-stable, collation-free
+    * (no Spark 4 ICU static init — StringTranslate is a plain
+    * codegen'd char map), and replayed bit-identically by DuckDB's
+    * `translate` ([[asciiFoldSql]]). Non-ASCII case pairs (É/é, Д/д)
+    * intentionally stay distinct — folding them is exactly the
+    * engine-divergent part. */
+  private val asciiUpper = ('A' to 'Z').mkString
+  private val asciiLower = ('a' to 'z').mkString
+  def asciiFold(text: Column): Column =
+    translate(text, asciiUpper, asciiLower)
+
+  /** DuckDB spelling of [[asciiFold]] over SQL fragment `expr` —
+    * generated from the same char ranges so oracle and engine can
+    * never drift. */
+  def asciiFoldSql(expr: String): String =
+    s"translate($expr, '$asciiUpper', '$asciiLower')"
+
+  /** [[asciiFold]] of a driver-side literal (query terms etc.) — the
+    * same 26-char map, applied before terms are compared against
+    * folded tokens. */
+  def asciiFoldStr(s: String): String =
+    s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+
+  /** The tokenizer device with the fold option: `fold = true` runs
+    * [[wordTokens]] over [[asciiFold]]ed text (token BOUNDARIES are
+    * unchanged — case is not a letter/non-letter property — so the
+    * only difference is token spelling). */
+  def wordTokens(text: Column, fold: Boolean): Column =
+    if (fold) wordTokens(asciiFold(text)) else wordTokens(text)
+
   /** [[wordTokens]] with unigram segmentation of Han runs: CJK text
     * has no spaces, so a letter-run tokenizer yields one giant token
     * per clause — the standard IR fallback (used by Lucene's CJK
@@ -43,6 +81,26 @@ object TextAnalysis {
     * identical semantics with RE2's `(\p{Han})` → `' \1 '`. */
   def cjkAwareTokens(text: Column): Column =
     wordTokens(regexp_replace(text, "(\\p{IsHan})", " $1 "))
+
+  /** [[cjkAwareTokens]] upgraded to the Lucene-CJKAnalyzer-standard
+    * OVERLAPPING Han bigrams — the actual IR unit for unsegmented Han
+    * text (unigrams inflate document frequency and destroy phrase
+    * statistics): a Han run of length L ≥ 2 emits its L−1 overlapping
+    * character bigrams, an isolated Han character stays a unigram,
+    * and alphabetic scripts (Latin, kana, Hangul, Cyrillic, …) pass
+    * through as plain [[wordTokens]]. One regexp pad (space around
+    * every Han RUN, so mixed-script tokens split at the script
+    * boundary) + the shared `\p{L}` split + a flatten of a per-token
+    * slide — all codegen'd builtins, no UDF. DuckDB replays it with
+    * RE2 `\p{Han}` + `list_transform(range(...))` + `substr`, both
+    * engines counting code points. */
+  def cjkBigramTokens(text: Column): Column = {
+    val toks = wordTokens(regexp_replace(text, "(\\p{IsHan}+)", " $1 "))
+    flatten(transform(toks, t =>
+      when(t.rlike("^\\p{IsHan}{2,}$"),
+        transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+        .otherwise(array(t))))
+  }
 
   /** Counts of character classes — building blocks for quality scores. */
   def punctCount(text: Column): Column =
@@ -266,9 +324,15 @@ object TextAnalysis {
   val scriptClasses: Seq[(String, String, String)] = Seq(
     ("arabic", "\\p{IsArabic}", "\\p{Arabic}"),
     ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("devanagari", "\\p{IsDevanagari}", "\\p{Devanagari}"),
     ("greek", "\\p{IsGreek}", "\\p{Greek}"),
     ("han", "\\p{IsHan}", "\\p{Han}"),
-    ("latin", "\\p{IsLatin}", "\\p{Latin}"))
+    ("hangul", "\\p{IsHangul}", "\\p{Hangul}"),
+    ("hebrew", "\\p{IsHebrew}", "\\p{Hebrew}"),
+    ("hiragana", "\\p{IsHiragana}", "\\p{Hiragana}"),
+    ("katakana", "\\p{IsKatakana}", "\\p{Katakana}"),
+    ("latin", "\\p{IsLatin}", "\\p{Latin}"),
+    ("thai", "\\p{IsThai}", "\\p{Thai}"))
 
   /** Per-document Unicode script histogram: total letter count
     * (`\p{L}`), per-script letter counts (Unicode Script property —
@@ -513,12 +577,17 @@ object TextAnalysis {
     * distinct-token count. H = −Σ p·ln p from exact counts; per-term
     * 12-dp round + DECIMAL sum (the mutual-information device), so
     * the per-doc scalar is engine-replayable. One (doc, token)
-    * aggregate; nothing corpus-wide. */
+    * aggregate; nothing corpus-wide. `tokenizer` routes the token
+    * definition (default the shared [[wordTokens]]; pass
+    * [[cjkBigramTokens]] for corpora with unsegmented Han text —
+    * under plain `wordTokens` a Han document is one giant token per
+    * clause and its entropy collapses to 0). */
   def tokenEntropy(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column = wordTokens): DataFrame = {
     val cells = docs
       .select(col(idCol),
-        explode(wordTokens(col(textCol))).as("tok"))
+        explode(tokenizer(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
     val totals = cells.groupBy(idCol)
       .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))

@@ -49,6 +49,44 @@ class RetrievalSpec extends SparkSpec {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("bm25TopK fold=true matches 'The'/'the' both ways; default " +
+    "stays case-exact") {
+    import spark.implicits._
+    // mixed-case corpus: unfolded, 'The' and 'the' are distinct terms
+    val mixed = Seq(
+      1L -> "The cat sat",
+      2L -> "the cat ran",
+      3L -> "THE DOG",
+      4L -> "unrelated words").toDF("doc_id", "text")
+    // folded: query 'The' reaches docs 1, 2, AND 3
+    val folded = Retrieval.bm25TopK(mixed, "doc_id", "text",
+        Seq("The"), topK = 10, fold = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(folded === Set(1L, 2L, 3L))
+    // default: query 'The' matches only the exact-case doc 1
+    val exact = Retrieval.bm25TopK(mixed, "doc_id", "text",
+        Seq("The"), topK = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact === Set(1L))
+    // fold is ASCII-range only: non-ASCII case pairs stay distinct
+    val uni = Seq(1L -> "Éclair éclair", 2L -> "Дом дом")
+      .toDF("doc_id", "text")
+    val gotU = Retrieval.bm25TopK(uni, "doc_id", "text",
+        Seq("éclair"), topK = 10, fold = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotU === Set(1L)) // Éclair did NOT fold into éclair
+    // and a folded all-lowercase query over all-lowercase text is
+    // bit-identical to the unfolded run (existing rows unchanged)
+    val df = corpus.toDF("doc_id", "text")
+    val a = Retrieval.bm25TopK(df, "doc_id", "text",
+        Seq("dup", "spark"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bF = Retrieval.bm25TopK(df, "doc_id", "text",
+        Seq("DUP", "Spark"), topK = 10, fold = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === bF)
+  }
+
   test("rrfFuse matches hand-computed reciprocal-rank fusion") {
     import spark.implicits._
     // sparse ranks: 10->1, 20->2, 30->3; dense ranks: 20->1, 40->2

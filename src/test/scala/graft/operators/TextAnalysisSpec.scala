@@ -486,18 +486,104 @@ class SourcesSpec extends SparkSpec {
       (0L, "привет world"),        // 6 cyrillic vs 5 latin
       (1L, "你好 мир"),             // 2 han vs 3 cyrillic
       (2L, "123 456"),             // no letters at all -> und
-      (3L, "안녕하세요"),            // hangul: letters, none profiled -> other
-      (4L, "αβ ab"))               // 2 greek vs 2 latin tie -> greek
+      (3L, "안녕하세요"),            // hangul (profiled since r10)
+      (4L, "αβ ab"),               // 2 greek vs 2 latin tie -> greek
+      (5L, "გამარჯობა"),           // georgian: letters, unprofiled -> other
+      (6L, "ひらがな カタカナで"),    // 4 hiragana vs 5 katakana... see below
+      (7L, "नमस्ते ไทย שלום"))      // devanagari 6 vs thai 3 vs hebrew 4
       .toDF("doc_id", "text")
     val got = TextAnalysis.scriptProfile(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(7))).toSeq
+      .map(r => (r.getLong(0), r.getAs[Long]("n_letters"),
+        r.getAs[String]("dominant"))).toSeq
+    // doc 6: ひらがな + で = 5 hiragana vs カタカナ = 4 katakana.
+    // doc 7: script classes include combining marks (नमस्ते = 6
+    // Devanagari chars) while n_letters is \p{L}-only (11) — the
+    // dominant argmax runs on the script counts.
     assert(got === Seq((0L, 11L, "cyrillic"), (1L, 5L, "cyrillic"),
-      (2L, 0L, "und"), (3L, 5L, "other"), (4L, 4L, "greek")))
+      (2L, 0L, "und"), (3L, 5L, "hangul"), (4L, 4L, "greek"),
+      (5L, 9L, "other"), (6L, 9L, "hiragana"),
+      (7L, 11L, "devanagari")))
     val row0 = TextAnalysis.scriptProfile(docs, "doc_id", "text")
       .where($"doc_id" === 0).head()
     assert(row0.getAs[Long]("n_cyrillic") === 6L)
     assert(row0.getAs[Long]("n_latin") === 5L)
     assert(row0.getAs[Long]("n_han") === 0L)
+  }
+
+  test("cjkBigramTokens: overlapping Han bigrams; isolated Han char " +
+    "stays a unigram; kana/Hangul/Latin pass through as wordTokens") {
+    import spark.implicits._
+    def toks(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextAnalysis.cjkBigramTokens($"t"))
+        .as[Seq[String]].head()
+    // L-run -> L-1 overlapping bigrams (Lucene CJKAnalyzer semantics)
+    assert(toks("你好世界") === Seq("你好", "好世", "世界"))
+    assert(toks("你好") === Seq("你好"))
+    // isolated Han char: unigram, not dropped
+    assert(toks("中") === Seq("中"))
+    // mixed-script token splits at the script boundary, Han side slides
+    assert(toks("abc中文字def") === Seq("abc", "中文", "文字", "def"))
+    // kana, Hangul, Cyrillic, Latin: identical to the plain tokenizer
+    Seq("ひらがな カタカナ", "한글 조선글", "привет мир",
+      "the quick fox").foreach { s =>
+      val plain = Seq(s).toDF("t")
+        .select(TextAnalysis.wordTokens($"t")).as[Seq[String]].head()
+      assert(toks(s) === plain, s"passthrough broke on: $s")
+    }
+    // empty / no letters
+    assert(toks("") === Seq.empty)
+    assert(toks("123 456") === Seq.empty)
+  }
+
+  test("tokenEntropy with the cjkBigramTokens router gives Han text " +
+    "real statistics; default tokenizer unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "你好世界你好"),           // one clause: plain = 1 giant token
+      (1L, "the the cat")).toDF("doc_id", "text")
+    val plain = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // plain: the zh doc is ONE token -> entropy 0
+    assert(plain(0).getAs[Long]("n_tokens") === 1L)
+    assert(plain(0).getAs[Double]("entropy") === 0.0)
+    val bi = TextAnalysis.tokenEntropy(docs, "doc_id", "text",
+        TextAnalysis.cjkBigramTokens)
+      .orderBy("doc_id").collect()
+    // bigrams: 你好,好世,世界,界你,你好 -> 5 tokens, 4 distinct, H > 0
+    assert(bi(0).getAs[Long]("n_tokens") === 5L)
+    assert(bi(0).getAs[Long]("n_distinct") === 4L)
+    assert(bi(0).getAs[Double]("entropy") > 1.0)
+    // the alphabetic row is identical under both tokenizers
+    assert(bi(1).toSeq === plain(1).toSeq)
+  }
+
+  test("asciiFold: A-Z only, non-ASCII untouched; Column and String " +
+    "forms agree; folded tokens keep boundaries") {
+    import spark.implicits._
+    val samples = Seq("The QUICK brØwn", "Éclair İstanbul ß",
+      "ДОМ дом 你好", "")
+    val got = samples.toDF("t")
+      .select(TextAnalysis.asciiFold($"t")).as[String].collect().toSeq
+    // ASCII letters fold; Ø É İ ß Д stay exactly as written
+    assert(got === Seq("the quick brØwn", "Éclair İstanbul ß",
+      "ДОМ дом 你好", ""))
+    // the driver-side literal fold is the same map
+    samples.zip(got).foreach { case (in, out) =>
+      assert(TextAnalysis.asciiFoldStr(in) === out)
+    }
+    // fold=true tokenization = fold-then-tokenize: same token COUNT
+    // (case is not a letter/non-letter property), folded spellings
+    val t = Seq("The Cat-and-Dog show").toDF("t")
+    val plain = t.select(TextAnalysis.wordTokens($"t"))
+      .as[Seq[String]].head()
+    val folded = t.select(TextAnalysis.wordTokens($"t", fold = true))
+      .as[Seq[String]].head()
+    assert(plain === Seq("The", "Cat", "and", "Dog", "show"))
+    assert(folded === Seq("the", "cat", "and", "dog", "show"))
+    // the generated DuckDB spelling carries the full 26-char map
+    assert(TextAnalysis.asciiFoldSql("text") ===
+      "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
+        "'abcdefghijklmnopqrstuvwxyz')")
   }
 }
