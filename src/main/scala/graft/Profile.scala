@@ -13,6 +13,8 @@ object Profile {
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case Some("pagerank-dist") => pagerankDistPhases(
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      case Some("nb-phases") => nbPhases(
+        args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case _ => microbench(args.headOption.getOrElse("/root/testdata/sf0.01"))
     }
   }
@@ -45,6 +47,33 @@ object Profile {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[prof] $n: ${times.map(t => f"$t%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+
+  /** Where q186 (corpus NB fit + self-classify) spends its time. */
+  def nbPhases(dir: String): Unit = {
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs ($r)")
+    }
+    val docs = sources.Tables(spark, dir, "documents").cache()
+    time("docs count")(docs.count())
+    import operators.TextAnalysis
+    (1 to 2).foreach { rep =>
+      time(s"gram explode count [$rep]")(docs.select(
+          explode(TextAnalysis.charNgrams(col("text"), 2)).as("g"))
+        .count())
+      time(s"fit agg [$rep]")(TextAnalysis.charNgramLangModel(
+        docs, "lang", "text", n = 2).count())
+      time(s"detect [$rep]")(TextAnalysis.charNgramDetect(
+        TextAnalysis.charNgramLangModel(docs, "lang", "text", n = 2),
+        docs, "doc_id", "text", n = 2).count())
+      time(s"full q186 [$rep]")(
+        SparkEntry.queries("q186_lang_nb_corpus")(spark, dir)
+          .write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }

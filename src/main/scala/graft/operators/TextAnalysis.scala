@@ -232,18 +232,49 @@ object TextAnalysis {
       model: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
-    val nl = model.groupBy("lang").agg(sum("c").as("n_lang"))
-    val v = model.agg(count_distinct(col("g")).as("v"))
+    // The model is consumed THREE times (per-lang totals, vocabulary
+    // size, and the broadcast score join) — materialize the
+    // vocabulary-bounded counter table once instead of re-running the
+    // corpus-scale gram aggregate per consumer (q186 measured it at
+    // 3× the fit cost when the model is a live corpus scan; blocks
+    // are GC-released by the ContextCleaner, the bm25 dl precedent).
+    val m = model.localCheckpoint(true)
+    val nl = m.groupBy("lang").agg(sum("c").as("n_lang"))
+    val v = m.agg(count_distinct(col("g")).as("v"))
+    // The Laplace term depends ONLY on (gram, lang) — compute it once
+    // per pair over the CORPUS gram vocabulary (|grams|·|langs| rows,
+    // vocabulary-bounded) instead of once per gram OCCURRENCE × lang
+    // (corpus-sized × langs: q186 measured the per-occurrence form at
+    // ~3× this one — 7.4M log+round+BigDecimal rows vs 2850). Scores
+    // are bit-identical: summing k occurrences of one 12-dp DECIMAL
+    // term ≡ term × k exactly (integer multiple, exact decimal
+    // arithmetic — DECIMAL(18,12) term × DECIMAL(12,0) count stays at
+    // precision 31 ≤ 38, no scale adjustment), and the out-of-vocab
+    // smoothing term rides the left join's coalesce as before.
     val term = round(
       log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
-        (col("n_lang") + col("v")).cast("double")), 12).cast(dec)
-    val scored = docs
+        (col("n_lang") + col("v")).cast("double")), 12)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 12))
+    // cells feeds two consumers (the term table's gram vocabulary and
+    // the score join); the vocabulary branch re-runs the narrow
+    // tokenize+agg scan rather than materializing cells — measured
+    // FASTER than an eager localCheckpoint of the (doc, gram) table
+    // (the checkpoint blocks the pipeline and stores corpus-scale
+    // rows to buy back one cheap columnar scan).
+    val cells = docs
       .select(col(idCol), explode(charNgrams(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).cast(
+        org.apache.spark.sql.types.DecimalType(12, 0)).as("n_dg"))
+    val terms = cells.select(col("g")).distinct()
       .crossJoin(broadcast(nl))
-      .join(broadcast(model), Seq("lang", "g"), "left")
+      .join(broadcast(m), Seq("lang", "g"), "left")
       .crossJoin(broadcast(v))
+      .select(col("g"), col("lang"), term.as("t"))
+    val scored = cells
+      .join(broadcast(terms), "g")
       .groupBy(col(idCol), col("lang"))
-      .agg(sum(term).as("score"))
+      .agg(sum((col("t") * col("n_dg")).cast(dec)).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(desc("score"), asc("lang"))
     scored.withColumn("rn", row_number().over(w))
@@ -456,10 +487,11 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String = "text",
       minCount: Long = 5,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20,
+      fold: Boolean = false): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(topK > 0, s"topK must be positive, got $topK")
-    val toksArr = docs.select(wordTokens(col(textCol)).as("a"))
+    val toksArr = docs.select(wordTokens(col(textCol), fold).as("a"))
     val tok = toksArr.select(explode(col("a")).as("term"))
     val cu = tok.groupBy("term").agg(count(lit(1)).as("c"))
 

@@ -352,4 +352,42 @@ class PlanSpec extends SparkSpec {
     // exactly the one aggregate exchange — tokenization adds none
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
+
+  test("cjkBigramTokens over parquet stays inside codegen (pad + split " +
+    "+ per-token slide are all builtins — no UDF, no extra exchange)") {
+    val docs = sources.Tables(spark, dir, "documents")
+    val df = docs.select(org.apache.spark.sql.functions.explode(
+        operators.TextAnalysis.cjkBigramTokens(
+          org.apache.spark.sql.functions.col("text"))).as("tok"))
+      .groupBy("tok").count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("regexp_replace"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("folded BM25 keeps the unfolded plan shape: translate in the " +
+    "scan-side project, no UDF, top-k as TakeOrderedAndProject") {
+    val docs = sources.Tables(spark, dir, "documents")
+    val df = operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("The", "Spark", "DUP"), fold = true)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("translate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("corpus NB fit/score (q186 shape) broadcasts the model and " +
+    "totals — no sort-merge join of the gram stream, no UDF") {
+    val docs = sources.Tables(spark, dir, "documents")
+    val model = operators.TextAnalysis.charNgramLangModel(
+      docs, "lang", "text", n = 2)
+    val scored = operators.TextAnalysis.charNgramDetect(
+      model, docs, "doc_id", "text", n = 2)
+    val p = scored.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

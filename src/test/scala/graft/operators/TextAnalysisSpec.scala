@@ -586,4 +586,23 @@ class SourcesSpec extends SparkSpec {
       "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
         "'abcdefghijklmnopqrstuvwxyz')")
   }
+
+  test("collocations fold=true merges case variants of a bigram; " +
+    "default stays case-exact") {
+    import spark.implicits._
+    // "The cat" appears capitalized twice and lowercase thrice —
+    // folded they are ONE bigram with count 5
+    val docs = Seq(
+      "The cat sat", "The cat ran", "the cat is", "the cat was",
+      "the cat sleeps", "dogs bark loud dogs bark often").toDF("text")
+    val exact = TextAnalysis.collocations(docs, "text", minCount = 2,
+        topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(exact.count(p => p._2 == "cat") === 2) // The+cat AND the+cat
+    val folded = TextAnalysis.collocations(docs, "text", minCount = 2,
+        topK = 10, fold = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(folded.filter(p => p._2 == "cat") ===
+      Array(("the", "cat", 5L)))
+  }
 }
