@@ -42,6 +42,14 @@ object Retrieval {
     *                "The" scores with "the" (retrieval quality) while
     *                non-ASCII case stays exact (determinism). Token
     *                boundaries and doc lengths are unchanged.
+    * @param tokenizer token definition (default the shared
+    *                [[TextAnalysis.wordTokens]]; pass
+    *                [[TextAnalysis.cjkBigramTokens]] for retrieval
+    *                over unsegmented Han text — under the default a
+    *                Han clause is ONE token and no query term can
+    *                match it). Applied after the fold; doc length
+    *                follows the tokenizer (bigram docs are longer,
+    *                as in Lucene's CJK scoring).
     */
   def bm25TopK(
       docs: DataFrame,
@@ -51,7 +59,8 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75,
       topK: Int = 20,
-      fold: Boolean = false): DataFrame = {
+      fold: Boolean = false,
+      tokenizer: Column => Column = TextAnalysis.wordTokens): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     require(topK > 0, s"topK must be positive, got $topK")
 
@@ -61,7 +70,7 @@ object Retrieval {
     def text =
       if (fold) TextAnalysis.asciiFold(col(textCol)) else col(textCol)
     def tok = docs.select(col(idCol).as("doc_id"),
-        explode(split(text, TextAnalysis.tokenSplitRe)).as("term"))
+        explode(tokenizer(text)).as("term"))
       .where(col("term") =!= "")
     // The doc-length table is doc-sized (one row per doc), orders of
     // magnitude below the exploded token stream — materialize IT

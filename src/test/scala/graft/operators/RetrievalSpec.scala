@@ -87,6 +87,34 @@ class RetrievalSpec extends SparkSpec {
     assert(a === bF)
   }
 
+  test("bm25TopK with the cjkBigramTokens tokenizer retrieves Han " +
+    "text the default tokenizer cannot") {
+    import spark.implicits._
+    val zh = Seq(
+      1L -> "你好世界今天天气很好",    // contains bigram 你好
+      2L -> "数据处理需要规划",        // does not
+      3L -> "你好朋友").toDF("doc_id", "text")
+    // default: each clause is ONE token — the bigram query matches nothing
+    val plain = Retrieval.bm25TopK(zh, "doc_id", "text", Seq("你好"),
+      topK = 10)
+    assert(plain.count() === 0)
+    // bigram tokenizer: docs 1 and 3 contain 你好
+    val bi = Retrieval.bm25TopK(zh, "doc_id", "text", Seq("你好"),
+        topK = 10, tokenizer = TextAnalysis.cjkBigramTokens)
+      .collect().map(_.getLong(0)).toSet
+    assert(bi === Set(1L, 3L))
+    // and on pure-ASCII corpora the hook is a no-op: identical rows
+    val df = corpus.toDF("doc_id", "text")
+    val a = Retrieval.bm25TopK(df, "doc_id", "text",
+        Seq("dup", "spark"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val c = Retrieval.bm25TopK(df, "doc_id", "text",
+        Seq("dup", "spark"), topK = 10,
+        tokenizer = TextAnalysis.cjkBigramTokens)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === c)
+  }
+
   test("rrfFuse matches hand-computed reciprocal-rank fusion") {
     import spark.implicits._
     // sparse ranks: 10->1, 20->2, 30->3; dense ranks: 20->1, 40->2
