@@ -467,6 +467,28 @@ object SparkEntry {
     .map { case (id, lang, text) => s"($id, '$lang', '$text')" }
     .mkString(",\n        |    ")
 
+  // ---- encoding-damage fixture (q187): the three mojibake
+  // ---- signatures planted one per row, shared with the oracle via
+  // ---- the VALUES device. Damaged chars are built with .toChar so
+  // ---- the source stays ASCII-safe (no raw control chars in code).
+
+  private val mojibakeFixtureRows: Seq[(Long, String)] = Seq(
+    (0L, "a clean ascii sentence about data pipelines"),
+    (1L, s"decoder gave up ${0xFFFD.toChar} twice ${0xFFFD.toChar} here"),
+    (2L, s"cp1252 as latin1 leaves a c1 control ${0x0085.toChar} behind"),
+    // é stored as UTF-8, decoded as Latin-1: 0xC3 0xA9 -> "Ã©"
+    (3L, s"double encoded caf${0x00C3.toChar}${0x00A9.toChar} latte and " +
+      s"${0x00C2.toChar}${0x00AB.toChar}quoted"),
+    // U+2019 as UTF-8 read as Latin-1: 0xE2 0x80 0x99 -> "â€™"
+    (4L, s"smart quote gone wrong ${0x00E2.toChar}${0x20AC.toChar}" +
+      s"${0x2122.toChar} in two spots ${0x00E2.toChar}${0x20AC.toChar}" +
+      s"${0x0153.toChar}"),
+    (5L, s"proper unicode caf${0x00E9.toChar} stays clean"))
+
+  private val mojibakeFixtureSqlValues: String = mojibakeFixtureRows
+    .map { case (id, text) => s"($id, '$text')" }
+    .mkString(",\n        |    ")
+
   // ---- labeled real-language corpus for the char-n-gram NB detector
   // ---- (q179): train/test splits shared by the Spark side and the
   // ---- DuckDB oracle. Real sentences, 5 languages, no apostrophes
@@ -3051,6 +3073,19 @@ object SparkEntry {
         .groupBy("lang", "detected")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "detected")
+    }),
+
+    // Encoding-damage audit: the three mojibake signatures (U+FFFD,
+    // C1 controls, UTF-8-read-as-Latin-1 digraphs) counted per doc on
+    // the planted fixture — the gate a scraped corpus passes BEFORE
+    // normalization and dedup (damaged text hashes differently from
+    // its clean twin, silently defeating dedup). Pure codegen'd
+    // regexp counts; PlanSpec asserts the zero-exchange corpus shape.
+    "q187_encoding_audit" -> ((s, dir) => {
+      import s.implicits._
+      operators.TextAnalysis.encodingQuality(
+          mojibakeFixtureRows.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -5907,6 +5942,27 @@ object SparkEntry {
         |SELECT d.lang, nb.detected, count(*) AS n
         |FROM nb JOIN documents d USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same VALUES fixture (ONE Scala Seq), same three Java∩RE2
+    // patterns spelled for RE2 — counts are integer-exact
+    "q187_encoding_audit" ->
+      s"""WITH docs(doc_id, text) AS (VALUES
+        |    $mojibakeFixtureSqlValues),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '${operators.TextAnalysis.replacementRe}')) AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(len(regexp_extract_all(text,
+        |    '${operators.TextAnalysis.c1ControlRe}')) AS BIGINT)
+        |    AS n_c1_control,
+        |  CAST(len(regexp_extract_all(text,
+        |    '${operators.TextAnalysis.doubleEncodeRe}')) AS BIGINT)
+        |    AS n_double_encoded
+        |  FROM docs)
+        |SELECT doc_id, n_replacement, n_c1_control, n_double_encoded,
+        |  (n_replacement + n_c1_control + n_double_encoded = 0)
+        |    AS clean
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // identical dense index (q148's window form), identical 48-bit
     // md5 draws mod n with the same self-remap, resolved by the same

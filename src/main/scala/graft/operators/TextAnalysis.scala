@@ -93,7 +93,14 @@ object TextAnalysis {
     * boundary) + the shared `\p{L}` split + a flatten of a per-token
     * slide — all codegen'd builtins, no UDF. DuckDB replays it with
     * RE2 `\p{Han}` + `list_transform(range(...))` + `substr`, both
-    * engines counting code points. */
+    * engines counting code points.
+    *
+    * Deliberate divergence from Lucene's CJKAnalyzer, which bigrams
+    * kana and Hangul as well: modern Korean is space-delimited (runs
+    * are already word-sized) and Japanese interleaves kana with Han
+    * anchors, so whole kana runs keep particles/inflections intact;
+    * widening the sliding class to kana is one more script class in
+    * the pad regex and the rlike if a corpus needs it. */
   def cjkBigramTokens(text: Column): Column = {
     val toks = wordTokens(regexp_replace(text, "(\\p{IsHan}+)", " $1 "))
     flatten(transform(toks, t =>
@@ -437,6 +444,42 @@ object TextAnalysis {
     * Java-regex ∩ RE2 common subset again, so the DuckDB oracle runs
     * the IDENTICAL pattern. */
   val controlRe = "[\\x00-\\x1F\\x7F]"
+
+  // ------------------------------- encoding-damage (mojibake) audit
+
+  /** The three standard signatures of a mangled decode, each in the
+    * Java ∩ RE2 subset (oracle runs the identical patterns):
+    *   - U+FFFD REPLACEMENT CHARACTER — a decoder already gave up;
+    *   - C1 controls U+0080-U+009F — CP-1252 bytes decoded as
+    *     Latin-1 (never legitimate in text);
+    *   - UTF-8-read-as-Latin-1 digraphs — an é stored as UTF-8 and
+    *     decoded as Latin-1 becomes "Ã©" (lead byte 0xC3 → Ã followed
+    *     by a Latin-1-supplement char), and the smart-quote range
+    *     becomes "â€¦"-style triples (lead 0xE2 → â€). */
+  val replacementRe = "\\x{FFFD}"
+  val c1ControlRe = "[\\x{0080}-\\x{009F}]"
+  val doubleEncodeRe = "Ã[\\x{00A0}-\\x{00FF}]|â€|Â[\\x{00A0}-\\x{00BF}]"
+
+  /** Per-document encoding-damage audit: counts of the three mojibake
+    * signatures plus a clean flag — the gate a scraped corpus passes
+    * BEFORE normalization and dedup (damaged text hashes differently
+    * from its clean twin, silently defeating dedup; and mojibake is a
+    * quality signal in its own right). Pure codegen'd regexp counts,
+    * one scan, zero shuffles, zero UDFs — the scriptProfile posture. */
+  def encodingQuality(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      size(regexp_extract_all(t, lit(replacementRe), lit(0)))
+        .cast("long").as("n_replacement"),
+      size(regexp_extract_all(t, lit(c1ControlRe), lit(0)))
+        .cast("long").as("n_c1_control"),
+      size(regexp_extract_all(t, lit(doubleEncodeRe), lit(0)))
+        .cast("long").as("n_double_encoded"))
+      .withColumn("clean",
+        col("n_replacement") + col("n_c1_control") +
+          col("n_double_encoded") === 0)
+  }
 
   /** Unicode-correct normalization, the first pass a scraped corpus
     * gets: control characters → space, whitespace runs collapsed to

@@ -366,6 +366,15 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("encodingQuality over parquet is pure map-side regexp counts — " +
+    "zero exchanges, no UDF (the scriptProfile posture)") {
+    val docs = sources.Tables(spark, dir, "documents")
+    val p = operators.TextAnalysis.encodingQuality(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("folded BM25 keeps the unfolded plan shape: translate in the " +
     "scan-side project, no UDF, top-k as TakeOrderedAndProject") {
     val docs = sources.Tables(spark, dir, "documents")

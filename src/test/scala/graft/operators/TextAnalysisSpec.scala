@@ -587,6 +587,30 @@ class SourcesSpec extends SparkSpec {
         "'abcdefghijklmnopqrstuvwxyz')")
   }
 
+  test("encodingQuality counts the three mojibake signatures and " +
+    "keeps genuinely-accented text clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "plain ascii"),
+      (1L, s"bad ${0xFFFD.toChar}${0xFFFD.toChar}${0xFFFD.toChar}"),
+      (2L, s"nel ${0x0085.toChar} and del-range ${0x009F.toChar}"),
+      (3L, s"caf${0x00C3.toChar}${0x00A9.toChar} and " +
+        s"${0x00E2.toChar}${0x20AC.toChar}${0x2122.toChar}"),
+      (4L, s"caf${0x00E9.toChar} na${0x00EF.toChar}ve — clean unicode"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingQuality(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got === Seq(
+      (0L, 0L, 0L, 0L, true),
+      (1L, 3L, 0L, 0L, false),
+      (2L, 0L, 2L, 0L, false),
+      (3L, 0L, 0L, 2L, false),
+      (4L, 0L, 0L, 0L, true),
+      (5L, 0L, 0L, 0L, true)))
+  }
+
   test("collocations fold=true merges case variants of a bigram; " +
     "default stays case-exact") {
     import spark.implicits._
