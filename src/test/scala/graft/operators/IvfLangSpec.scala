@@ -185,6 +185,13 @@ class IvfSpec extends SparkSpec {
       val got = Similarity.readIvfIndex(spark, dir)
         .assigned.count()
       assert(got === emb.count() + 4)
+      // the lifecycle inspector composes: v3+v4 published (retention
+      // window), exactly the latest flagged, orphans impossible here
+      val desc = graft.sources.Artifacts.describe(spark, dir)
+        .orderBy("version").collect()
+        .map(r => (r.getAs[Int]("version"), r.getAs[Boolean]("published"),
+          r.getAs[Boolean]("is_latest"))).toSeq
+      assert(desc === Seq((3, true, false), (4, true, true)))
     } finally built.unpersist()
   }
 
