@@ -101,10 +101,27 @@ object TextAnalysis {
     * anchors, so whole kana runs keep particles/inflections intact;
     * widening the sliding class to kana is one more script class in
     * the pad regex and the rlike if a corpus needs it. */
-  def cjkBigramTokens(text: Column): Column = {
-    val toks = wordTokens(regexp_replace(text, "(\\p{IsHan}+)", " $1 "))
+  def cjkBigramTokens(text: Column): Column =
+    cjkBigramTokensForClass(text, "\\p{IsHan}")
+
+  /** Exact Lucene-CJKBigramFilter parity: the sliding class is
+    * Han ∪ Hiragana ∪ Katakana ∪ Hangul (Lucene bigrams all four by
+    * default). Use for corpora with unsegmented pure-kana text or
+    * when matching a Lucene index's term space; [[cjkBigramTokens]]
+    * (Han-only) is the default because modern Korean is
+    * space-delimited and whole kana runs keep Japanese
+    * particles/inflections intact. */
+  def cjkBigramTokensWide(text: Column): Column =
+    cjkBigramTokensForClass(text,
+      "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}")
+
+  /** The pad → split → slide pipeline over a configurable sliding
+    * script class (a Java-regex character-class body). */
+  private def cjkBigramTokensForClass(
+      text: Column, classBody: String): Column = {
+    val toks = wordTokens(regexp_replace(text, s"([$classBody]+)", " $1 "))
     flatten(transform(toks, t =>
-      when(t.rlike("^\\p{IsHan}{2,}$"),
+      when(t.rlike(s"^[$classBody]{2,}$$"),
         transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
         .otherwise(array(t))))
   }

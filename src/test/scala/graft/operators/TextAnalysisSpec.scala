@@ -536,6 +536,28 @@ class SourcesSpec extends SparkSpec {
     assert(toks("123 456") === Seq.empty)
   }
 
+  test("cjkBigramTokensWide (Lucene CJKBigramFilter parity) slides " +
+    "kana/Hangul too, and across CJK script boundaries") {
+    import spark.implicits._
+    def wide(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextAnalysis.cjkBigramTokensWide($"t"))
+        .as[Seq[String]].head()
+    // pure kana run slides (the Han-only form keeps it whole)
+    assert(wide("ひらがな") === Seq("ひら", "らが", "がな"))
+    // Hangul run slides
+    assert(wide("한글조선") === Seq("한글", "글조", "조선"))
+    // kana + Han mix is ONE contiguous CJK run — bigrams cross the
+    // script boundary, as Lucene's single CJK class does
+    assert(wide("今日はいい") ===
+      Seq("今日", "日は", "はい", "いい"))
+    // Latin/Cyrillic untouched; isolated CJK char stays a unigram
+    assert(wide("abc 中 мир") === Seq("abc", "中", "мир"))
+    // the Han-only default is unchanged by the wide twin's existence
+    val han = Seq("ひらがな 你好世界").toDF("t")
+      .select(TextAnalysis.cjkBigramTokens($"t")).as[Seq[String]].head()
+    assert(han === Seq("ひらがな", "你好", "好世", "世界"))
+  }
+
   test("tokenEntropy with the cjkBigramTokens router gives Han text " +
     "real statistics; default tokenizer unchanged") {
     import spark.implicits._
