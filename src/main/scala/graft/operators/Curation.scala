@@ -527,10 +527,17 @@ object Curation {
 
     val lp = log((col("cxy").cast("double") + lit(1.0)) /
       (col("cx").cast("double") + lit(v)))
-    bi.join(cb, Seq("w1", "w2"))
-      .join(cu, Seq("w1"))
-      .select(col("_graft_id"),
+    // The Laplace term depends ONLY on the (w1, w2) pair — fold the
+    // cb⋈cu join and the round(log) into ONE vocab-sized term table,
+    // so the occurrence stream takes a single map-side join and never
+    // evaluates the transcendental (the q186 NB device, occurrence-sum
+    // form: a per-(doc, pair) pre-aggregate was measured SLOWER here —
+    // it adds a full shuffle of the occurrence stream to save decimal
+    // adds that were already cheap behind a broadcast join).
+    val terms = cb.join(cu, Seq("w1"))
+      .select(col("w1"), col("w2"),
         round(lp, 9).cast(DecimalType(28, 9)).as("l"))
+    bi.join(terms, Seq("w1", "w2"))
       .groupBy("_graft_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("l")).as("s"))
