@@ -104,16 +104,25 @@ object TextAnalysis {
   def cjkBigramTokens(text: Column): Column =
     cjkBigramTokensForClass(text, "\\p{IsHan}")
 
-  /** Exact Lucene-CJKBigramFilter parity: the sliding class is
+  /** Lucene-CJKBigramFilter-style wide mode: the sliding class is
     * Han ∪ Hiragana ∪ Katakana ∪ Hangul (Lucene bigrams all four by
-    * default). Use for corpora with unsegmented pure-kana text or
-    * when matching a Lucene index's term space; [[cjkBigramTokens]]
-    * (Han-only) is the default because modern Korean is
-    * space-delimited and whole kana runs keep Japanese
+    * default) PLUS the Script=Common CJK letters that ride inside
+    * those runs — 々 U+3005 (Han iteration mark), ー U+30FC
+    * (prolonged sound mark: every katakana loanword — データ,
+    * コンピューター), ヽヾ U+30FD/30FE and ゝゞ U+309D/309E
+    * (kana iteration marks). Without them the pad regex would break
+    * データ into three unigrams, while UAX#29 (Lucene's tokenizer)
+    * keeps the run together. Not full UAX#29 — a word-boundary
+    * tokenizer needs ICU — but the loanword/iteration cases that
+    * dominate real Japanese text bigram identically. Use for corpora
+    * with unsegmented pure-kana text or Lucene-style CJK term spaces;
+    * [[cjkBigramTokens]] (Han-only) is the default because modern
+    * Korean is space-delimited and whole kana runs keep Japanese
     * particles/inflections intact. */
   def cjkBigramTokensWide(text: Column): Column =
     cjkBigramTokensForClass(text,
-      "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}")
+      "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}" +
+        "\\x{3005}\\x{30FC}\\x{30FD}\\x{30FE}\\x{309D}\\x{309E}")
 
   /** The pad → split → slide pipeline over a configurable sliding
     * script class (a Java-regex character-class body). */
@@ -256,49 +265,53 @@ object TextAnalysis {
       model: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 12)
     // The model is consumed THREE times (per-lang totals, vocabulary
-    // size, and the broadcast score join) — materialize the
-    // vocabulary-bounded counter table once instead of re-running the
-    // corpus-scale gram aggregate per consumer (q186 measured it at
-    // 3× the fit cost when the model is a live corpus scan; blocks
-    // are GC-released by the ContextCleaner, the bm25 dl precedent).
-    val m = model.localCheckpoint(true)
+    // size, and the term-table join) — persist the vocabulary-bounded
+    // counter table (LAZY: no job at plan-construction time, lineage
+    // intact so an executor loss recomputes instead of failing; the
+    // broadcast-exchange jobs populate the cache on first use). An
+    // eager localCheckpoint was tried and rejected on both counts.
+    val m = model.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nl = m.groupBy("lang").agg(sum("c").as("n_lang"))
     val v = m.agg(count_distinct(col("g")).as("v"))
     // The Laplace term depends ONLY on (gram, lang) — compute it once
-    // per pair over the CORPUS gram vocabulary (|grams|·|langs| rows,
-    // vocabulary-bounded) instead of once per gram OCCURRENCE × lang
+    // per MODEL row (the fitted vocabulary, broadcast-safe by the
+    // model contract) instead of once per gram OCCURRENCE × lang
     // (corpus-sized × langs: q186 measured the per-occurrence form at
-    // ~3× this one — 7.4M log+round+BigDecimal rows vs 2850). Scores
-    // are bit-identical: summing k occurrences of one 12-dp DECIMAL
+    // ~3× this one — 7.4M log+round+BigDecimal rows vs the model's
+    // 2850). Out-of-vocabulary grams take the per-LANG smoothing term
+    // t_oov = round(ln(1/(n_lang+V)), 12) via coalesce — identical to
+    // the old left-join's coalesce(c,0)+1 = 1 branch, and the term
+    // tables stay MODEL-sized even when the classified corpus's gram
+    // vocabulary is far larger (noisy scrapes; nothing docs-sized is
+    // ever broadcast). Scores are bit-identical to the
+    // per-occurrence sum: summing k occurrences of one 12-dp DECIMAL
     // term ≡ term × k exactly (integer multiple, exact decimal
     // arithmetic — DECIMAL(18,12) term × DECIMAL(12,0) count stays at
-    // precision 31 ≤ 38, no scale adjustment), and the out-of-vocab
-    // smoothing term rides the left join's coalesce as before.
-    val term = round(
-      log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
-        (col("n_lang") + col("v")).cast("double")), 12)
-      .cast(org.apache.spark.sql.types.DecimalType(18, 12))
-    // cells feeds two consumers (the term table's gram vocabulary and
-    // the score join); the vocabulary branch re-runs the narrow
-    // tokenize+agg scan rather than materializing cells — measured
-    // FASTER than an eager localCheckpoint of the (doc, gram) table
-    // (the checkpoint blocks the pipeline and stores corpus-scale
-    // rows to buy back one cheap columnar scan).
+    // precision 31 ≤ 38, no scale adjustment).
+    val terms = m.join(broadcast(nl), "lang").crossJoin(broadcast(v))
+      .select(col("lang"), col("g"),
+        round(log((col("c") + lit(1)).cast("double") /
+          (col("n_lang") + col("v")).cast("double")), 12)
+          .cast(dec18).as("t"))
+    val langTerms = nl.crossJoin(broadcast(v))
+      .select(col("lang"),
+        round(log(lit(1.0) /
+          (col("n_lang") + col("v")).cast("double")), 12)
+          .cast(dec18).as("t_oov"))
     val cells = docs
       .select(col(idCol), explode(charNgrams(col(textCol), n)).as("g"))
       .groupBy(col(idCol), col("g"))
       .agg(count(lit(1)).cast(
         org.apache.spark.sql.types.DecimalType(12, 0)).as("n_dg"))
-    val terms = cells.select(col("g")).distinct()
-      .crossJoin(broadcast(nl))
-      .join(broadcast(m), Seq("lang", "g"), "left")
-      .crossJoin(broadcast(v))
-      .select(col("g"), col("lang"), term.as("t"))
     val scored = cells
-      .join(broadcast(terms), "g")
+      .crossJoin(broadcast(langTerms))
+      .join(broadcast(terms), Seq("lang", "g"), "left")
       .groupBy(col(idCol), col("lang"))
-      .agg(sum((col("t") * col("n_dg")).cast(dec)).as("score"))
+      .agg(sum((coalesce(col("t"), col("t_oov")) * col("n_dg"))
+        .cast(dec)).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(desc("score"), asc("lang"))
     scored.withColumn("rn", row_number().over(w))

@@ -552,6 +552,12 @@ class SourcesSpec extends SparkSpec {
       Seq("今日", "日は", "はい", "いい"))
     // Latin/Cyrillic untouched; isolated CJK char stays a unigram
     assert(wide("abc 中 мир") === Seq("abc", "中", "мир"))
+    // Script=Common CJK letters ride inside the run: the prolonged
+    // sound mark (every katakana loanword) and the Han iteration mark
+    assert(wide("データ") === Seq("デー", "ータ"))
+    assert(wide("コンピューター") ===
+      Seq("コン", "ンピ", "ピュ", "ュー", "ータ", "ター"))
+    assert(wide("人々") === Seq("人々"))
     // the Han-only default is unchanged by the wide twin's existence
     val han = Seq("ひらがな 你好世界").toDF("t")
       .select(TextAnalysis.cjkBigramTokens($"t")).as[Seq[String]].head()
