@@ -514,14 +514,16 @@ object Curation {
         explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
       .select(col("_graft_id"), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
     // The MODEL (distinct-bigram counts) is vocab-sized, orders of
-    // magnitude below the per-occurrence stream — materialize it
-    // eagerly (blocks GC-released by the ContextCleaner) instead of
-    // persisting `bi`, the largest intermediate, for the session
-    // lifetime. cx derives from cb (Σ_w2 cxy), so the model costs one
-    // tokenize pass and the scoring join a second — never a pinned
-    // corpus-sized cache.
+    // magnitude below the per-occurrence stream — cache IT instead of
+    // persisting `bi`, the largest intermediate. A LAZY persist, not
+    // an eager localCheckpoint: the v-count action below populates
+    // the cache on this same code path, and lineage stays intact so
+    // an executor lost mid-query recomputes instead of failing
+    // ("checkpoint block not found" has no fallback). cx derives from
+    // cb (Σ_w2 cxy), so the model costs one tokenize pass and the
+    // scoring join a second — never a pinned corpus-sized cache.
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cu = cb.groupBy("w1").agg(sum(col("cxy")).as("cx"))
     val v = cu.count().toDouble // vocabulary-as-context size
 

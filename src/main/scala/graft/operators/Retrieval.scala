@@ -73,13 +73,15 @@ object Retrieval {
         explode(tokenizer(text)).as("term"))
       .where(col("term") =!= "")
     // The doc-length table is doc-sized (one row per doc), orders of
-    // magnitude below the exploded token stream — materialize IT
-    // eagerly (blocks are GC-released by the ContextCleaner) instead
-    // of persisting the token stream for the session lifetime. Costs
-    // one extra tokenize pass (dl + tf branches) but never pins a
-    // corpus-sized cache.
+    // magnitude below the exploded token stream — cache IT instead of
+    // persisting the token stream. A LAZY persist, not an eager
+    // localCheckpoint: the avgdl action below populates the cache on
+    // this same code path, and lineage stays intact so an executor
+    // lost mid-query recomputes instead of failing. Costs one extra
+    // tokenize pass (dl + tf branches) but never pins a corpus-sized
+    // cache.
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // avgdl over ALL docs (token-less docs count in the denominator);
     // one long-over-double division, bit-identical in any engine.
     // A fully token-less corpus sums to null -> 0 tokens; the scoring
