@@ -60,7 +60,14 @@ object GraftExtensions {
     nary("graft_shingles", classOf[GraftShingles], 2,
       args => GraftShingles(args(0), args(1))),
     nary("graft_minhash_bands", classOf[GraftMinhashBands], 4,
-      args => GraftMinhashBands(args(0), args(1), args(2), args(3))))
+      args => GraftMinhashBands(args(0), args(1), args(2), args(3))),
+    // the curation / fuzzy-join kernels (round-11 graduates)
+    nary("graft_repetition", classOf[GraftRepetition], 1,
+      args => GraftRepetition(args(0))),
+    binary("graft_word_grams", classOf[GraftWordGrams],
+      GraftWordGrams.apply),
+    binary("graft_deletion_hashes", classOf[GraftDeletionHashes],
+      GraftDeletionHashes.apply))
 
   /** Register on a live session (the builder-time extension path only
     * reaches sessions created after it is configured). Idempotent —

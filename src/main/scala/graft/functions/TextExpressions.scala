@@ -171,9 +171,128 @@ case class GraftMinhashBands(
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** Per-doc repetition stats `[n_tokens, n_distinct, top_bigram_n]` —
+  * SQL name `graft_repetition`. Array-of-3 rather than a struct: the
+  * kernel result slots into one `GenericArrayData` (no struct writer),
+  * and the consumer unpacks by ordinal. */
+case class GraftRepetition(child: Expression)
+    extends UnaryExpression with KernelCall {
+
+  override def prettyName: String = "graft_repetition"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def eval(input: InternalRow): Any =
+    new GenericArrayData(
+      graft.operators.Curation.repetitionKernelArr(str(child.eval(input))))
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.operators.Curation.repetitionKernelArr(${strJava(c)}));
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftRepetition = copy(child = newChild)
+}
+
+/** Distinct word-`n`-gram hashes — SQL name
+  * `graft_word_grams(text, n)` (the decontamination kernel). */
+case class GraftWordGrams(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+
+  override def prettyName: String = "graft_word_grams"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int) arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def eval(input: InternalRow): Any =
+    new GenericArrayData(graft.operators.Curation.wordGramHashSet(
+      str(left.eval(input)), intOrZero(right.eval(input))))
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = left.genCode(ctx)
+    val n = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${t.code}
+        ${n.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.operators.Curation.wordGramHashSet(
+              ${strJava(t)}, ${intJava(n)}));
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftWordGrams =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Distinct deletion-neighborhood variant hashes (FastSS blocking) —
+  * SQL name `graft_deletion_hashes(text, k)`. Null text → empty
+  * neighborhood (no candidate pairs), matching null-key join
+  * semantics. */
+case class GraftDeletionHashes(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+
+  override def prettyName: String = "graft_deletion_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int) arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def eval(input: InternalRow): Any =
+    new GenericArrayData(graft.operators.Joins.deletionHashesKernel(
+      str(left.eval(input)), intOrZero(right.eval(input))))
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = left.genCode(ctx)
+    val k = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${t.code}
+        ${k.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.operators.Joins.deletionHashesKernel(
+              ${strJava(t)}, ${intJava(k)}));
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftDeletionHashes =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the text-kernel expressions — the
-  * typed twins of the `graft_*` SQL functions, used by the Dedup
-  * operators themselves (one expression, two surfaces). */
+  * typed twins of the `graft_*` SQL functions, used by the Dedup/
+  * Curation/Joins operators themselves (one expression, two
+  * surfaces). */
 object TextKernelFunctions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.lit
@@ -189,4 +308,13 @@ object TextKernelFunctions {
       text: Column, n: Int, bands: Int, rowsPerBand: Int): Column =
     column(GraftMinhashBands(expression(text), expression(lit(n)),
       expression(lit(bands)), expression(lit(rowsPerBand))))
+
+  def repetitionCol(text: Column): Column =
+    column(GraftRepetition(expression(text)))
+
+  def wordGramsCol(text: Column, n: Int): Column =
+    column(GraftWordGrams(expression(text), expression(lit(n))))
+
+  def deletionHashesCol(text: Column, k: Int): Column =
+    column(GraftDeletionHashes(expression(text), expression(lit(k))))
 }

@@ -122,17 +122,43 @@ object VectorFunctions {
     * KMapper.java:39). Bit-identical to [[argminCentroid]]: VecSqDist
     * folds the same (aᵢ−bᵢ)² terms left-to-right in double.
     *
-    * The chain is O(k²) comparisons (whole-stage codegen CSE evaluates
-    * each distance once); use for small k — broadcast assignment, IVF
-    * cells — and [[argminCentroid]] in a typed map for large k. */
+    * Small k (≤ 16) is ONE CASE chain — O(k²) comparisons, but
+    * whole-stage codegen CSE evaluates each distance once. Large k is
+    * CHUNKED: centroids split into groups of ≤ 16, each group resolves
+    * its (min-distance, argmin) with the same chain, and the groups
+    * combine recursively with the identical earliest-wins `<=` device —
+    * so k = 64 costs 4 chunk chains + one 4-way combine instead of a
+    * 2016-comparison chain that overruns janino's method-size limit
+    * (and, before this, fell back to a non-codegen ScalaUDF).
+    * Earliest-wins at every level ≡ the flat running min: within a
+    * chunk ties go to the lowest index, and across chunks `<=` against
+    * every LATER chunk's min picks the earliest chunk achieving the
+    * global min. */
   def assignCol(features: Column, centroids: Array[Array[Float]]): Column = {
-    val ds = centroids.map(c => sqdistCol(features, vecLit(c)))
-    val k = ds.length
-    if (k == 1) lit(0)
-    else
-      (0 until k - 1).foldRight(lit(k - 1): Column) { (i, acc) =>
-        when((i + 1 until k).map(j => ds(i) <= ds(j)).reduce(_ && _), lit(i))
+    val ds = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      (sqdistCol(features, vecLit(c)), lit(i): Column)
+    }
+    argminPairs(ds)
+  }
+
+  /** Earliest-wins argmin over (value, payload) pairs, chunked at 16. */
+  private def argminPairs(
+      pairs: IndexedSeq[(Column, Column)]): Column = {
+    val k = pairs.length
+    if (k == 1) pairs(0)._2
+    else if (k <= 16)
+      (0 until k - 1).foldRight(pairs(k - 1)._2) { (i, acc) =>
+        when((i + 1 until k).map(j => pairs(i)._1 <= pairs(j)._1)
+            .reduce(_ && _), pairs(i)._2)
           .otherwise(acc)
       }
+    else {
+      val folded = pairs.grouped(16).toIndexedSeq.map { ch =>
+        val minD =
+          if (ch.length == 1) ch(0)._1 else least(ch.map(_._1): _*)
+        (minD, argminPairs(ch))
+      }
+      argminPairs(folded)
+    }
   }
 }

@@ -34,22 +34,16 @@ final case class KMeansModel(
 
   /** Label every row with its nearest centroid — a pure narrow map, no
     * shuffle (reference does this driver-side over the whole dataset,
-    * Main.java:345-355; we stay distributed). Small k plans as a
-    * codegen'd `VecSqDist` CASE chain (inside whole-stage codegen);
-    * large k falls back to a broadcast + UDF with identical semantics
-    * (same double fold, same lowest-index ties). */
+    * Main.java:345-355; we stay distributed). Always the codegen'd
+    * `VecSqDist` CASE-chain argmin (inside whole-stage codegen): small
+    * k is one chain, large k the chunked-combine form — identical
+    * semantics at any k (same double fold, same lowest-index ties),
+    * no ScalaUDF fallback anywhere on the labeling pass. */
   def transform(
       df: DataFrame,
       featuresCol: String = "features",
       outputCol: String = "cluster"): DataFrame =
-    if (centroids.length <= 16)
-      df.withColumn(outputCol, assignCol(col(featuresCol), centroids))
-    else {
-      val spark = df.sparkSession
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assignU = udf((f: Seq[Float]) => argminCentroid(f.toArray, bc.value))
-      df.withColumn(outputCol, assignU(col(featuresCol)))
-    }
+    df.withColumn(outputCol, assignCol(col(featuresCol), centroids))
 
   def centroidsAsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._

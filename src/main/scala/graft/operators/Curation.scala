@@ -92,6 +92,14 @@ object Curation {
     (nTokens.toLong, distinct.size.toLong, top.toLong)
   }
 
+  /** [[repetitionKernel]] packed as a 3-element long array — the shape
+    * the codegen'd expression form returns (an array slots into
+    * `GenericArrayData` directly; a tuple would need a struct writer). */
+  def repetitionKernelArr(text: String): Array[Long] = {
+    val (n, d, t) = repetitionKernel(text)
+    Array(n, d, t)
+  }
+
   /** Distinct hashes of the adjacent word `n`-grams of `text`. Each
     * token's characters are FNV-1a-hashed ONCE; a gram hash is the
     * order-sensitive splitmix chain of its `n` per-token hashes — the
@@ -149,13 +157,16 @@ object Curation {
       df: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val u = udf((t: String) => repetitionKernel(t))
-    df.select(col(idCol), u(col(textCol)).as("_graft_rep"))
+    // the codegen'd expression form of the kernel (the round-9
+    // TextExpressions precedent) — no ScalaUDF boundary in the scan
+    df.select(col(idCol),
+        graft.functions.TextKernelFunctions.repetitionCol(col(textCol))
+          .as("_graft_rep"))
       .select(
         col(idCol),
-        col("_graft_rep._1").as("n_tokens"),
-        col("_graft_rep._2").as("n_distinct"),
-        col("_graft_rep._3").as("top_bigram_n"))
+        col("_graft_rep").getItem(0).as("n_tokens"),
+        col("_graft_rep").getItem(1).as("n_distinct"),
+        col("_graft_rep").getItem(2).as("top_bigram_n"))
       .withColumn("keep",
         col("n_tokens") > 1 &&
           col("n_distinct") * 5 >= col("n_tokens") * 2 &&
@@ -368,9 +379,9 @@ object Curation {
       minShared: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val u = udf((t: String) => wordGramHashSet(t, n))
     val grams = docs.select(col(idCol), isTest.as("_graft_is_test"),
-      explode(u(col(textCol))).as("_graft_h"))
+      explode(graft.functions.TextKernelFunctions
+        .wordGramsCol(col(textCol), n)).as("_graft_h"))
     val test = grams.where(col("_graft_is_test"))
       .select(col("_graft_h")).distinct()
     val train = grams.where(!col("_graft_is_test"))
@@ -522,8 +533,12 @@ object Curation {
     // ("checkpoint block not found" has no fallback). cx derives from
     // cb (Σ_w2 cxy), so the model costs one tokenize pass and the
     // scoring join a second — never a pinned corpus-sized cache.
-    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Generation-tracked (the handle outlives this call inside the
+    // returned plan): the next lmScore call or CachePool.releaseAll
+    // frees it — one model cache pinned per session, not per call.
+    val cb = graft.CachePool.swap("curation.lmscore.cb",
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cu = cb.groupBy("w1").agg(sum(col("cxy")).as("cx"))
     val v = cu.count().toDouble // vocabulary-as-context size
 

@@ -560,7 +560,19 @@ object Dedup {
       df: DataFrame,
       maxHamming: Int,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    simhashPairsFromFp(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")),
+      maxHamming)
+
+  /** The pair-extraction half of [[simhashPairs]], over an already-
+    * computed `(id, fp)` fingerprint table — split out so the banding
+    * decision is SQL-replayable on its own: persist the fingerprints
+    * (deterministic, engine-computed) and any engine with `bit_count` /
+    * `xor` can verify the pair set exactly (`bit_count(xor(a.fp, b.fp))
+    * <= maxHamming`), even though the per-char wrapping-multiply
+    * fingerprint KERNEL itself has no SQL twin. */
+  def simhashPairsFromFp(fpDf: DataFrame, maxHamming: Int): DataFrame = {
     // Pathological radii must fail loudly: maxHamming ≥ 32 gives sub-
     // 2-bit bands whose buckets hold large fractions of the corpus, and
     // at ≥ 64 some bands are zero-width (mask 0) — every fingerprint in
@@ -579,8 +591,7 @@ object Dedup {
       shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask))
         .bitwiseOR(lit(b.toLong << 56))
     }
-    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
-    val banded = fp.select(col("id"), col("fp"),
+    val banded = fpDf.select(col("id"), col("fp"),
       explode(array(bandCols: _*)).as("bk"))
     val a = banded.select(col("bk").as("bk_a"), col("id").as("id_a"),
       col("fp").as("fp_a"))

@@ -740,13 +740,19 @@ object Graph {
     * (inclusive — the same A7 fixpoint discipline as [[pageRank]]'s
     * epsilon; the check is a one-row aggregate per round).
     *
-    * Scale posture: the distributed rank-table body again — the edge
-    * list is cached TWICE, co-partitioned on src (hub gather) and on
-    * dst (auth gather), so per round only the two N-row score tables
-    * move; contributions are 12-dp DECIMAL sums (exact, associative),
-    * the L1 totals are one-row aggregates cross-joined in (a plan,
-    * not a collect), scores are 9-dp rounded and the frame is
-    * per-round `localCheckpoint`ed. No driver collect anywhere.
+    * Scale posture: the distributed rank-table body again, with the
+    * two gathers FUSED: ONE bidirectional edge cache holds each edge
+    * twice — (src→dst, auth side) and (dst→src, hub side) — so a
+    * round is ONE join of the score table against the cache and ONE
+    * (node, conditional-sum × 2) aggregate, instead of two separately
+    * cached edge tables each shuffling the scores per round (same row
+    * volume through the exchanges, HALF the jobs/stages per round —
+    * HitsSpec asserts the job count). Contributions are 12-dp DECIMAL
+    * sums (exact, associative — the conditional split sums exactly
+    * the same term multisets as the separate gathers, so scores are
+    * bit-identical), the L1 totals are one-row aggregates cross-joined
+    * in (a plan, not a collect), scores are 9-dp rounded and the frame
+    * is per-round `localCheckpoint`ed. No driver collect anywhere.
     *
     * Returns (node, auth, hub), authorities first. */
   def hits(
@@ -769,15 +775,21 @@ object Graph {
     epsilon.foreach(e => require(e >= 0.0, s"epsilon must be >= 0, got $e"))
     require(gt.numNodes > 0, "graph has no nodes")
     val e = gt.edges.select("src", "dst")
-    val edSrc = e.repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edDst = e.repartition(col("dst"))
+    // ONE bidirectional gather cache: (gfrom → gto) carries hub mass
+    // when is_auth (the src→dst direction) and auth mass otherwise
+    // (dst→src) — 2E rows co-partitioned on the score-join key, so
+    // each round is one join + one aggregate, not two of each.
+    val bi = e.select(col("src").as("gfrom"), col("dst").as("gto"),
+        lit(true).as("is_auth"))
+      .unionAll(e.select(col("dst").as("gfrom"), col("src").as("gto"),
+        lit(false).as("is_auth")))
+      .repartition(col("gfrom"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodesDf = gt.nodes.select("node")
       .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = gt.numNodes.toDouble
-    edSrc.count(); edDst.count(); nodesDf.count()
+    bi.count(); nodesDf.count()
 
     val dec0 = lit(java.math.BigDecimal.ZERO).cast(Dec12)
     var scores = nodesDf
@@ -786,26 +798,22 @@ object Graph {
     var it = 0
     var converged = false
     while (it < iters && !converged) {
-      // auth gather: hubs flow src -> dst (12-dp DECIMAL partial/final)
-      val authRaw = edSrc
-        .join(scores.select(col("node"), col("hub")).hint("shuffle_hash"),
-          col("src") === col("node"))
-        .select(col("dst").as("node"),
-          round(col("hub"), 12).cast(Dec12).as("c"))
-        .groupBy("node").agg(sum(col("c")).as("sa"))
-      // hub gather: auths flow dst -> src
-      val hubRaw = edDst
-        .join(scores.select(col("node"), col("auth")).hint("shuffle_hash"),
-          col("dst") === col("node"))
-        .select(col("src").as("node"),
-          round(col("auth"), 12).cast(Dec12).as("c"))
-        .groupBy("node").agg(sum(col("c")).as("sh"))
-      // L1 totals as one-row aggregates, cross-joined (no collect)
-      val tots = authRaw.agg(coalesce(sum(col("sa")), dec0).as("ta"))
-        .crossJoin(hubRaw.agg(coalesce(sum(col("sh")), dec0).as("th")))
+      // fused gather: one pass over the bidirectional cache; the
+      // conditional 12-dp DECIMAL sums split the auth and hub term
+      // multisets exactly as the separate gathers did (null terms are
+      // skipped by sum), so both totals stay bit-identical
+      val perNode = bi
+        .join(scores.hint("shuffle_hash"), col("gfrom") === col("node"))
+        .select(col("gto").as("node"),
+          when(col("is_auth"), round(col("hub"), 12).cast(Dec12)).as("ca"),
+          when(!col("is_auth"), round(col("auth"), 12).cast(Dec12)).as("ch"))
+        .groupBy("node")
+        .agg(sum(col("ca")).as("sa"), sum(col("ch")).as("sh"))
+      // L1 totals as ONE one-row aggregate, cross-joined (no collect)
+      val tots = perNode.agg(coalesce(sum(col("sa")), dec0).as("ta"),
+        coalesce(sum(col("sh")), dec0).as("th"))
       val next = nodesDf
-        .join(authRaw.hint("shuffle_hash"), Seq("node"), "left")
-        .join(hubRaw.hint("shuffle_hash"), Seq("node"), "left")
+        .join(perNode.hint("shuffle_hash"), Seq("node"), "left")
         .crossJoin(broadcast(tots))
         .select(col("node"),
           round(coalesce(col("sa").cast("double"), lit(0.0)) /
@@ -826,7 +834,7 @@ object Graph {
       scores = next
       it += 1
     }
-    edSrc.unpersist(); edDst.unpersist(); nodesDf.unpersist()
+    bi.unpersist(); nodesDf.unpersist()
     scores.orderBy(desc("auth"), col("node"))
   }
 

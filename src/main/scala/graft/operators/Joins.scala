@@ -219,6 +219,13 @@ object Joins {
     r
   }
 
+  /** Public null-safe entry for the codegen'd expression form
+    * ([[graft.functions.GraftDeletionHashes]]): null string → empty
+    * neighborhood (no variants, so no candidate pairs — the join
+    * semantics a null key should have). */
+  def deletionHashesKernel(s: String, k: Int): Array[Long] =
+    if (s == null) Array.emptyLongArray else deletionHashes(s, k)
+
   /** Edit-distance self-join (record-linkage blocking): all pairs
     * with `levenshtein ≤ maxDist`, as `(id_a, id_b, dist)`,
     * `id_a < id_b`.
@@ -246,9 +253,10 @@ object Joins {
       s"deletion neighborhoods are generated for maxDist 1 or 2, " +
         s"got $maxDist")
     val k = maxDist
-    val hashU = udf((s: String) => deletionHashes(s, k))
     val v = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    val e = v.select(col("id"), explode(hashU(col("s"))).as("vk"))
+    val e = v.select(col("id"),
+      explode(graft.functions.TextKernelFunctions
+        .deletionHashesCol(col("s"), k)).as("vk"))
     val pairs = e.as("a")
       .join(e.as("b"),
         col("a.vk") === col("b.vk") && col("a.id") < col("b.id"))

@@ -79,9 +79,13 @@ object Retrieval {
     // this same code path, and lineage stays intact so an executor
     // lost mid-query recomputes instead of failing. Costs one extra
     // tokenize pass (dl + tf branches) but never pins a corpus-sized
-    // cache.
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache. The handle outlives this call (the returned plan joins
+    // it), so it is generation-tracked: the NEXT bm25TopK call (or
+    // CachePool.releaseAll) frees it — at most one doc-length table
+    // stays pinned per session, not one per query.
+    val dl = graft.CachePool.swap("retrieval.bm25.dl",
+      tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // avgdl over ALL docs (token-less docs count in the denominator);
     // one long-over-double division, bit-identical in any engine.
     // A fully token-less corpus sums to null -> 0 tokens; the scoring

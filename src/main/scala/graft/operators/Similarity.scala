@@ -293,6 +293,7 @@ object Similarity {
       batch: DataFrame,
       idCol: String = "vec_id",
       embCol: String = "embedding"): Unit = {
+    rejectLegacyIvfLayout(spark, path)
     val cur = graft.sources.Artifacts.latestDir(spark, path)
     val cents = readIvfCentroids(spark, cur)
     require(cents.nonEmpty, s"$cur/centroids is empty — not an IVF index")
@@ -319,6 +320,7 @@ object Similarity {
       path: String,
       idCol: String = "vec_id",
       embCol: String = "embedding"): IvfIndex = {
+    rejectLegacyIvfLayout(spark, path)
     val vdir = graft.sources.Artifacts.latestDir(spark, path)
     val assigned = readIvfManifest(spark, vdir)
       .map(seg => spark.read.parquet(s"$path/segments/$seg/assigned"))
@@ -334,6 +336,26 @@ object Similarity {
       .orderBy("cluster")
       .collect()
       .map(_.getSeq[Float](1).toArray)
+
+  /** The pre-versioned IVF layout ({path/assigned, path/centroids},
+    * no v* pointer) predates the segment+manifest format and has no
+    * read path — fail with a migration message instead of letting
+    * [[graft.sources.Artifacts.latestDir]] report a generic
+    * "no published artifact" on what IS an (old-format) index. */
+  private def rejectLegacyIvfLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val h = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = h.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))
+    val versioned =
+      graft.sources.Artifacts.latestVersion(spark, path).nonEmpty
+    if (legacy && !versioned) throw new IllegalArgumentException(
+      s"$path holds a pre-versioned IVF layout ({assigned, centroids} " +
+        "with no version pointer) — rebuild required: re-run " +
+        "writeIvfIndex over the source embeddings (or republish the " +
+        "existing assigned table as segment 1 of a v1 manifest) to " +
+        "migrate to the versioned segment+manifest format")
+  }
 
   /** Segment names in manifest order (ascending `ord`). */
   private def readIvfManifest(

@@ -272,8 +272,13 @@ object TextAnalysis {
     // intact so an executor loss recomputes instead of failing; the
     // broadcast-exchange jobs populate the cache on first use). An
     // eager localCheckpoint was tried and rejected on both counts.
-    val m = model.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Generation-tracked (the handle outlives this call inside the
+    // returned plan): the next charNgramDetect call or
+    // CachePool.releaseAll frees it — one model cache pinned per
+    // session, not one per classify call.
+    val m = graft.CachePool.swap("textanalysis.charngram.model",
+      model.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nl = m.groupBy("lang").agg(sum("c").as("n_lang"))
     val v = m.agg(count_distinct(col("g")).as("v"))
     // The Laplace term depends ONLY on (gram, lang) — compute it once
@@ -481,13 +486,16 @@ object TextAnalysis {
     * Java ∩ RE2 subset (oracle runs the identical patterns):
     *   - U+FFFD REPLACEMENT CHARACTER — a decoder already gave up;
     *   - C1 controls U+0080-U+009F — CP-1252 bytes decoded as
-    *     Latin-1 (never legitimate in text);
+    *     Latin-1 — EXCEPT U+0085 (NEL), which occurs legitimately as
+    *     a newline in text converted from EBCDIC/ISO-mainframe
+    *     sources and in some XML pipelines, so flagging it would mark
+    *     clean documents damaged;
     *   - UTF-8-read-as-Latin-1 digraphs — an é stored as UTF-8 and
     *     decoded as Latin-1 becomes "Ã©" (lead byte 0xC3 → Ã followed
     *     by a Latin-1-supplement char), and the smart-quote range
     *     becomes "â€¦"-style triples (lead 0xE2 → â€). */
   val replacementRe = "\\x{FFFD}"
-  val c1ControlRe = "[\\x{0080}-\\x{009F}]"
+  val c1ControlRe = "[\\x{0080}-\\x{0084}\\x{0086}-\\x{009F}]"
   val doubleEncodeRe = "Ã[\\x{00A0}-\\x{00FF}]|â€|Â[\\x{00A0}-\\x{00BF}]"
 
   /** Per-document encoding-damage audit: counts of the three mojibake
@@ -495,17 +503,19 @@ object TextAnalysis {
     * BEFORE normalization and dedup (damaged text hashes differently
     * from its clean twin, silently defeating dedup; and mojibake is a
     * quality signal in its own right). Pure codegen'd regexp counts,
-    * one scan, zero shuffles, zero UDFs — the scriptProfile posture. */
+    * one scan, zero shuffles, zero UDFs — the scriptProfile posture.
+    * A null text audits as zero counts / clean (coalesced — the flag
+    * is always a concrete boolean, never a null verdict). */
   def encodingQuality(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
+    def cnt(re: String): Column =
+      coalesce(size(regexp_extract_all(t, lit(re), lit(0))).cast("long"),
+        lit(0L))
     docs.select(col(idCol),
-      size(regexp_extract_all(t, lit(replacementRe), lit(0)))
-        .cast("long").as("n_replacement"),
-      size(regexp_extract_all(t, lit(c1ControlRe), lit(0)))
-        .cast("long").as("n_c1_control"),
-      size(regexp_extract_all(t, lit(doubleEncodeRe), lit(0)))
-        .cast("long").as("n_double_encoded"))
+      cnt(replacementRe).as("n_replacement"),
+      cnt(c1ControlRe).as("n_c1_control"),
+      cnt(doubleEncodeRe).as("n_double_encoded"))
       .withColumn("clean",
         col("n_replacement") + col("n_c1_control") +
           col("n_double_encoded") === 0)

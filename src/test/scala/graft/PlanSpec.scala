@@ -399,4 +399,67 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("KMeans.transform at k=64 stays the codegen'd chunked argmin — " +
+    "no ScalaUDF fallback, and labels match the compiled running min") {
+    import graft.functions.VectorFunctions.argminCentroid
+    import org.apache.spark.sql.functions.col
+    // over parquet (an inline fixture constant-folds the whole chain
+    // into a LocalTableScan — the q181/q183 device): 64 centroids
+    // sampled from the corpus itself, so exact ties (a point that IS a
+    // centroid) exercise the earliest-wins chunk combine
+    val emb = sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("features"))
+    val cents = emb.orderBy("vec_id").limit(64)
+      .select("features").collect().map(_.getSeq[Float](0).toArray)
+    val labeled = graft.kmeans.KMeansModel(cents, 0, converged = true)
+      .transform(emb)
+    val p = labeled.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("vec_sqdist"), p)
+    val got = labeled.select("vec_id", "features", "cluster").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      assert(r.getInt(2) === argminCentroid(v, cents),
+        s"vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("repetitionStats (q80) runs the kernel as a codegen'd " +
+    "expression — no ScalaUDF, no exchange before the scan project") {
+    val docs = sources.Tables(spark, dir, "documents")
+    val p = operators.Curation.repetitionStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("graft_repetition"), p)
+    assert(!p.contains("Exchange"), p) // pure per-row kernel
+  }
+
+  test("contamination (q81) hashes grams with the codegen'd " +
+    "expression and broadcasts the test side — no ScalaUDF") {
+    val docs = sources.Tables(spark, dir, "documents")
+    val df = operators.Curation.contamination(docs, "doc_id", "text",
+      isTest = org.apache.spark.sql.functions.col("doc_id") % 10 === 0,
+      n = 3, minShared = 2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("graft_word_grams"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("editDistanceSelfJoin (q91) blocks on codegen'd deletion " +
+    "hashes — no ScalaUDF, candidates via hash join not BNLJ") {
+    val parts = sources.Tables(spark, dir, "part")
+      .select(org.apache.spark.sql.functions.col("p_partkey"),
+        org.apache.spark.sql.functions.col("p_name"))
+    val df = operators.Joins.editDistanceSelfJoin(
+      parts, "p_partkey", "p_name", maxDist = 1)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("graft_deletion_hashes"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
 }

@@ -408,6 +408,48 @@ class GraphSpec extends SparkSpec {
     assert(got(3L)._1 > got(2L)._1)
   }
 
+  test("hits rounds run the FUSED single-gather plan: stage budget " +
+    "per round is half the two-gather form's") {
+    import spark.implicits._
+    val group = s"graft-hits-fused-${System.nanoTime()}"
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet()
+          stages.addAndGet(js.stageInfos.size)
+        }
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(jl)
+    spark.sparkContext.setJobGroup(group, "hits fused-gather test")
+    try {
+      val got = Graph.hits(directed.toDF("src", "dst").repartition(3),
+          "src", "dst", iters = 8)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      assert(got === bruteHits(directed, 8))
+      Thread.sleep(500) // listener bus is async
+      // each round is ONE localCheckpoint job (fused: a single
+      // score-join + a single two-sum aggregate feed it); the
+      // two-gather form submitted the same jobs but planned TWO
+      // score joins + TWO aggregates per round — about twice the
+      // stages. Fused measures ~6 stages/round; the bound flags any
+      // regression back to the split plan (~11/round) while leaving
+      // AQE headroom.
+      assert(jobs.get() >= 8, s"jobs = ${jobs.get()}")
+      assert(stages.get() <= jobs.get() * 8,
+        s"stages = ${stages.get()} over ${jobs.get()} jobs")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(jl)
+    }
+  }
+
   test("hits parity on the 300-node random digraph") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
@@ -1111,6 +1153,27 @@ class GraphSpec extends SparkSpec {
         (1L to 6L).map(_ -> 99L).toDF("node", "lbl")).head()
       assert(one.getDouble(0) === 0.0)
       assert(one.getLong(1) === 1L)
+    } finally gt.unpersist()
+  }
+
+  test("modularity over PARQUET-round-tripped label-prop labels is " +
+    "bit-identical to scoring the in-flight labels (the q164 artifact)") {
+    import spark.implicits._
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 6L,
+      6L -> 4L, 3L -> 4L)
+    val sym = und ++ und.map(_.swap)
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    try {
+      val labels = Graph.labelPropagationImpl(gt, iters = 5)
+      val dir = java.nio.file.Files.createTempDirectory("lbl").toString
+      labels.write.mode("overwrite").parquet(dir)
+      val inline = gt.modularity(labels).head()
+      val loaded = gt.modularity(spark.read.parquet(dir)).head()
+      assert(loaded.getDouble(0) === inline.getDouble(0))
+      assert(loaded.getLong(1) === inline.getLong(1))
+      assert(loaded.getLong(2) === inline.getLong(2))
     } finally gt.unpersist()
   }
 

@@ -76,6 +76,31 @@ class IvfSpec extends SparkSpec {
     } finally built.unpersist()
   }
 
+  test("pre-versioned IVF layout is rejected with an explicit " +
+    "migration message, not a generic artifact-resolution error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivflegacy").toString
+    // fabricate the OLD {assigned, centroids} layout: no version pointer
+    Seq((0, Array(0f, 0f)), (1, Array(1f, 1f)))
+      .toDF("cluster", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((0L, Array(0.1f, 0.2f), 0))
+      .toDF("vec_id", "embedding", "cell")
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+    val eRead = intercept[IllegalArgumentException] {
+      Similarity.readIvfIndex(spark, dir)
+    }
+    assert(eRead.getMessage.contains("pre-versioned IVF layout"),
+      eRead.getMessage)
+    assert(eRead.getMessage.contains("rebuild required"), eRead.getMessage)
+    val eAppend = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, dir,
+        Seq((2L, Array(0.3f, 0.4f))).toDF("vec_id", "embedding"))
+    }
+    assert(eAppend.getMessage.contains("pre-versioned IVF layout"),
+      eAppend.getMessage)
+  }
+
   test("append-then-probe equals assign-union-then-probe (no re-fit)") {
     import org.apache.spark.sql.execution.ExplainMode
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

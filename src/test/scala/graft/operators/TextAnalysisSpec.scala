@@ -621,11 +621,14 @@ class SourcesSpec extends SparkSpec {
     val docs = Seq(
       (0L, "plain ascii"),
       (1L, s"bad ${0xFFFD.toChar}${0xFFFD.toChar}${0xFFFD.toChar}"),
+      // U+0085 NEL is a legitimate newline (EBCDIC/ISO conversions) —
+      // excluded from the C1 class; only U+009F counts here
       (2L, s"nel ${0x0085.toChar} and del-range ${0x009F.toChar}"),
       (3L, s"caf${0x00C3.toChar}${0x00A9.toChar} and " +
         s"${0x00E2.toChar}${0x20AC.toChar}${0x2122.toChar}"),
       (4L, s"caf${0x00E9.toChar} na${0x00EF.toChar}ve — clean unicode"),
-      (5L, "")).toDF("doc_id", "text")
+      (5L, ""),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val got = TextAnalysis.encodingQuality(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -633,10 +636,12 @@ class SourcesSpec extends SparkSpec {
     assert(got === Seq(
       (0L, 0L, 0L, 0L, true),
       (1L, 3L, 0L, 0L, false),
-      (2L, 0L, 2L, 0L, false),
+      (2L, 0L, 1L, 0L, false),
       (3L, 0L, 0L, 2L, false),
       (4L, 0L, 0L, 0L, true),
-      (5L, 0L, 0L, 0L, true)))
+      (5L, 0L, 0L, 0L, true),
+      // null text: counts coalesce to 0, verdict is a CONCRETE boolean
+      (6L, 0L, 0L, 0L, true)))
   }
 
   test("collocations fold=true merges case variants of a bigram; " +
