@@ -87,6 +87,14 @@ object SparkEntry {
           (id, operators.Multimodal.wavPayload(id, 64))))
         .toDF("media_id", "payload")
         .write.mode("overwrite").parquet(s"$base/wav")
+      // the LOSSY second container format (q188): flat-gray JPEGs —
+      // real corpora are mixed-format, so the decode surface must be
+      // exercised beyond PNG/WAV
+      ids.as[Long]
+        .mapPartitions(_.map(id =>
+          (id, operators.Multimodal.jpegPayload(id, 8))))
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(s"$base/jpg")
       base
     })
 
@@ -3134,7 +3142,19 @@ object SparkEntry {
       operators.TextAnalysis.encodingQuality(
           mojibakeFixtureRows.toDF("doc_id", "text"), "doc_id", "text")
         .orderBy("doc_id")
-    }))
+    }),
+
+    // REAL JPEG decode — the lossy second container format next to
+    // q109's bit-exact PNG: per payload the container must parse, the
+    // dimensions must survive, and every decoded pixel must sit within
+    // 8 levels of the flat recipe gray (DC quantization is the only
+    // JPEG error on a flat field). A failed decode reports
+    // (-1, -1, false) and breaks the oracle — so the green row proves
+    // the codec path, not just the plumbing.
+    "q188_jpeg_decode" -> ((s, dir) =>
+      operators.Multimodal.jpegDecodeAudit(
+          s.read.parquet(s"${mediaFixturePath(s, dir)}/jpg"), tol = 8)
+        .orderBy("media_id")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -6003,6 +6023,15 @@ object SparkEntry {
         |SELECT d.lang, nb.detected, count(*) AS n
         |FROM nb JOIN documents d USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the lossy-codec contract replayed from the recipe: the engine's
+    // within_tol flag must come back TRUE for every doc (and dims 8×1)
+    // — any decode failure or out-of-tolerance pixel flips a row and
+    // breaks the hash
+    "q188_jpeg_decode" ->
+      """SELECT doc_id AS media_id, CAST(8 AS INT) AS width,
+        |  CAST(1 AS INT) AS height, true AS within_tol
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // same VALUES fixture (ONE Scala Seq), same three Java∩RE2
     // patterns spelled for RE2 — counts are integer-exact

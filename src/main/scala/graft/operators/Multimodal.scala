@@ -249,6 +249,74 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Recipe gray level of the flat JPEG fixture for `id`. */
+  def jpegFlatLevel(id: Long): Int = ((id * 37 + 11) % 251).toInt
+
+  /** Deterministic FLAT-gray dim×1 JPEG — the lossy second container
+    * format next to [[pngPayload]]'s lossless one. JPEG quantizes even
+    * a flat block's DC coefficient, so per-pixel values are NOT
+    * recipe-replayable the way PNG's are; the oracle contract is the
+    * one a lossy codec supports: container parses, dimensions survive,
+    * and every decoded pixel sits within a small tolerance of the
+    * recipe level ([[jpegDecodeAudit]]). A flat field keeps the error
+    * to DC quantization only (no ringing), well inside tolerance 8. */
+  def jpegPayload(id: Long, dim: Int): Array[Byte] = {
+    val v = jpegFlatLevel(id)
+    val img = new java.awt.image.BufferedImage(
+      dim, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < dim) {
+      img.setRGB(x, 0, (v << 16) | (v << 8) | v)
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Decode audit over the flat-JPEG fixture: REAL ImageIO decode of
+    * each payload, emitting `(media_id, width, height, within_tol)` —
+    * `within_tol` is true iff every decoded channel of every pixel is
+    * within `tol` levels of the id's recipe level. A payload ImageIO
+    * cannot decode reports (-1, -1, false) — the totality posture.
+    * This is the lossy-codec twin of the q109 bit-exact PNG oracle:
+    * dimensions + bounded luminance ARE the replayable contract when
+    * the codec quantizes. Same mapPartitions batch shape as
+    * [[resizeImages]]. */
+  def jpegDecodeAudit(media: DataFrame, tol: Int): DataFrame = {
+    require(tol >= 0, s"tol must be >= 0, got $tol")
+    val spark = media.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null || img.getWidth == 0 || img.getHeight == 0)
+          (id, -1, -1, false)
+        else {
+          val v = jpegFlatLevel(id)
+          var ok = true
+          var x = 0
+          while (x < img.getWidth && ok) {
+            var y = 0
+            while (y < img.getHeight && ok) {
+              val rgb = img.getRGB(x, y)
+              ok = math.abs(((rgb >> 16) & 0xff) - v) <= tol &&
+                math.abs(((rgb >> 8) & 0xff) - v) <= tol &&
+                math.abs((rgb & 0xff) - v) <= tol
+              y += 1
+            }
+            x += 1
+          }
+          (id, img.getWidth, img.getHeight, ok)
+        }
+      })
+      .toDF("media_id", "width", "height", "within_tol")
+  }
+
   /** Deterministic mono 16-bit PCM WAV: sample j is
     * `(id·7919 + j·104729) mod 65536 − 32768` — the audio twin of
     * [[pngPayload]], replayable in SQL for the q110 oracle. Encoded

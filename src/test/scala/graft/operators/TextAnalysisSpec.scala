@@ -173,6 +173,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpegPayload decodes through the REAL codec within the lossy " +
+    "tolerance: dims survive, pixels near the recipe, junk reports false") {
+    // the q188 contract: flat field → only DC quantization error
+    for (id <- Seq(0L, 1L, 17L, 499L)) {
+      val v = jpegFlatLevel(id)
+      val feats = imageDecodeFeatures(jpegPayload(id, 8), 8)
+      feats.foreach(f =>
+        assert(math.abs(f - v / 255.0f) <= 8.0f / 255.0f, s"id=$id f=$f v=$v"))
+    }
+    import spark.implicits._
+    val media = (Seq(0L, 1L, 17L).map(id => (id, jpegPayload(id, 8))) :+
+      (99L, Array[Byte](1, 2, 3, 4))).toDF("media_id", "payload")
+    val got = jpegDecodeAudit(media, tol = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(got === Seq((0L, 8, 1, true), (1L, 8, 1, true),
+      (17L, 8, 1, true), (99L, -1, -1, false)))
+  }
+
   test("imageResizeNearest picks exact source pixels; non-images pass through") {
     // resizing the 8-wide fixture to 4 must make strip i EXACTLY the
     // source pixel 2i's luminance — the q136 oracle's contract
