@@ -11,15 +11,20 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.Dedup
 
-/** Native Catalyst forms of the dedup text kernels
+/** Native Catalyst forms of the per-row text kernels — dedup
   * ([[graft.operators.Dedup.simhashFn]] / `shingleHashSet` /
-  * `minhashBandHashes`) — the SAME compiled single-pass kernels the
-  * operators run, exposed as whole-stage-codegen'd expressions instead
-  * of `ScalaUDF`s, so (a) the hot dedup scans stay inside one codegen
-  * span (no UDF serialization boundary, no Row↔Scala conversion per
-  * document), and (b) pure-SQL users reach them through
-  * [[GraftExtensions]] (`graft_simhash` / `graft_shingles` /
-  * `graft_minhash_bands`).
+  * `minhashBandHashes`), curation
+  * ([[graft.operators.Curation.repetitionKernel]] /
+  * `wordGramHashSet`), and fuzzy-join blocking
+  * ([[graft.operators.Joins]] deletion neighborhoods) — the SAME
+  * compiled single-pass kernels the operators run, exposed as
+  * whole-stage-codegen'd expressions instead of `ScalaUDF`s, so
+  * (a) the hot scans stay inside one codegen span (no UDF
+  * serialization boundary, no Row↔Scala conversion per document),
+  * and (b) pure-SQL users reach them through [[GraftExtensions]]
+  * (`graft_simhash` / `graft_shingles` / `graft_minhash_bands` /
+  * `graft_repetition` / `graft_word_grams` /
+  * `graft_deletion_hashes`).
   *
   * Null semantics mirror the ScalaUDF form bit-for-bit (the operators
   * swapped to these must not change a single oracle hash): a null text
