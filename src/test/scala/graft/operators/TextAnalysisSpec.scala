@@ -173,6 +173,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF and BMP containers roundtrip the recipe BIT-EXACTLY " +
+    "through the real decoder (mixed-format corpora beyond PNG/JPEG)") {
+    // both are lossless here: BMP is 24-bit RGB; GIF palettizes, and
+    // the 8 distinct grays of the fixture fit any palette exactly —
+    // so the PNG contract (feature i == recipe_i/255 as a correctly
+    // rounded float) must hold verbatim for both containers
+    def payload(id: Long, dim: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        dim, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until dim).foreach { x =>
+        val v = ((id * 31 + x * 97) % 251).toInt
+        img.setRGB(x, 0, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    for (fmt <- Seq("gif", "bmp"); id <- Seq(0L, 1L, 17L, 499L)) {
+      val got = imageDecodeFeatures(payload(id, 8, fmt), 8)
+      val want = (0 until 8).map(i =>
+        (((id * 31 + i * 97) % 251) / 255.0).toFloat)
+      assert(got.toSeq === want, s"fmt=$fmt id=$id")
+      // cross-format resize: nearest-neighbor picks exact source pixels
+      val resized = imageDecodeFeatures(
+        imageResizeNearest(payload(id, 8, fmt), 4), 4)
+      val wantR = (0 until 4).map(i =>
+        (((id * 31 + (2 * i) * 97) % 251) / 255.0).toFloat)
+      assert(resized.toSeq === wantR, s"resize fmt=$fmt id=$id")
+    }
+  }
+
   test("jpegPayload decodes through the REAL codec within the lossy " +
     "tolerance: dims survive, pixels near the recipe, junk reports false") {
     // the q188 contract: flat field → only DC quantization error
