@@ -103,6 +103,56 @@ object Graph {
 
   private val Dec12 = DecimalType(38, 12)
 
+  /** Target rows per task inside the iterative rank-table loops. The
+    * per-round working sets (E contribution rows, N rank rows) are
+    * latency-bound, not throughput-bound — at small graphs, 32 tasks
+    * of a few thousand rows each cost more in scheduling barriers
+    * than in work (measured: q107 6.9 → 4.0 s at sf0.1 when the
+    * round stages drop from 32 to ~4 tasks). */
+  private val iterRowsPerTask = 250000L
+
+  /** Shuffle-partition count for an iterative body over `rows`-row
+    * working sets: ⌈rows / target⌉, clamped to [1, session setting].
+    * The session setting stays the CEILING — on a cluster where the
+    * operator sized `spark.sql.shuffle.partitions` to the data,
+    * rows/target far exceeds it and behavior is unchanged; only
+    * small-graph rounds get fewer, larger tasks. */
+  private def iterPartitions(
+      spark: org.apache.spark.sql.SparkSession, rows: Long): Int = {
+    val ceiling = spark.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(ceiling.toLong,
+      (rows + iterRowsPerTask - 1) / iterRowsPerTask)).toInt
+  }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` scoped to `p`,
+    * restoring the previous value after. Every action the iterative
+    * bodies run (per-round eager checkpoints, cache-priming counts,
+    * epsilon probes) executes inside `f`, so all their exchanges —
+    * including the groupBy aggregates the DataFrame API gives no
+    * partition-count handle for — plan at `p`. Results are unchanged
+    * by construction: every accumulation in these bodies is either
+    * integer-exact or a 12-dp-rounded DECIMAL sum (exact and
+    * associative), so partitioning cannot move a bit. The conf is
+    * session-visible while `f` runs (same caveat as any conf-scoped
+    * block); the library's iterative calls are synchronous. */
+  private def withShufflePartitions[A](
+      spark: org.apache.spark.sql.SparkSession, p: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    if (old == p.toString) f
+    else {
+      spark.conf.set(key, p.toString)
+      try f finally spark.conf.set(key, old)
+    }
+  }
+
+  /** [[withShufflePartitions]] sized for `gt`'s loop working sets. */
+  private def withIterParallelism[A](gt: GraphTable)(f: => A): A = {
+    val spark = gt.edges.sparkSession
+    withShufflePartitions(spark,
+      iterPartitions(spark, math.max(gt.numEdges, gt.numNodes)))(f)
+  }
+
   /** Node count above which [[pageRank]] auto-selects the distributed
     * rank-table loop body (the rank table must fit the driver/broadcast
     * envelope on the driver-resident body — ~16 bytes a row broadcast
@@ -397,7 +447,7 @@ object Graph {
       damping: Double,
       danglingCorrection: Boolean,
       distributedRanks: Option[Boolean],
-      epsilon: Option[Double]): DataFrame = {
+      epsilon: Option[Double]): DataFrame = withIterParallelism(gt) {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
@@ -644,7 +694,7 @@ object Graph {
       seeds: DataFrame,
       iters: Int,
       damping: Double,
-      epsilon: Option[Double]): DataFrame = {
+      epsilon: Option[Double]): DataFrame = withIterParallelism(gt) {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
@@ -770,7 +820,7 @@ object Graph {
   private[operators] def hitsImpl(
       gt: GraphTable,
       iters: Int,
-      epsilon: Option[Double]): DataFrame = {
+      epsilon: Option[Double]): DataFrame = withIterParallelism(gt) {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     epsilon.foreach(e => require(e >= 0.0, s"epsilon must be >= 0, got $e"))
     require(gt.numNodes > 0, "graph has no nodes")
@@ -876,7 +926,7 @@ object Graph {
 
   private[operators] def labelPropagationImpl(
       gt: GraphTable,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame = withIterParallelism(gt) {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(gt.numNodes > 0, "graph has no nodes")
     val ed = gt.edges.select("src", "dst").repartition(col("src"))
@@ -1089,7 +1139,8 @@ object Graph {
     * Returns surviving (node, deg) — degree WITHIN the core — ordered
     * by node (empty when the k-core is empty). */
   private[operators] def kCoreImpl(
-      gt: GraphTable, k: Int, maxRounds: Int): DataFrame = {
+      gt: GraphTable, k: Int, maxRounds: Int): DataFrame =
+    withIterParallelism(gt) {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     require(gt.numNodes > 0, "graph has no nodes")
@@ -1145,7 +1196,8 @@ object Graph {
     * Returns (node, lvl) for reached nodes (seeds at 0), ordered by
     * node. Seeds not present in the graph are ignored. */
   private[operators] def bfsLevelsImpl(
-      gt: GraphTable, seeds: DataFrame, maxDepth: Int): DataFrame = {
+      gt: GraphTable, seeds: DataFrame, maxDepth: Int): DataFrame =
+    withIterParallelism(gt) {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     require(gt.numNodes > 0, "graph has no nodes")
     val seedsDf = seeds.select(col(seeds.columns.head).as("node")).distinct()
@@ -1210,7 +1262,8 @@ object Graph {
     * (seeds at 0.0), ordered by node. Seeds absent from the graph are
     * ignored. */
   private[operators] def shortestPathsImpl(
-      gt: GraphTable, seeds: DataFrame, maxRounds: Int): DataFrame = {
+      gt: GraphTable, seeds: DataFrame, maxRounds: Int): DataFrame =
+    withIterParallelism(gt) {
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
     require(gt.numNodes > 0, "graph has no nodes")
     val seedsDf = seeds.select(col(seeds.columns.head).as("node")).distinct()
