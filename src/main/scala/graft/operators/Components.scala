@@ -84,8 +84,17 @@ object Components {
         .withColumn("lbl", col("id"))
         .localCheckpoint(eager = true)
 
+      // the checkpoint above populated the edge cache, so this count is
+      // free — it sizes the loop's task count (the Graph-tier device:
+      // label rounds over small pair graphs are latency-bound at the
+      // session's shuffle width; the session setting stays the ceiling,
+      // so cluster-scale inputs are unchanged)
+      val spark = edges.sparkSession
+      val nRows = und.count()
       var round = 0
       var converged = false
+      Graph.withShufflePartitions(spark,
+          Graph.iterPartitions(spark, nRows)) {
       while (!converged && round < maxRounds) {
         // (1) offer labels across edges, keep the per-node min
         val offers = und
@@ -114,6 +123,7 @@ object Components {
         labels = jumped
         converged = changed == 0L
         round += 1
+      }
       }
       if (!converged) {
         releaseCheckpoint(labels) // don't pin the last round's blocks on the throw

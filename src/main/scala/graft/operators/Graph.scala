@@ -117,7 +117,7 @@ object Graph {
     * operator sized `spark.sql.shuffle.partitions` to the data,
     * rows/target far exceeds it and behavior is unchanged; only
     * small-graph rounds get fewer, larger tasks. */
-  private def iterPartitions(
+  private[operators] def iterPartitions(
       spark: org.apache.spark.sql.SparkSession, rows: Long): Int = {
     val ceiling = spark.sessionState.conf.numShufflePartitions
     math.max(1L, math.min(ceiling.toLong,
@@ -135,7 +135,7 @@ object Graph {
     * associative), so partitioning cannot move a bit. The conf is
     * session-visible while `f` runs (same caveat as any conf-scoped
     * block); the library's iterative calls are synchronous. */
-  private def withShufflePartitions[A](
+  private[operators] def withShufflePartitions[A](
       spark: org.apache.spark.sql.SparkSession, p: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)

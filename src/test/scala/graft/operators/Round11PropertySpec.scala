@@ -93,7 +93,9 @@ class Round11PropertySpec extends SparkSpec {
         Graph.hits(e, "src", "dst", iters = 5)
           .collect().toSeq.map(_.toSeq),
         Graph.labelPropagation(e, "src", "dst", iters = 4)
-          .collect().toSeq.map(_.toSeq)).flatten
+          .collect().toSeq.map(_.toSeq),
+        Components.connectedComponents(e, "src", "dst")
+          .orderBy("id").collect().toSeq.map(_.toSeq)).flatten
     }
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
