@@ -27,10 +27,23 @@ object CachePool {
     new java.util.concurrent.ConcurrentHashMap[String, Dataset[_]]()
 
   /** Register this call's persisted handle under `tag`, releasing the
-    * previous generation registered under the same tag. Returns `ds`. */
+    * previous generation registered under the same tag. Returns `ds`.
+    *
+    * Same-plan guard: Spark's `CacheManager` dedupes cache entries by
+    * canonicalized logical plan, so when the new generation's plan is
+    * semantically equal to the previous one (repeated `bm25TopK` /
+    * `lmScore` over the same input — e.g. q92 then q93 in a bench
+    * pass), the new `persist` reuses the previous entry and the two
+    * handles share ONE cached table. Unpersisting `prev` then would
+    * silently evict the live generation (recompute on every downstream
+    * use — the r11 q93 floor drift). When plans match we skip the
+    * unpersist: there is only one entry, so the leak bound (one live
+    * generation per tag) is preserved without it. */
   def swap[T](tag: String, ds: Dataset[T]): Dataset[T] = {
     val prev = live.put(tag, ds)
-    if (prev != null && (prev ne ds)) prev.unpersist(blocking = false)
+    if (prev != null && (prev ne ds) &&
+        !prev.queryExecution.analyzed.sameResult(ds.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
     ds
   }
 

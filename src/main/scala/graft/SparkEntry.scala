@@ -24,8 +24,10 @@ import graft.streaming.EventWindows
   */
 object SparkEntry {
 
-  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = {
+    lastDatasetDir = dir
     Tables(s, dir, n)
+  }
 
   /** exact associative sum: double → decimal → sum → double */
   private def dsum(c: Column, scale: Int): Column =
@@ -109,12 +111,25 @@ object SparkEntry {
   // ---- query after the first pays. GraphSpec proves
   // ---- load-then-iterate == inline-build bit-for-bit.
 
-  /** q34's persisted fingerprint table. A FIXED path (the oracle SQL is
-    * a static string) that deliberately outlives the JVM — the DuckDB
-    * oracle pass reads it after Verify exits. Overwritten per run;
-    * single-writer within a run (queries execute sequentially). */
-  private[graft] val simhashFpPath =
-    sys.props("java.io.tmpdir") + "/graft_simhash_fp"
+  /** q34's persisted fingerprint table for `dir`. Deliberately outlives
+    * the JVM — the DuckDB oracle pass reads it after Verify exits — and
+    * deliberately pid-FREE: the path must be reconstructible from the
+    * dataset dir alone so [[oracleSql]] (dumped by the same run) still
+    * resolves post-exit. The dir-hash discriminator keeps concurrent
+    * runs over DIFFERENT dataset dirs (the tri-scale sweep) from
+    * overwriting each other's table; two concurrent runs over the SAME
+    * dir still share a path — one-Verify-per-(host, dir) is the
+    * documented constraint (queries inside one run are sequential). */
+  private[graft] def simhashFpPath(dir: String): String =
+    sys.props("java.io.tmpdir") + "/graft_simhash_fp_" +
+      Integer.toHexString(dir.hashCode)
+
+  /** The dataset dir of the most recent [[queries]] invocation — lets
+    * the [[oracleSql]] dump (which has no dir parameter in the driver
+    * contract) interpolate run-scoped artifact paths like
+    * [[simhashFpPath]]. Verify runs every query for ONE dir, then
+    * dumps, so last-write is the right value. */
+  @volatile private var lastDatasetDir: String = "unset"
 
   private val graphTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -198,14 +213,16 @@ object SparkEntry {
       s: SparkSession, dir: String, which: String): operators.GraphTable =
     operators.Graph.readGraphTable(s, s"${graphTablePath(s, dir)}/$which")
 
-  // ---- persisted label-propagation result shared by q117 (the labels
-  // ---- themselves) and q164 (modularity OF those labels): the graph-
-  // ---- table build-once precedent one level up — community labels are
-  // ---- a fitted artifact a deployment computes once and scores many
+  // ---- persisted label-propagation result consumed by q164
+  // ---- (modularity OF the fitted labels): community labels are a
+  // ---- fitted artifact a deployment computes once and scores many
   // ---- times, so q164 must not refit the 5-round propagation inside
-  // ---- its own line. Labels are exact longs: the parquet round trip
-  // ---- is bit-lossless, so load-then-modularity ≡ inline bit-for-bit
-  // ---- (GraphSpec pins it).
+  // ---- its own line. q117 — the propagation itself — computes its 5
+  // ---- rounds in-line (the fit IS that line's workload; r12 reverted
+  // ---- the r11 artifact-read form so the cost can't escape the
+  // ---- min-of-passes bench). Labels are exact longs: the parquet
+  // ---- round trip is bit-lossless, so load-then-modularity ≡ inline
+  // ---- bit-for-bit (GraphSpec pins it).
 
   private val labelTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -941,8 +958,8 @@ object SparkEntry {
       docs.select(col("doc_id").as("id"),
           Dedup.simhash(col("text")).as("fp"))
         .coalesce(1)
-        .write.mode("overwrite").parquet(simhashFpPath)
-      Dedup.simhashPairsFromFp(s.read.parquet(simhashFpPath),
+        .write.mode("overwrite").parquet(simhashFpPath(dir))
+      Dedup.simhashPairsFromFp(s.read.parquet(simhashFpPath(dir)),
           maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
@@ -2143,10 +2160,14 @@ object SparkEntry {
     // most frequent neighbor label, min on ties) on the undirected
     // purchase graph — the dedup-clustering sibling of q66's connected
     // components; 5 fixed rounds replayed row-wise in the oracle.
-    // Served from the persisted label artifact (built once per
-    // (JVM, sf); the propagation itself is the artifact build)
+    // Computes the 5 rounds IN-LINE from the prebuilt graph table, so
+    // the propagation cost stays inside the timed window (the r11
+    // artifact-read form erased it from the min-of-passes bench —
+    // only q164, which SCORES a fitted clustering, reads the persisted
+    // label artifact). GraphSpec pins artifact ≡ inline bit-for-bit.
     "q117_label_prop" -> ((s, dir) =>
-      s.read.parquet(labelTablePath(s, dir)).orderBy("node")),
+      graphTable(s, dir, "undirected").labelPropagation(iters = 5)
+        .orderBy("node")),
 
     // GLOBAL sequence packing — q83's deterministic scale twin: FFD
     // within harmonic length classes (class k = cap/max(n,1) holds
@@ -3623,8 +3644,8 @@ object SparkEntry {
     "q34_simhash" ->
       s"""SELECT a.id AS id_a, b.id AS id_b,
          |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS dist
-         |FROM read_parquet('$simhashFpPath/*.parquet') a
-         |JOIN read_parquet('$simhashFpPath/*.parquet') b
+         |FROM read_parquet('${simhashFpPath(lastDatasetDir)}/*.parquet') a
+         |JOIN read_parquet('${simhashFpPath(lastDatasetDir)}/*.parquet') b
          |  ON a.id < b.id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 6
          |ORDER BY id_a, id_b""".stripMargin,

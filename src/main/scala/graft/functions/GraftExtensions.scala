@@ -69,6 +69,21 @@ object GraftExtensions {
     binary("graft_deletion_hashes", classOf[GraftDeletionHashes],
       GraftDeletionHashes.apply))
 
+  /** Column-level probe of a serialized Spark sketch-format Bloom
+    * filter: Catalyst's own `BloomFilterMightContain` over the bytes as
+    * a foldable literal — the filter deserializes ONCE (lazy, inside
+    * the expression) and the probe stays in whole-stage codegen; the
+    * broadcast-UDF form this replaces evaluated through the
+    * interpreted ScalaUDF bridge. `value` must be a LONG column (the
+    * xxhash64 fingerprint convention everywhere in this engine). */
+  def bloomMightContain(
+      sketchBytes: Array[Byte],
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(sketchBytes),
+        org.apache.spark.sql.graftshim.expression(value)))
+
   /** Register on a live session (the builder-time extension path only
     * reaches sessions created after it is configured). Idempotent —
     * re-registration replaces the same entries. */

@@ -135,10 +135,46 @@ object VectorFunctions {
     * every LATER chunk's min picks the earliest chunk achieving the
     * global min. */
   def assignCol(features: Column, centroids: Array[Array[Float]]): Column = {
-    val ds = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      (sqdistCol(features, vecLit(c)), lit(i): Column)
+    val cells = centroids.length.toLong *
+      (if (centroids.isEmpty) 0L else centroids(0).length.toLong)
+    if (cells <= maxCodegenCells) {
+      val ds = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        (sqdistCol(features, vecLit(c)), lit(i): Column)
+      }
+      argminPairs(ds)
+    } else assignColBroadcast(features, centroids)
+  }
+
+  /** k·dim literal budget for the CASE-chain argmin. The chain inlines
+    * every centroid coordinate into the expression tree; at hundreds of
+    * high-dimensional centroids that tree is multi-megabyte and can
+    * overrun codegen limits (falling back to interpreted evaluation —
+    * correct but a perf cliff). Above this budget [[assignCol]] ships
+    * the codebook as ONE broadcast instead and runs the same
+    * strict-`<` running-min kernel per row ([[argminCentroid]] — the
+    * exact fold the chain compiles to, parity-pinned in
+    * VectorFunctionsSpec). Override with
+    * `spark.graft.kmeans.maxCodegenCells`. */
+  private def maxCodegenCells: Long =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.kmeans.maxCodegenCells")
+      .map(_.toLong).getOrElse(8192L)
+
+  /** Broadcast-codebook argmin for beyond-codegen-budget k·dim: one
+    * broadcast of the float codebook, a map-side kernel per row, no
+    * shuffle — the 1000-executor posture for huge codebooks (the chain
+    * would ship the same bytes inside every serialized plan instead).
+    * Features cast to `array<float>` first: the K-Means contract is
+    * float space end-to-end (reference parity), so the cast is exact
+    * for every producer in this engine. */
+  private def assignColBroadcast(
+      features: Column, centroids: Array[Array[Float]]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(centroids)
+    val kernel = udf { (v: scala.collection.Seq[Float]) =>
+      argminCentroid(v.toArray, bc.value)
     }
-    argminPairs(ds)
+    kernel(features.cast("array<float>"))
   }
 
   /** Earliest-wins argmin over (value, payload) pairs, chunked at 16. */

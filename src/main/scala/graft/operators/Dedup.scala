@@ -235,13 +235,18 @@ object Dedup {
       }
     val bytes = spark.read.parquet(s"$vdir/bloom")
       .head().getAs[Array[Byte]]("bloom")
-    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bytes))
-    val bc = spark.sparkContext.broadcast(bf)
-    val mightU = udf((fp: Long) => bc.value.mightContainLong(fp))
-    val b = batch.select(col(idCol), xxhash64(col(textCol)).as("fp"))
-    val certainNew = b.where(!mightU(col("fp"))).select(idCol)
-    val suspects = b.where(mightU(col("fp")))
+    // Native codegen'd probe: BloomFilterMightContain over the sketch
+    // bytes as a foldable Literal — the expression deserializes the
+    // filter ONCE lazily and stays inside whole-stage codegen (the
+    // engine's last sketch-path ScalaUDF, graduated r12; the persisted
+    // bytes are Spark's sketch wire format, so the artifact is
+    // unchanged). PlanSpec pins the no-UDF plan.
+    val might = graft.functions.GraftExtensions.bloomMightContain(
+      bytes, xxhash64(col(textCol)))
+    val b = batch.select(col(idCol), xxhash64(col(textCol)).as("fp"),
+      might.as("hit"))
+    val certainNew = b.where(!col("hit")).select(idCol)
+    val suspects = b.where(col("hit")).select(idCol, "fp")
     val dupFps = corpus.select(xxhash64(col(textCol)).as("fp")).distinct()
       .join(broadcast(suspects.select("fp").distinct()),
         Seq("fp"), "left_semi")

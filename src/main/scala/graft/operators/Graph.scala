@@ -124,6 +124,15 @@ object Graph {
       (rows + iterRowsPerTask - 1) / iterRowsPerTask)).toInt
   }
 
+  /** Per-session monitor for [[withShufflePartitions]]: two wrapped
+    * calls on the same session from different threads must not
+    * interleave their save/set/restore (an interleave could leave the
+    * session permanently at a scoped value). Weak keys so a retired
+    * session doesn't pin its lock object. */
+  private val confScopeLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
+
   /** Run `f` with `spark.sql.shuffle.partitions` scoped to `p`,
     * restoring the previous value after. Every action the iterative
     * bodies run (per-round eager checkpoints, cache-priming counts,
@@ -132,17 +141,32 @@ object Graph {
     * partition-count handle for — plan at `p`. Results are unchanged
     * by construction: every accumulation in these bodies is either
     * integer-exact or a 12-dp-rounded DECIMAL sum (exact and
-    * associative), so partitioning cannot move a bit. The conf is
-    * session-visible while `f` runs (same caveat as any conf-scoped
-    * block); the library's iterative calls are synchronous. */
+    * associative), so partitioning cannot move a bit.
+    *
+    * Concurrency contract: scoped regions on the same session are
+    * SERIALIZED (per-session monitor), so overlapping wrapped calls
+    * cannot interleave save/restore; and the restore is conditional —
+    * if something else changed the conf while `f` ran, that outside
+    * write wins rather than being clobbered by our stale saved value.
+    * Unrelated user queries planned on the same session WHILE a scoped
+    * region runs still see the scoped value — inherent to session-conf
+    * scoping and documented here; callers that interleave foreign
+    * queries with iterative graph calls should use separate
+    * `SparkSession.newSession()` handles (isolated conf, shared
+    * context). */
   private[operators] def withShufflePartitions[A](
       spark: org.apache.spark.sql.SparkSession, p: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    if (old == p.toString) f
-    else {
-      spark.conf.set(key, p.toString)
-      try f finally spark.conf.set(key, old)
+    val lock = confScopeLocks.computeIfAbsent(spark, _ => new Object)
+    lock.synchronized {
+      val old = spark.conf.get(key)
+      if (old == p.toString) f
+      else {
+        spark.conf.set(key, p.toString)
+        try f finally {
+          if (spark.conf.get(key) == p.toString) spark.conf.set(key, old)
+        }
+      }
     }
   }
 

@@ -57,4 +57,47 @@ class CachePoolSpec extends SparkSpec {
     assert(CachePool.liveCount == 1)
     CachePool.releaseAll()
   }
+
+  test("swapping in a semantically-equal plan does NOT evict the live " +
+    "generation (CacheManager dedupes same-plan persists into one entry)") {
+    import spark.implicits._
+    CachePool.releaseAll()
+    def gen() = Seq((0L, 4L), (1L, 4L), (2L, 4L)).toDF("doc_id", "dlen")
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.sum("dlen"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val g1 = CachePool.swap("spec.sameplan", gen())
+    g1.count()
+    assert(g1.storageLevel != StorageLevel.NONE)
+    // second generation, identical plan: CacheManager reuses g1's entry;
+    // the old swap unpersisted g1 and thereby evicted the SHARED entry,
+    // leaving the "live" g2 silently uncached
+    val g2 = CachePool.swap("spec.sameplan", gen())
+    assert(g2.storageLevel != StorageLevel.NONE,
+      "live generation was evicted by the same-plan swap")
+    assert(g1.storageLevel != StorageLevel.NONE) // one shared entry
+    assert(CachePool.liveCount == 1)
+    CachePool.releaseAll()
+    assert(g2.storageLevel == StorageLevel.NONE)
+  }
+
+  test("interleaved bm25 family calls (q92 topK=20 then q93 topK=50) " +
+    "keep the shared doc-length cache materialized — no silent recompute") {
+    import spark.implicits._
+    CachePool.releaseAll()
+    val docs = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "the lazy dog sleeps"),
+      (2L, "quick quick fox runs")).toDF("doc_id", "text")
+    operators.Retrieval
+      .bm25TopK(docs, "doc_id", "text", Seq("quick"), topK = 20).collect()
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    // same docs, different topK: the internal dl plan is identical, so
+    // the swap must not drop the deduped cache entry out from under it
+    operators.Retrieval
+      .bm25TopK(docs, "doc_id", "text", Seq("quick"), topK = 50).collect()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "q93-style second call lost its doc-length cache to the swap")
+    assert(CachePool.liveCount == 1)
+    CachePool.releaseAll()
+  }
 }

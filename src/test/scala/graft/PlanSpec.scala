@@ -416,6 +416,9 @@ class PlanSpec extends SparkSpec {
     val labeled = graft.kmeans.KMeansModel(cents, 0, converged = true)
       .transform(emb)
     val p = labeled.queryExecution.executedPlan.toString
+    // "UDF(" is how executedPlan renders a ScalaUDF (the class-name
+    // sentinel alone never matches and would pin nothing)
+    assert(!p.contains("UDF("), p)
     assert(!p.contains("ScalaUDF"), p)
     assert(p.contains("vec_sqdist"), p)
     val got = labeled.select("vec_id", "features", "cluster").collect()
@@ -425,6 +428,70 @@ class PlanSpec extends SparkSpec {
       assert(r.getInt(2) === argminCentroid(v, cents),
         s"vec_id=${r.getLong(0)}")
     }
+  }
+
+  test("KMeans.transform beyond the k·dim codegen budget switches to " +
+    "the broadcast kernel, bit-identical to the literal chain") {
+    import graft.functions.VectorFunctions.argminCentroid
+    import org.apache.spark.sql.functions.col
+    val emb = sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("features"))
+    // 129 centroids × dim 64 = 8256 cells > the 8192 default budget:
+    // inlining them would build a multi-MB expression tree (the codegen
+    // cliff ADVICE r11 flagged), so assignCol must pick the broadcast
+    // kernel here — and produce the exact labels the chain produces.
+    val cents = emb.orderBy("vec_id").limit(129)
+      .select("features").collect().map(_.getSeq[Float](0).toArray)
+    val model = graft.kmeans.KMeansModel(cents, 0, converged = true)
+    val viaKernel = model.transform(emb)
+    // executedPlan renders ScalaUDF as "UDF(...)"
+    assert(viaKernel.queryExecution.executedPlan.toString
+      .contains("UDF("), "expected the broadcast kernel above budget")
+    val got = viaKernel.select("vec_id", "features", "cluster")
+      .orderBy("vec_id").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      assert(r.getInt(2) === argminCentroid(v, cents),
+        s"vec_id=${r.getLong(0)}")
+    }
+    // raise the budget: same call compiles the chunked chain instead,
+    // and the two paths agree row-for-row (parity pin)
+    spark.conf.set("spark.graft.kmeans.maxCodegenCells", "100000")
+    try {
+      val viaChain = model.transform(emb)
+      val p = viaChain.queryExecution.executedPlan.toString
+      assert(!p.contains("UDF("), p)
+      assert(p.contains("vec_sqdist"), p)
+      val chain = viaChain.select("vec_id", "cluster").orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val kernel = got.map(r => (r.getLong(0), r.getInt(2)))
+      assert(chain.toSeq === kernel.toSeq)
+    } finally spark.conf.unset("spark.graft.kmeans.maxCodegenCells")
+  }
+
+  test("probeBloomGate (q140) probes with the native might_contain " +
+    "expression — no ScalaUDF anywhere in the plan") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("planspec-bloom").toString
+    val docs = sources.Tables(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") < 100)
+    val batch = docs.where(col("doc_id") >= 100 && col("doc_id") < 120)
+      .select("doc_id", "text")
+    operators.Dedup.writeBloomGate(corpus, s"$base/bloom", fpp = 0.01)
+    val probe = operators.Dedup.probeBloomGate(
+      spark, s"$base/bloom", corpus, batch)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(!p.contains("UDF("), p) // ScalaUDF renders as "UDF(...)"
+    assert(p.contains("might_contain"), p)
+    // and the gate is still exact: result ≡ the anti-join
+    val got = probe.collect().map(_.getLong(0)).sorted.toSeq
+    val want = batch.join(corpus.select(col("text")),
+        Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want)
   }
 
   test("repetitionStats (q80) runs the kernel as a codegen'd " +

@@ -433,7 +433,9 @@ class GraphSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
         .toMap
       assert(got === bruteHits(directed, 8))
-      Thread.sleep(500) // listener bus is async
+      // the collect above means every job has ENDED; drain the async
+      // bus deterministically instead of a flaky fixed sleep
+      org.apache.spark.graftshim.drainListenerBus(spark.sparkContext)
       // each round is ONE localCheckpoint job (fused: a single
       // score-join + a single two-sum aggregate feed it); the
       // two-gather form submitted the same jobs but planned TWO
@@ -682,8 +684,8 @@ class GraphSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === bruteLpa(both, 100))
       assert(got.values.toSet === Set(1L, 7L))
-      // listener events are async — give the bus a moment to drain
-      Thread.sleep(500)
+      // listener events are async — drain the bus deterministically
+      org.apache.spark.graftshim.drainListenerBus(spark.sparkContext)
       // build+3 live rounds (the changed-nothing round included) is
       // ~20 jobs; 100 live rounds would be several hundred
       assert(counter.get() < 60, s"jobs = ${counter.get()}")
