@@ -124,6 +124,15 @@ object SparkEntry {
     sys.props("java.io.tmpdir") + "/graft_simhash_fp_" +
       Integer.toHexString(dir.hashCode)
 
+  /** q189's persisted BPE merges table for `dir` — the q34 device
+    * applied to the tokenizer model: the oracle replays the greedy
+    * merge loop per distinct word in a recursive CTE over THESE rows
+    * after the JVM exits, so the path is pid-free, dir-hashed, and not
+    * TempCleanup-registered. */
+  private[graft] def bpeMergesPath(dir: String): String =
+    sys.props("java.io.tmpdir") + "/graft_bpe_merges_" +
+      Integer.toHexString(dir.hashCode)
+
   /** The dataset dir of the most recent [[queries]] invocation — lets
     * the [[oracleSql]] dump (which has no dir parameter in the driver
     * contract) interpolate run-scoped artifact paths like
@@ -3175,7 +3184,27 @@ object SparkEntry {
     "q188_jpeg_decode" -> ((s, dir) =>
       operators.Multimodal.jpegDecodeAudit(
           s.read.parquet(s"${mediaFixturePath(s, dir)}/jpg"), tol = 8)
-        .orderBy("media_id")))
+        .orderBy("media_id")),
+
+    // REAL subword tokenization (BPE): fit the merges table on the
+    // corpus (distributed word counts -> bounded top-F cut -> driver
+    // greedy trainer), persist it, and account real per-doc token
+    // counts via the per-DISTINCT-word apply kernel joined back to the
+    // occurrence stream. Fit + persist + apply all run INSIDE the
+    // timed line (the q130 lifecycle discipline — no build cost
+    // escapes the bench). Oracle: the persisted merges are replayed
+    // per distinct word by a recursive CTE (lowest-rank applicable
+    // merge per step, replace-all leftmost-first on a double-space
+    // token string — word-length-bounded), counts joined back.
+    "q189_bpe_tokenize" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val model = operators.Bpe.fitBpe(docs, "text", numMerges = 48)
+      model.merges.map(m => (m.rank, m.l, m.r)).toDF("rank", "l", "r")
+        .coalesce(1).write.mode("overwrite").parquet(bpeMergesPath(dir))
+      operators.Bpe.tokenCounts(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -6053,6 +6082,42 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(8 AS INT) AS width,
         |  CAST(1 AS INT) AS height, true AS within_tol
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // greedy BPE apply replayed per DISTINCT word over the merges
+    // table the query persisted: token state = tokens joined on
+    // DOUBLE spaces with single-space sentinels, so replace-all of
+    // ' l  r ' -> ' lr ' is exactly the kernel's leftmost-first
+    // non-overlapping merge of the lowest-rank applicable pair; a
+    // word drops out of the recursion when no merge applies
+    // (word-length-bounded). Counts join back on the word stream.
+    "q189_bpe_tokenize" ->
+      s"""WITH RECURSIVE
+        |mg AS MATERIALIZED (SELECT rank, ' ' || l || '  ' || r || ' '
+        |    AS pat, ' ' || l || r || ' ' AS rep
+        |  FROM read_parquet('${bpeMergesPath(lastDatasetDir)}/*.parquet')),
+        |w AS MATERIALIZED (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '[^\\s.,!?;:]+|[.,!?;:]', 0))
+        |    AS word FROM documents),
+        |v AS MATERIALIZED (SELECT DISTINCT word FROM w),
+        |seed AS (SELECT word, ' ' || array_to_string(list_transform(
+        |    range(1, length(word) + 1),
+        |    i -> substr(word, CAST(i AS INT), 1)), '  ') || ' ' AS st
+        |  FROM v),
+        |steps AS (
+        |  SELECT word, st FROM seed
+        |  UNION ALL
+        |  SELECT s.word, replace(s.st, m.pat, m.rep) AS st
+        |  FROM steps s JOIN mg m ON contains(s.st, m.pat)
+        |  WHERE m.rank =
+        |    (SELECT min(m2.rank) FROM mg m2 WHERE contains(s.st, m2.pat))),
+        |fin AS (SELECT word, st FROM steps s
+        |  WHERE NOT EXISTS (SELECT 1 FROM mg m WHERE contains(s.st, m.pat))),
+        |tc AS (SELECT word,
+        |  CAST(len(string_split(trim(st), '  ')) AS BIGINT) AS n FROM fin)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(tc.n) AS BIGINT) AS n_tokens
+        |FROM w JOIN tc USING (word)
+        |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
 
     // same VALUES fixture (ONE Scala Seq), same three Java∩RE2
     // patterns spelled for RE2 — counts are integer-exact

@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Whitespace tokens of trimmed text; `[]` for blank text. */
-  private def tokens(text: Column): Column =
+  /** Whitespace tokens of trimmed text; `[]` for blank text. The
+    * default tokenizer of the chunk/pack operators (hookable — see
+    * [[tokenChunks]]/[[packSequences]] and [[Bpe.tokenCountCol]] for
+    * real subword accounting). */
+  def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
+
+  /** Default token COUNT hook: whitespace-token count as a long. */
+  def tokenCountWhitespace(text: Column): Column =
+    size(tokens(text)).cast("long")
 
   // ----------------------------------------------- compiled text kernels
   //
@@ -189,10 +196,11 @@ object Curation {
       idCol: String,
       textCol: String,
       chunkSize: Int,
-      stride: Int): DataFrame = {
+      stride: Int,
+      tokenizer: Column => Column = tokens): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    val t = tokens(col(textCol))
+    val t = tokenizer(col(textCol))
     df.select(col(idCol), t.as("_graft_toks"))
       .where(size(col("_graft_toks")) > 0)
       .select(col(idCol), col("_graft_toks"),
@@ -226,7 +234,8 @@ object Curation {
       idCol: String,
       textCol: String,
       capacity: Long,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int,
+      tokenCount: Column => Column = tokenCountWhitespace): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = df.sparkSession
@@ -234,7 +243,7 @@ object Curation {
     val sized = df.select(
       pmod(col(idCol).cast("long"), lit(nBuckets.toLong)).as("bucket"),
       col(idCol).cast("long").as("id"),
-      size(tokens(col(textCol))).cast("long").as("n"))
+      tokenCount(col(textCol)).cast("long").as("n"))
     sized.as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (bucket, it) =>
@@ -289,13 +298,14 @@ object Curation {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      capacity: Long): DataFrame = {
+      capacity: Long,
+      tokenCount: Column => Column = tokenCountWhitespace): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     val spark = df.sparkSession
     import spark.implicits._
     val sized = df.select(
       col(idCol).cast("long").as("id"),
-      size(tokens(col(textCol))).cast("long").as("n"))
+      tokenCount(col(textCol)).cast("long").as("n"))
       .as[(Long, Long)]
       .map { case (id, n) => (id, n, capacity / math.max(n, 1L)) }
       .toDF("id", "n", "cls")

@@ -310,4 +310,31 @@ class CurationSpec extends SparkSpec {
       "doc_id", "text", 2))
     assert(solo === Seq((9L, 3L, 3L, "u1 u2 u3 u4 u5")))
   }
+
+  test("packSequences accepts a real-tokenizer hook (BPE counts) and " +
+    "packs by the hook's sizes; default stays whitespace") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "low low low low"), // 4 words; BPE(l+o, lo+w): 4 tokens
+      (1L, "lower lower"),     // 2 words; [low][e][r] each: 6 tokens
+      (2L, "x y z")            // 3 words; 3 unknown single chars
+    ).toDF("doc_id", "text")
+    val model = Bpe.BpeModel(IndexedSeq(
+      Bpe.Merge(0, "l", "o"), Bpe.Merge(1, "lo", "w")))
+    val packed = Curation.packSequences(docs, "doc_id", "text",
+        capacity = 8, nBuckets = 1,
+        tokenCount = Bpe.tokenCountCol(model))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // BPE sizes 4/6/3 -> first-fit at capacity 8 packs each doc alone
+    // (4+6 > 8, then 6+3 > 8) — the hook changed the packing, which
+    // is the point: whitespace sizes 4/2/3 would all share pack 0
+    assert(packed.toSeq == Seq((0L, 4L, 0L), (1L, 6L, 1L), (2L, 3L, 2L)))
+    // default hook unchanged: whitespace counts 4/2/3 all fit pack 0
+    val ws = Curation.packSequences(docs, "doc_id", "text",
+        capacity = 9, nBuckets = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ws.toSeq == Seq((0L, 4L, 0L), (1L, 2L, 0L), (2L, 3L, 0L)))
+  }
 }

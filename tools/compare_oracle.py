@@ -29,13 +29,15 @@ for name in skip:
     del oracle[name]
 fail = 0
 for name, sql in sorted(oracle.items()):
+    # cheap check first: a scoped Verify run leaves most queries
+    # without output — don't pay their (sometimes O(n^2)) oracles
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fail += 1; continue
     try:
         exp = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}"); fail += 1; continue
-    files = glob.glob(f"{outdir}/{name}/*.parquet")
-    if not files:
-        print(f"FAIL {name}: no spark output"); fail += 1; continue
     got = duckdb.connect().execute(
         f"SELECT * FROM read_parquet({files!r})").fetchdf()
     exp = exp[sorted(exp.columns)]
