@@ -101,11 +101,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val pts = passTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
+    // per-artifact build seconds (the once-per-JVM builds land in the
+    // untimed warmup pass by design — this table keeps their cost
+    // machine-readable next to the per-query floors)
+    val artifacts = SparkEntry.artifactBuildCosts.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""pass_totals":$pts,"retried":$retried,"contended":$contended,""" +
         s""""failures":$nFailed,""" +
         f""""load_avg":[$load0%.1f,$load1%.1f],""" +
+        s""""artifact_build_sec":$artifacts,""" +
         s""""sf":"$sfDir"}"""
     println(line)
     // capture-proof copy: BENCH_r05's stdout tail was truncated by the
@@ -137,6 +144,7 @@ object Bench {
         s""""retried":$retried,"contended":$contended,""" +
         s""""failures":$nFailed,""" +
         f""""load_avg":[$load0%.1f,$load1%.1f],""" +
+        s""""artifact_build_sec":$artifacts,""" +
         s""""sf":"$sfName","full_record":"bench_out.json"}"""
     }
     val cs = compactLine("q_csec_by_id", 100.0)

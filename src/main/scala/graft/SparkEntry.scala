@@ -33,6 +33,30 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  // ---- per-artifact build-cost ledger: every once-per-(JVM, sf dir)
+  // ---- artifact build (they land in Bench's untimed warmup pass by
+  // ---- design) records its wall seconds here, and Bench publishes the
+  // ---- table in its JSON line — so build cost is machine-readable
+  // ---- next to the per-query floors and can never silently vanish
+  // ---- from the round's accounting.
+
+  private val artifactCosts =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  private def recordArtifactCost[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    artifactCosts.put(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
+  /** Snapshot of artifact-build wall seconds recorded so far in this
+    * JVM (one entry per artifact family per sf dir built). */
+  def artifactBuildCosts: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    artifactCosts.asScala.toMap
+  }
+
   // ---- persisted PQ/IVF-PQ index shared by q95 (ADC) and q96 (IVF-PQ):
   // ---- built and parquet'd ONCE per (JVM, sf dir) — at 100 TB nobody
   // ---- re-fits codebooks per query; the probes below read the code
@@ -44,7 +68,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def pqIndexPath(s: SparkSession, dir: String): String =
-    pqIndexCache.computeIfAbsent(dir, _ => {
+    pqIndexCache.computeIfAbsent(dir, _ =>
+      recordArtifactCost(s"pq_ivf_index:${dirTag(dir)}") {
       val base = TempCleanup.register(sys.props("java.io.tmpdir") +
         s"/graft_pqidx_${ProcessHandle.current().pid()}_" +
         Integer.toHexString(dir.hashCode))
@@ -62,6 +87,10 @@ object SparkEntry {
       base
     })
 
+  /** Short sf-dir discriminator for the artifact-cost ledger keys. */
+  private def dirTag(dir: String): String =
+    dir.split('/').filter(_.nonEmpty).lastOption.getOrElse(dir)
+
   // ---- deterministic media fixtures shared by q109 (PNG decode) and
   // ---- q110 (WAV decode): encoded ONCE per (JVM, sf dir) and
   // ---- parquet'd — the fixture ENCODE is corpus preparation, not the
@@ -73,7 +102,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def mediaFixturePath(s: SparkSession, dir: String): String =
-    mediaFixtureCache.computeIfAbsent(dir, _ => {
+    mediaFixtureCache.computeIfAbsent(dir, _ =>
+      recordArtifactCost(s"media_fixtures:${dirTag(dir)}") {
       import s.implicits._
       val base = TempCleanup.register(sys.props("java.io.tmpdir") +
         s"/graft_media_${ProcessHandle.current().pid()}_" +
@@ -144,7 +174,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def graphTablePath(s: SparkSession, dir: String): String =
-    graphTableCache.computeIfAbsent(dir, _ => {
+    graphTableCache.computeIfAbsent(dir, _ =>
+      recordArtifactCost(s"graph_tables:${dirTag(dir)}") {
       val base = TempCleanup.register(sys.props("java.io.tmpdir") +
         s"/graft_graph_${ProcessHandle.current().pid()}_" +
         Integer.toHexString(dir.hashCode))
@@ -237,7 +268,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def labelTablePath(s: SparkSession, dir: String): String =
-    labelTableCache.computeIfAbsent(dir, _ => {
+    labelTableCache.computeIfAbsent(dir, _ =>
+      recordArtifactCost(s"label_table:${dirTag(dir)}") {
       val base = TempCleanup.register(sys.props("java.io.tmpdir") +
         s"/graft_labels_${ProcessHandle.current().pid()}_" +
         Integer.toHexString(dir.hashCode))

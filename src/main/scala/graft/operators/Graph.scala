@@ -118,11 +118,17 @@ object Graph {
     * rows/target far exceeds it and behavior is unchanged; only
     * small-graph rounds get fewer, larger tasks. */
   private[operators] def iterPartitions(
-      spark: org.apache.spark.sql.SparkSession, rows: Long): Int = {
-    val ceiling = spark.sessionState.conf.numShufflePartitions
+      spark: org.apache.spark.sql.SparkSession, rows: Long): Int =
+    iterPartitions(spark.sessionState.conf.numShufflePartitions, rows)
+
+  /** Ceiling-explicit form for callers that size an INNER scope from
+    * the TRUE session setting (inside [[withShufflePartitions]] the
+    * conf reads back the scoped value, which would wrongly cap a
+    * larger inner stage — the wedge stream is bigger than the edge
+    * list it came from). */
+  private[operators] def iterPartitions(ceiling: Int, rows: Long): Int =
     math.max(1L, math.min(ceiling.toLong,
       (rows + iterRowsPerTask - 1) / iterRowsPerTask)).toInt
-  }
 
   /** Per-session monitor for [[withShufflePartitions]]: two wrapped
     * calls on the same session from different threads must not
@@ -176,6 +182,27 @@ object Graph {
     withShufflePartitions(spark,
       iterPartitions(spark, math.max(gt.numEdges, gt.numNodes)))(f)
   }
+
+  /** Build-side ROW count below which the wedge-join family (triangles,
+    * clustering coefficient, edge Jaccard, Adamic-Adar, bipartite
+    * projection) BROADCASTS its build side instead of shuffling the
+    * O(E^1.5) wedge stream into it. Below the gate the wedge stream —
+    * generation, triangle close, partial aggregate — fuses into one
+    * map-side codegen stage with no exchange. The default is 1M rows,
+    * set by adjacent A/B at sf0.1, NOT by broadcast-memory headroom:
+    * a 1.2M-row build side already LOSES as a broadcast (q119
+    * triangles 5.8 s broadcast vs 4.4 s shuffle_hash — every one of
+    * the 41M wedge probes walks one big shared relation with poor
+    * cache locality, where shuffle_hash probes per-partition maps
+    * that fit cache), while 0.2–0.4M-row sides win outright (q127
+    * 4.8→1.6 s, q156 10+→5.6 s, q160 4.6→3.2 s). Each operator gates
+    * on its ACTUAL build-side rows (oriented list, capped neighbor
+    * list, pruned incidence list — exact values from the wedge-volume
+    * probe it already runs). Override with
+    * `spark.graft.graph.wedgeBroadcastMaxRows`. */
+  def wedgeBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.wedgeBroadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
 
   /** Node count above which [[pageRank]] auto-selects the distributed
     * rank-table loop body (the rank table must fit the driver/broadcast
@@ -1033,7 +1060,8 @@ object Graph {
       "triangleCounts requires a symmetric double-edged feed " +
         s"(found ${gt.numDangling} sink nodes)")
     triangleCore(
-      gt.edges.where(col("src") =!= col("dst")).select("src", "dst"))
+      gt.edges.where(col("src") =!= col("dst")).select("src", "dst"),
+      gt.numEdges)
       .orderBy("node")
   }
 
@@ -1041,8 +1069,20 @@ object Graph {
     * self-loop-free edge frame — the shared core of the exact counter
     * and the DOULION sampled estimator. Returns an eagerly
     * materialized (node, deg, tri) frame (checkpoint blocks, caches
-    * released). */
-  private def triangleCore(e: DataFrame): DataFrame = {
+    * released).
+    *
+    * Task counts are scale-aware (the rank-loop device applied to the
+    * one-shot wedge joins): the E-row scaffolding stages run at
+    * ⌈edgeHint/250k⌉ tasks and the wedge stages at ⌈wedges/250k⌉ —
+    * the EXACT wedge volume Σ C(odeg(u),2), one cheap aggregate over
+    * the already-persisted oriented list — both clamped to the session
+    * setting, so cluster plans are unchanged and only small graphs
+    * shed scheduling-barrier overhead. Counts are integer-exact, so
+    * partitioning cannot move a bit. */
+  private def triangleCore(e: DataFrame, edgeHint: Long): DataFrame = {
+    val spark = e.sparkSession
+    val ceiling = spark.sessionState.conf.numShufflePartitions
+    withShufflePartitions(spark, iterPartitions(ceiling, edgeHint)) {
     // symmetric feed: degree = out-edge count (NOT the weight total —
     // triangles are a structural count, so parallel-edge weights are
     // irrelevant by construction: the edge list is already distinct)
@@ -1055,31 +1095,49 @@ object Graph {
       .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
       .select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // shuffle_hash hints: the wedge stream is O(E^1.5) rows — hashing
-    // the E-row oriented list and streaming the wedges past it beats
-    // sort-merge (which would sort the wedge stream) by ~2× measured
-    val wedges = orient.select(col("u"), col("v").as("b"), col("dv").as("db"))
-      .join(orient.select(col("u"), col("v").as("c"), col("dv").as("dc"))
-        .hint("shuffle_hash"), "u")
-      .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-      .select(col("u"), col("b"), col("c"))
-    val tri = wedges
-      .join(orient.select(col("u").as("b"), col("v").as("c"))
-        .hint("shuffle_hash"), Seq("b", "c"))
-    val perNode = tri
-      .select(explode(array(col("u"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("tri"))
-    // materialize the N-row result, then release the E-row caches —
-    // the returned frame reads its own checkpoint blocks (pinned while
-    // reachable, reclaimed by the ContextCleaner), not the caches
-    val out = deg
-      .join(perNode.hint("shuffle_hash"), Seq("node"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("tri"), lit(0L)).as("tri"))
-      .localCheckpoint(eager = true)
+    // exact wedge volume (materializes deg + orient as a side effect)
+    val wedgeRows = orient.groupBy("u").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+        .cast("long"))
+      .head.getLong(0)
+    val pW = iterPartitions(ceiling, math.max(edgeHint, wedgeRows))
+    // build side = the oriented list, E/2 rows
+    val bcast = edgeHint / 2 <= wedgeBroadcastMaxRows(spark)
+    val out = withShufflePartitions(spark, pW) {
+      // The ONE expensive exchange in this plan is the O(E^1.5)-row
+      // wedge stream feeding the triangle-close join on (b,c). Below
+      // the size gate ([[wedgeBroadcastMaxEdges]]) the E/2-row close
+      // side broadcasts instead, so wedge generation, the close, and
+      // the partial count fuse into one map-side codegen stage with no
+      // wedge exchange at all. The wedge SELF-join stays shuffle_hash
+      // in both modes — it only exchanges 2·(E/2) oriented rows, and
+      // hashing the E-row list while streaming wedges past it beats
+      // sort-merge (which would sort the wedge stream) by ~2× measured.
+      val wedges = orient.select(col("u"), col("v").as("b"), col("dv").as("db"))
+        .join(orient.select(col("u"), col("v").as("c"), col("dv").as("dc"))
+          .hint("shuffle_hash"), "u")
+        .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+        .select(col("u"), col("b"), col("c"))
+      val closeSide = orient.select(col("u").as("b"), col("v").as("c"))
+      val tri = wedges
+        .join(if (bcast) broadcast(closeSide)
+          else closeSide.hint("shuffle_hash"), Seq("b", "c"))
+      val perNode = tri
+        .select(explode(array(col("u"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      // materialize the N-row result, then release the E-row caches —
+      // the returned frame reads its own checkpoint blocks (pinned while
+      // reachable, reclaimed by the ContextCleaner), not the caches
+      deg
+        .join(perNode.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .localCheckpoint(eager = true)
+    }
     orient.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     out
+    }
   }
 
   /** DOULION (Tsourakakis, Kang & Faloutsos 2009): estimate the global
@@ -1116,7 +1174,8 @@ object Graph {
       .select("src", "dst")
     val sym = pairs.union(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val perNode = triangleCore(sym)
+    val perNode = triangleCore(sym,
+      math.max(1L, gt.numEdges * keepPct / 100))
     val scale = 1000000.0 / (keepPct.toLong * keepPct * keepPct).toDouble
     perNode
       .agg(
@@ -1350,7 +1409,10 @@ object Graph {
     require(gt.numDangling == 0,
       "edgeJaccard requires a symmetric double-edged feed " +
         s"(found ${gt.numDangling} sink nodes)")
+    val spark = gt.edges.sparkSession
+    val ceiling = spark.sessionState.conf.numShufflePartitions
     val e = gt.edges.where(col("src") =!= col("dst")).select("src", "dst")
+    withShufflePartitions(spark, iterPartitions(ceiling, gt.numEdges)) {
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1360,40 +1422,60 @@ object Graph {
       .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
       .select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = orient2
-      .select(col("u"), col("v").as("b"), col("dv").as("db"))
-      .join(orient2.select(col("u"), col("v").as("c"), col("dv").as("dc"))
-        .hint("shuffle_hash"), "u")
-      .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-      .select(col("u"), col("b"), col("c"))
-      .join(orient2.select(col("u").as("b"), col("v").as("c"))
-        .hint("shuffle_hash"), Seq("b", "c"))
-    // each triangle (u,b,c) lies on its three undirected edges
-    val perEdge = tri
-      .select(explode(array(
-        struct(least(col("u"), col("b")).as("a"),
-          greatest(col("u"), col("b")).as("z")),
-        struct(least(col("u"), col("c")).as("a"),
-          greatest(col("u"), col("c")).as("z")),
-        struct(least(col("b"), col("c")).as("a"),
-          greatest(col("b"), col("c")).as("z")))).as("k"))
-      .select(col("k.a").as("src"), col("k.z").as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("common"))
-    val out = e.where(col("src") < col("dst"))
-      .join(deg.select(col("node").as("src"), col("deg").as("deg_src")),
-        "src")
-      .join(deg.select(col("node").as("dst"), col("deg").as("deg_dst")),
-        "dst")
-      .join(perEdge.hint("shuffle_hash"), Seq("src", "dst"), "left")
-      .select(col("src"), col("dst"), col("deg_src"), col("deg_dst"),
-        coalesce(col("common"), lit(0L)).as("common"))
-      .withColumn("jac",
-        col("common").cast("double") /
-          (col("deg_src") + col("deg_dst") - col("common")))
-      .localCheckpoint(eager = true)
+    // exact wedge volume (materializes deg + orient2 as a side effect)
+    // — sizes the inner wedge scope; see [[triangleCore]]
+    val wedgeRows = orient2.groupBy("u").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+        .cast("long"))
+      .head.getLong(0)
+    val pW = iterPartitions(ceiling, math.max(gt.numEdges, wedgeRows))
+    // build side = the oriented list, E/2 rows; the N-row degree table
+    // gates separately (it broadcasts for the final edge joins)
+    val bcast = gt.numEdges / 2 <= wedgeBroadcastMaxRows(spark)
+    val degBcast = gt.numNodes <= wedgeBroadcastMaxRows(spark)
+    val out = withShufflePartitions(spark, pW) {
+      // size-gated close side — see [[triangleCore]]: below the gate
+      // the O(E^1.5)-row wedge stream never exchanges (map-side close
+      // against the broadcast oriented list)
+      val closeSide = orient2.select(col("u").as("b"), col("v").as("c"))
+      val tri = orient2
+        .select(col("u"), col("v").as("b"), col("dv").as("db"))
+        .join(orient2.select(col("u"), col("v").as("c"), col("dv").as("dc"))
+          .hint("shuffle_hash"), "u")
+        .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+        .select(col("u"), col("b"), col("c"))
+        .join(if (bcast) broadcast(closeSide)
+          else closeSide.hint("shuffle_hash"), Seq("b", "c"))
+      // each triangle (u,b,c) lies on its three undirected edges
+      val perEdge = tri
+        .select(explode(array(
+          struct(least(col("u"), col("b")).as("a"),
+            greatest(col("u"), col("b")).as("z")),
+          struct(least(col("u"), col("c")).as("a"),
+            greatest(col("u"), col("c")).as("z")),
+          struct(least(col("b"), col("c")).as("a"),
+            greatest(col("b"), col("c")).as("z")))).as("k"))
+        .select(col("k.a").as("src"), col("k.z").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("common"))
+      def degSide(df: DataFrame): DataFrame =
+        if (degBcast) broadcast(df) else df
+      e.where(col("src") < col("dst"))
+        .join(degSide(deg.select(col("node").as("src"),
+          col("deg").as("deg_src"))), "src")
+        .join(degSide(deg.select(col("node").as("dst"),
+          col("deg").as("deg_dst"))), "dst")
+        .join(perEdge.hint("shuffle_hash"), Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"), col("deg_src"), col("deg_dst"),
+          coalesce(col("common"), lit(0L)).as("common"))
+        .withColumn("jac",
+          col("common").cast("double") /
+            (col("deg_src") + col("deg_dst") - col("common")))
+        .localCheckpoint(eager = true)
+    }
     orient2.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     out.orderBy(desc("jac"), col("src"), col("dst"))
+    }
   }
 
   /** Adamic-Adar link prediction over a symmetric double-edged feed:
@@ -1416,10 +1498,25 @@ object Graph {
       "adamicAdar requires a symmetric double-edged feed " +
         s"(found ${gt.numDangling} sink nodes)")
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val spark = gt.edges.sparkSession
+    val ceiling = spark.sessionState.conf.numShufflePartitions
     val e = gt.edges.where(col("src") =!= col("dst")).select("src", "dst")
+    withShufflePartitions(spark, iterPartitions(ceiling, gt.numEdges)) {
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one probe pass off the N-row degree table (materializes deg as a
+    // side effect): exact wedge volume Σ C(deg(b), 2) over eligible
+    // centers — sizes the inner scope — and the capped neighbor-list
+    // row count Σ deg(b) — gates the broadcast (see [[triangleCore]])
+    val probe = deg
+      .where(col("deg") >= 2 && col("deg") <= maxDegree)
+      .agg(
+        coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0L))
+          .cast("long").as("wedges"),
+        coalesce(sum(col("deg")), lit(0L)).cast("long").as("nb_rows"))
+      .head
+    val (wedgeRows, nbRows) = (probe.getLong(0), probe.getLong(1))
     // wedge centers: only nodes with 2..maxDegree neighbors can vouch
     // for a pair; the per-center term is fixed, so round it ONCE here
     // — and carry it as exact LONG micro-units (12-dp term × 10¹²,
@@ -1436,21 +1533,35 @@ object Graph {
           * lit(java.math.BigDecimal.valueOf(1000000000000L)))
           .cast("long").as("units"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val scored = nb.select(col("b"), col("n").as("u"), col("units"))
-      .join(nb.select(col("b"), col("n").as("w")).hint("shuffle_hash"),
-        "b")
-      .where(col("u") < col("w"))
-      .groupBy("u", "w")
-      .agg(sum(col("units")).as("aa_units"), count(lit(1)).as("common"))
-    val out = scored
-      .join(e.select(col("src").as("u"), col("dst").as("w")),
-        Seq("u", "w"), "left_anti")
-      .select(col("u").as("src"), col("w").as("dst"), col("common"),
-        (col("aa_units").cast("double") / lit(1.0e12)).as("aa"))
-      .localCheckpoint(eager = true)
+    val pW = iterPartitions(ceiling, math.max(gt.numEdges, wedgeRows))
+    // build side = the CAPPED neighbor list (hub centers excluded), so
+    // the gate uses its exact row count, not E
+    val bcast = nbRows <= wedgeBroadcastMaxRows(spark)
+    val out = withShufflePartitions(spark, pW) {
+      // size-gated build side — see [[triangleCore]]: below the gate
+      // the capped neighbor list broadcasts, so the Σ C(deg,2)-row
+      // wedge stream fuses map-side into the partial (u,w) aggregate;
+      // the adjacency anti-join stays shuffle-based — `scored` is
+      // already hash-partitioned on (u,w) by its own aggregate, so
+      // only the E-row edge side exchanges
+      val nbRight = nb.select(col("b"), col("n").as("w"))
+      val scored = nb.select(col("b"), col("n").as("u"), col("units"))
+        .join(if (bcast) broadcast(nbRight)
+          else nbRight.hint("shuffle_hash"), "b")
+        .where(col("u") < col("w"))
+        .groupBy("u", "w")
+        .agg(sum(col("units")).as("aa_units"), count(lit(1)).as("common"))
+      scored
+        .join(e.select(col("src").as("u"), col("dst").as("w")),
+          Seq("u", "w"), "left_anti")
+        .select(col("u").as("src"), col("w").as("dst"), col("common"),
+          (col("aa_units").cast("double") / lit(1.0e12)).as("aa"))
+        .localCheckpoint(eager = true)
+    }
     nb.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     out.orderBy(desc("aa"), col("src"), col("dst"))
+    }
   }
 
   /** Newman modularity of a community assignment over a symmetric
@@ -1514,23 +1625,49 @@ object Graph {
       maxRightDegree: Int): DataFrame = {
     require(maxRightDegree >= 2,
       s"maxRightDegree must be >= 2, got $maxRightDegree")
+    val spark = pairs.sparkSession
+    val ceiling = spark.sessionState.conf.numShufflePartitions
     val lp = pairs
       .select(col(leftCol).as("l"), col(rightCol).as("r")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one probe pass (materializes lp as a side effect): incidence row
+    // count (sizes the scoped stages), exact pair-expansion volume
+    // Σ C(dc, 2) over surviving right nodes, and the pruned row count
+    // Σ dc over survivors — the actual broadcast build side
+    val probe = lp.groupBy("r").agg(count(lit(1)).as("dc"))
+      .agg(
+        coalesce(sum(col("dc")), lit(0L)).cast("long").as("rows"),
+        coalesce(sum(when(col("dc") <= maxRightDegree,
+          col("dc") * (col("dc") - 1) / 2)), lit(0L))
+          .cast("long").as("wedges"),
+        coalesce(sum(when(col("dc") <= maxRightDegree, col("dc"))),
+          lit(0L)).cast("long").as("kept"))
+      .head
+    val (lpRows, wedgeRows, keptRows) =
+      (probe.getLong(0), probe.getLong(1), probe.getLong(2))
+    val pW = iterPartitions(ceiling, math.max(lpRows, wedgeRows))
+    val bcast = keptRows <= wedgeBroadcastMaxRows(spark)
+    withShufflePartitions(spark, pW) {
     val keep = lp.groupBy("r").agg(count(lit(1)).as("dc"))
       .where(col("dc") <= maxRightDegree)
       .select("r")
     val pruned = lp.join(keep, "r")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = pruned.select(col("r"), col("l").as("src"))
-      .join(pruned.select(col("r"), col("l").as("dst"))
-        .hint("shuffle_hash"), "r")
+    // size-gated join strategy — see [[triangleCore]]: below the gate
+    // the pruned incidence list broadcasts and the C(d,2) pair
+    // expansion flows map-side into the partial aggregate
+    val right = pruned.select(col("r"), col("l").as("dst"))
+    val out = pruned
+      .select(col("r"), col("l").as("src"))
+      .join(if (bcast) broadcast(right) else right.hint("shuffle_hash"),
+        "r")
       .where(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       .localCheckpoint(eager = true)
     pruned.unpersist(blocking = false)
     lp.unpersist(blocking = false)
     out
+    }
   }
 
   /** Unpersist the cached RDD behind an eager `localCheckpoint`ed

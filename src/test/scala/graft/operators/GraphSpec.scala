@@ -889,6 +889,34 @@ class GraphSpec extends SparkSpec {
     } finally gt.unpersist()
   }
 
+  test("wedge family: the size-gated broadcast close and the " +
+      "shuffle_hash form are bit-identical") {
+    import spark.implicits._
+    val sym = randomSym(40, 150, seed = 7L)
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    val pairs = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L),
+      (2L, 11L), (4L, 12L), (1L, 12L), (4L, 13L)).toDF("c", "p")
+    val key = "spark.graft.graph.wedgeBroadcastMaxRows"
+    def runAll() = (
+      gt.triangleCounts().collect().toSeq,
+      gt.edgeJaccard().collect().toSeq,
+      gt.adamicAdar(maxDegree = 10).collect().toSeq,
+      Graph.bipartiteProject(pairs, "c", "p", maxRightDegree = 3)
+        .orderBy("src", "dst").collect().toSeq)
+    try {
+      spark.conf.set(key, "0") // every edge count exceeds the gate
+      val viaShuffle = runAll()
+      spark.conf.unset(key) // default gate: these tiny graphs broadcast
+      val viaBroadcast = runAll()
+      assert(viaBroadcast === viaShuffle)
+    } finally {
+      spark.conf.unset(key)
+      gt.unpersist()
+    }
+  }
+
   test("clusteringCoefficient: complete graph 1.0, path graph 0.0") {
     import spark.implicits._
     val k4 = (for {
