@@ -183,26 +183,25 @@ object Graph {
       iterPartitions(spark, math.max(gt.numEdges, gt.numNodes)))(f)
   }
 
-  /** Build-side ROW count below which the wedge-join family (triangles,
-    * clustering coefficient, edge Jaccard, Adamic-Adar, bipartite
-    * projection) BROADCASTS its build side instead of shuffling the
-    * O(E^1.5) wedge stream into it. Below the gate the wedge stream —
-    * generation, triangle close, partial aggregate — fuses into one
-    * map-side codegen stage with no exchange. The default is 1M rows,
-    * set by adjacent A/B at sf0.1, NOT by broadcast-memory headroom:
-    * a 1.2M-row build side already LOSES as a broadcast (q119
-    * triangles 5.8 s broadcast vs 4.4 s shuffle_hash — every one of
-    * the 41M wedge probes walks one big shared relation with poor
-    * cache locality, where shuffle_hash probes per-partition maps
-    * that fit cache), while 0.2–0.4M-row sides win outright (q127
-    * 4.8→1.6 s, q156 10+→5.6 s, q160 4.6→3.2 s). Each operator gates
-    * on its ACTUAL build-side rows (oriented list, capped neighbor
-    * list, pruned incidence list — exact values from the wedge-volume
-    * probe it already runs). Override with
+  /** Oriented-list ROW count (E/2) below which the wedge-join family
+    * (triangles, clustering coefficient, edge Jaccard, Adamic-Adar)
+    * takes its SMALL-graph path: scale-aware scoped task counts, an
+    * exact wedge-volume probe, and a broadcast build side that lets
+    * the O(E^1.5) wedge stream fuse map-side with no exchange. Above
+    * the gate the plain ambient-partition shuffle_hash plan runs with
+    * no probe job. The 300k default is set by round-12 min-of-five
+    * in-bench floors at sf0.1, NOT by broadcast-memory headroom: at
+    * 1.2M oriented rows the device COSTS ~1-3 s per line (q119 floor
+    * 4.97→6.12, q156 5.42→8.32, q160 3.38→4.27, untouched controls
+    * flat ±0.3 s — the probe job, the narrower scaffolding scope, and
+    * the big shared broadcast relation each hurt; per-partition
+    * shuffle_hash maps fit cache, one 100 MB relation does not),
+    * while a 0.24M-row side wins outright (q127 floor 4.77→4.01, and
+    * 4.8→1.6 s isolated). Override with
     * `spark.graft.graph.wedgeBroadcastMaxRows`. */
   def wedgeBroadcastMaxRows(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.graph.wedgeBroadcastMaxRows")
-      .map(_.toLong).getOrElse(1000000L)
+      .map(_.toLong).getOrElse(300000L)
 
   /** Node count above which [[pageRank]] auto-selects the distributed
     * rank-table loop body (the rank table must fit the driver/broadcast
@@ -1071,18 +1070,27 @@ object Graph {
     * materialized (node, deg, tri) frame (checkpoint blocks, caches
     * released).
     *
-    * Task counts are scale-aware (the rank-loop device applied to the
-    * one-shot wedge joins): the E-row scaffolding stages run at
-    * ⌈edgeHint/250k⌉ tasks and the wedge stages at ⌈wedges/250k⌉ —
-    * the EXACT wedge volume Σ C(odeg(u),2), one cheap aggregate over
-    * the already-persisted oriented list — both clamped to the session
-    * setting, so cluster plans are unchanged and only small graphs
-    * shed scheduling-barrier overhead. Counts are integer-exact, so
-    * partitioning cannot move a bit. */
+    * SMALL-graph path (oriented list ≤ [[wedgeBroadcastMaxRows]]):
+    * task counts are scale-aware — the E-row scaffolding stages run at
+    * ⌈edgeHint/250k⌉ tasks and the wedge stages at ⌈wedges/250k⌉ (the
+    * EXACT wedge volume Σ C(odeg(u),2), one cheap aggregate over the
+    * already-persisted oriented list), both clamped to the session
+    * setting — and the triangle close probes a BROADCAST of the tiny
+    * oriented list, so the wedge stream never exchanges. ABOVE the
+    * gate, the plan is the plain ambient-partition shuffle_hash form
+    * with no probe job: the round-12 floors showed the probe +
+    * scaffolding scope + broadcast each COST ~0.3-1 s in-bench at
+    * sf0.1 volumes (q119 floor 4.97→6.12 with them, controls flat),
+    * so the device is reserved for graphs small enough that the
+    * broadcast pays for all three. Counts are integer-exact, so
+    * neither partitioning nor join strategy can move a bit
+    * (parity-pinned in GraphSpec). */
   private def triangleCore(e: DataFrame, edgeHint: Long): DataFrame = {
     val spark = e.sparkSession
     val ceiling = spark.sessionState.conf.numShufflePartitions
-    withShufflePartitions(spark, iterPartitions(ceiling, edgeHint)) {
+    val small = edgeHint / 2 <= wedgeBroadcastMaxRows(spark)
+    val pE = if (small) iterPartitions(ceiling, edgeHint) else ceiling
+    withShufflePartitions(spark, pE) {
     // symmetric feed: degree = out-edge count (NOT the weight total —
     // triangles are a structural count, so parallel-edge weights are
     // irrelevant by construction: the edge list is already distinct)
@@ -1095,24 +1103,27 @@ object Graph {
       .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
       .select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // exact wedge volume (materializes deg + orient as a side effect)
-    val wedgeRows = orient.groupBy("u").agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
-        .cast("long"))
-      .head.getLong(0)
-    val pW = iterPartitions(ceiling, math.max(edgeHint, wedgeRows))
-    // build side = the oriented list, E/2 rows
-    val bcast = edgeHint / 2 <= wedgeBroadcastMaxRows(spark)
+    // exact wedge volume, small path only (materializes deg + orient
+    // as a side effect); the big path pays no probe job
+    val pW =
+      if (!small) ceiling
+      else {
+        val wedgeRows = orient.groupBy("u").agg(count(lit(1)).as("d"))
+          .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+            .cast("long"))
+          .head.getLong(0)
+        iterPartitions(ceiling, math.max(edgeHint, wedgeRows))
+      }
     val out = withShufflePartitions(spark, pW) {
       // The ONE expensive exchange in this plan is the O(E^1.5)-row
-      // wedge stream feeding the triangle-close join on (b,c). Below
-      // the size gate ([[wedgeBroadcastMaxEdges]]) the E/2-row close
-      // side broadcasts instead, so wedge generation, the close, and
-      // the partial count fuse into one map-side codegen stage with no
-      // wedge exchange at all. The wedge SELF-join stays shuffle_hash
-      // in both modes — it only exchanges 2·(E/2) oriented rows, and
-      // hashing the E-row list while streaming wedges past it beats
-      // sort-merge (which would sort the wedge stream) by ~2× measured.
+      // wedge stream feeding the triangle-close join on (b,c). On the
+      // small path the E/2-row close side broadcasts instead, so wedge
+      // generation, the close, and the partial count fuse into one
+      // map-side codegen stage with no wedge exchange at all. The
+      // wedge SELF-join stays shuffle_hash in both modes — it only
+      // exchanges 2·(E/2) oriented rows, and hashing the E-row list
+      // while streaming wedges past it beats sort-merge (which would
+      // sort the wedge stream) by ~2× measured.
       val wedges = orient.select(col("u"), col("v").as("b"), col("dv").as("db"))
         .join(orient.select(col("u"), col("v").as("c"), col("dv").as("dc"))
           .hint("shuffle_hash"), "u")
@@ -1120,7 +1131,7 @@ object Graph {
         .select(col("u"), col("b"), col("c"))
       val closeSide = orient.select(col("u").as("b"), col("v").as("c"))
       val tri = wedges
-        .join(if (bcast) broadcast(closeSide)
+        .join(if (small) broadcast(closeSide)
           else closeSide.hint("shuffle_hash"), Seq("b", "c"))
       val perNode = tri
         .select(explode(array(col("u"), col("b"), col("c"))).as("node"))
@@ -1412,7 +1423,11 @@ object Graph {
     val spark = gt.edges.sparkSession
     val ceiling = spark.sessionState.conf.numShufflePartitions
     val e = gt.edges.where(col("src") =!= col("dst")).select("src", "dst")
-    withShufflePartitions(spark, iterPartitions(ceiling, gt.numEdges)) {
+    // small-graph path vs plain ambient shuffle_hash plan — the same
+    // gate, probe, and scoping rationale as [[triangleCore]]
+    val small = gt.numEdges / 2 <= wedgeBroadcastMaxRows(spark)
+    val pE = if (small) iterPartitions(ceiling, gt.numEdges) else ceiling
+    withShufflePartitions(spark, pE) {
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1422,21 +1437,16 @@ object Graph {
       .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
       .select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // exact wedge volume (materializes deg + orient2 as a side effect)
-    // — sizes the inner wedge scope; see [[triangleCore]]
-    val wedgeRows = orient2.groupBy("u").agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
-        .cast("long"))
-      .head.getLong(0)
-    val pW = iterPartitions(ceiling, math.max(gt.numEdges, wedgeRows))
-    // build side = the oriented list, E/2 rows; the N-row degree table
-    // gates separately (it broadcasts for the final edge joins)
-    val bcast = gt.numEdges / 2 <= wedgeBroadcastMaxRows(spark)
-    val degBcast = gt.numNodes <= wedgeBroadcastMaxRows(spark)
+    val pW =
+      if (!small) ceiling
+      else {
+        val wedgeRows = orient2.groupBy("u").agg(count(lit(1)).as("d"))
+          .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+            .cast("long"))
+          .head.getLong(0)
+        iterPartitions(ceiling, math.max(gt.numEdges, wedgeRows))
+      }
     val out = withShufflePartitions(spark, pW) {
-      // size-gated close side — see [[triangleCore]]: below the gate
-      // the O(E^1.5)-row wedge stream never exchanges (map-side close
-      // against the broadcast oriented list)
       val closeSide = orient2.select(col("u").as("b"), col("v").as("c"))
       val tri = orient2
         .select(col("u"), col("v").as("b"), col("dv").as("db"))
@@ -1444,7 +1454,7 @@ object Graph {
           .hint("shuffle_hash"), "u")
         .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
         .select(col("u"), col("b"), col("c"))
-        .join(if (bcast) broadcast(closeSide)
+        .join(if (small) broadcast(closeSide)
           else closeSide.hint("shuffle_hash"), Seq("b", "c"))
       // each triangle (u,b,c) lies on its three undirected edges
       val perEdge = tri
@@ -1458,7 +1468,7 @@ object Graph {
         .select(col("k.a").as("src"), col("k.z").as("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("common"))
       def degSide(df: DataFrame): DataFrame =
-        if (degBcast) broadcast(df) else df
+        if (small) broadcast(df) else df
       e.where(col("src") < col("dst"))
         .join(degSide(deg.select(col("node").as("src"),
           col("deg").as("deg_src"))), "src")
@@ -1501,22 +1511,26 @@ object Graph {
     val spark = gt.edges.sparkSession
     val ceiling = spark.sessionState.conf.numShufflePartitions
     val e = gt.edges.where(col("src") =!= col("dst")).select("src", "dst")
-    withShufflePartitions(spark, iterPartitions(ceiling, gt.numEdges)) {
+    // small-graph path vs plain ambient shuffle_hash plan — the same
+    // gate, probe, and scoping rationale as [[triangleCore]] (gated on
+    // E/2 like the rest of the family, so the big path never pays a
+    // probe job; the capped neighbor list is ≤ E rows)
+    val small = gt.numEdges / 2 <= wedgeBroadcastMaxRows(spark)
+    val pE = if (small) iterPartitions(ceiling, gt.numEdges) else ceiling
+    withShufflePartitions(spark, pE) {
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one probe pass off the N-row degree table (materializes deg as a
-    // side effect): exact wedge volume Σ C(deg(b), 2) over eligible
-    // centers — sizes the inner scope — and the capped neighbor-list
-    // row count Σ deg(b) — gates the broadcast (see [[triangleCore]])
-    val probe = deg
-      .where(col("deg") >= 2 && col("deg") <= maxDegree)
-      .agg(
-        coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0L))
-          .cast("long").as("wedges"),
-        coalesce(sum(col("deg")), lit(0L)).cast("long").as("nb_rows"))
-      .head
-    val (wedgeRows, nbRows) = (probe.getLong(0), probe.getLong(1))
+    // small path only: exact wedge volume Σ C(deg(b), 2) over eligible
+    // centers, one probe pass off the N-row degree table (materializes
+    // deg as a side effect)
+    val wedgeRows =
+      if (!small) 0L
+      else deg
+        .where(col("deg") >= 2 && col("deg") <= maxDegree)
+        .agg(coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0L))
+          .cast("long"))
+        .head.getLong(0)
     // wedge centers: only nodes with 2..maxDegree neighbors can vouch
     // for a pair; the per-center term is fixed, so round it ONCE here
     // — and carry it as exact LONG micro-units (12-dp term × 10¹²,
@@ -1533,20 +1547,18 @@ object Graph {
           * lit(java.math.BigDecimal.valueOf(1000000000000L)))
           .cast("long").as("units"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pW = iterPartitions(ceiling, math.max(gt.numEdges, wedgeRows))
-    // build side = the CAPPED neighbor list (hub centers excluded), so
-    // the gate uses its exact row count, not E
-    val bcast = nbRows <= wedgeBroadcastMaxRows(spark)
+    val pW =
+      if (!small) ceiling
+      else iterPartitions(ceiling, math.max(gt.numEdges, wedgeRows))
     val out = withShufflePartitions(spark, pW) {
-      // size-gated build side — see [[triangleCore]]: below the gate
-      // the capped neighbor list broadcasts, so the Σ C(deg,2)-row
-      // wedge stream fuses map-side into the partial (u,w) aggregate;
-      // the adjacency anti-join stays shuffle-based — `scored` is
-      // already hash-partitioned on (u,w) by its own aggregate, so
-      // only the E-row edge side exchanges
+      // small path: the capped neighbor list broadcasts, so the
+      // Σ C(deg,2)-row wedge stream fuses map-side into the partial
+      // (u,w) aggregate. The adjacency anti-join stays shuffle-based
+      // in both modes — `scored` is already hash-partitioned on (u,w)
+      // by its own aggregate, so only the E-row edge side exchanges.
       val nbRight = nb.select(col("b"), col("n").as("w"))
       val scored = nb.select(col("b"), col("n").as("u"), col("units"))
-        .join(if (bcast) broadcast(nbRight)
+        .join(if (small) broadcast(nbRight)
           else nbRight.hint("shuffle_hash"), "b")
         .where(col("u") < col("w"))
         .groupBy("u", "w")
@@ -1625,49 +1637,28 @@ object Graph {
       maxRightDegree: Int): DataFrame = {
     require(maxRightDegree >= 2,
       s"maxRightDegree must be >= 2, got $maxRightDegree")
-    val spark = pairs.sparkSession
-    val ceiling = spark.sessionState.conf.numShufflePartitions
+    // No small-graph path here (unlike [[triangleCore]]): `pairs` is an
+    // arbitrary frame with no precomputed cardinality to gate on, and
+    // a probe pass + broadcast variant measured SLOWER in-bench at
+    // sf0.1 (q160 min-of-five floor 3.38→4.27 with them) — the
+    // projection's cost is its (src,dst) aggregate exchange either way.
     val lp = pairs
       .select(col(leftCol).as("l"), col(rightCol).as("r")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one probe pass (materializes lp as a side effect): incidence row
-    // count (sizes the scoped stages), exact pair-expansion volume
-    // Σ C(dc, 2) over surviving right nodes, and the pruned row count
-    // Σ dc over survivors — the actual broadcast build side
-    val probe = lp.groupBy("r").agg(count(lit(1)).as("dc"))
-      .agg(
-        coalesce(sum(col("dc")), lit(0L)).cast("long").as("rows"),
-        coalesce(sum(when(col("dc") <= maxRightDegree,
-          col("dc") * (col("dc") - 1) / 2)), lit(0L))
-          .cast("long").as("wedges"),
-        coalesce(sum(when(col("dc") <= maxRightDegree, col("dc"))),
-          lit(0L)).cast("long").as("kept"))
-      .head
-    val (lpRows, wedgeRows, keptRows) =
-      (probe.getLong(0), probe.getLong(1), probe.getLong(2))
-    val pW = iterPartitions(ceiling, math.max(lpRows, wedgeRows))
-    val bcast = keptRows <= wedgeBroadcastMaxRows(spark)
-    withShufflePartitions(spark, pW) {
     val keep = lp.groupBy("r").agg(count(lit(1)).as("dc"))
       .where(col("dc") <= maxRightDegree)
       .select("r")
     val pruned = lp.join(keep, "r")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // size-gated join strategy — see [[triangleCore]]: below the gate
-    // the pruned incidence list broadcasts and the C(d,2) pair
-    // expansion flows map-side into the partial aggregate
-    val right = pruned.select(col("r"), col("l").as("dst"))
-    val out = pruned
-      .select(col("r"), col("l").as("src"))
-      .join(if (bcast) broadcast(right) else right.hint("shuffle_hash"),
-        "r")
+    val out = pruned.select(col("r"), col("l").as("src"))
+      .join(pruned.select(col("r"), col("l").as("dst"))
+        .hint("shuffle_hash"), "r")
       .where(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       .localCheckpoint(eager = true)
     pruned.unpersist(blocking = false)
     lp.unpersist(blocking = false)
     out
-    }
   }
 
   /** Unpersist the cached RDD behind an eager `localCheckpoint`ed
