@@ -28,6 +28,10 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B hook for the wedge-family algorithm selector (floors runs
+    // set GRAFT_TRIANGLE_ALGO=csr against the default wedge form)
+    sys.env.get("GRAFT_TRIANGLE_ALGO").foreach(a =>
+      spark.conf.set("spark.graft.graph.triangleAlgo", a))
     spark
   }
 

@@ -87,9 +87,14 @@ object SparkEntry {
       base
     })
 
-  /** Short sf-dir discriminator for the artifact-cost ledger keys. */
-  private def dirTag(dir: String): String =
-    dir.split('/').filter(_.nonEmpty).lastOption.getOrElse(dir)
+  /** Short sf-dir discriminator for the artifact-cost ledger keys.
+    * Basename + full-path hash: two dataset dirs sharing a basename
+    * (e.g. /a/sf0.1 and /b/sf0.1) each build their artifact (caches
+    * key on the full path), so the ledger must not collapse them. */
+  private def dirTag(dir: String): String = {
+    val base = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse(dir)
+    s"$base-${Integer.toHexString(dir.hashCode)}"
+  }
 
   // ---- deterministic media fixtures shared by q109 (PNG decode) and
   // ---- q110 (WAV decode): encoded ONCE per (JVM, sf dir) and
@@ -181,39 +186,48 @@ object SparkEntry {
         Integer.toHexString(dir.hashCode))
       val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      // directed customer -> supplier purchase graph (supplier ids
-      // offset by 1e7): q102/q107/q113/q114/q115
-      val directed = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"),
+      // ONE cached (orderkey, src, dst) join feed — the r12 ledger
+      // showed this build at 162 s/sf0.1 because the l⋈o pipeline
+      // re-executed per artifact (3× for directed+undirected via the
+      // union branches, 3× more for the weighted pair): every scaffold
+      // below derives from this one materialization, so the join and
+      // the parquet scans run exactly once per (JVM, dir).
+      val pairsAll = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("src"),
           (col("l_suppkey") + 10000000L).as("dst"))
-        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // weighted purchase graph: edge weight = number of line items
+      // between the pair (purchase frequency), grouped so the pairs
+      // are distinct by construction: q116. ONE pair shuffle — the
+      // unweighted `directed` edge set is exactly this table's keys,
+      // so the old separate distinct() is derived, not recomputed.
+      val weighted = pairsAll
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).cast("double").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      operators.Graph.writeGraphTable(weighted, "src", "dst",
+        s"$base/directed_w", weightCol = Some("w"), assumeDistinct = true)
+      // directed customer -> supplier purchase graph (supplier ids
+      // offset by 1e7): q102/q107/q113/q114/q115 — the weighted
+      // table's key set, distinct by construction, zero extra shuffle
+      val directed = weighted.select(col("src"), col("dst"))
       operators.Graph.writeGraphTable(directed, "src", "dst",
         s"$base/directed", assumeDistinct = true)
       // undirected double-edged feed (sink-free by construction):
       // q98/q117. The two directions are disjoint (supplier offset),
-      // so the union stays distinct.
+      // so the union stays distinct — and both branches read the
+      // weighted cache, not the join lineage.
       val undirected = directed
         .union(directed.select(col("dst").as("src"), col("src").as("dst")))
       operators.Graph.writeGraphTable(undirected, "src", "dst",
         s"$base/undirected", assumeDistinct = true)
-      // 10%-sampled order feed: q111
-      val sampled = l.join(
-          o.where(col("o_orderkey") % 10 === 0),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 10000000L).as("dst"))
+      // 10%-sampled order feed: q111 (the ok column exists in the
+      // cached feed precisely for this filter)
+      val sampled = pairsAll.where(col("ok") % 10 === 0)
+        .select(col("src"), col("dst"))
         .distinct()
       operators.Graph.writeGraphTable(sampled, "src", "dst",
         s"$base/sampled10", assumeDistinct = true)
-      // weighted purchase graph: edge weight = number of line items
-      // between the pair (purchase frequency), grouped so the pairs
-      // are distinct by construction: q116
-      val weighted = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("src"),
-          (col("l_suppkey") + 10000000L).as("dst"))
-        .agg(count(lit(1)).cast("double").as("w"))
-      operators.Graph.writeGraphTable(weighted, "src", "dst",
-        s"$base/directed_w", weightCol = Some("w"), assumeDistinct = true)
       // symmetric COST-weighted twin for q134 shortest paths: cost =
       // 1 + floor(100/purchase_count), so frequent ties are cheap and
       // path costs discriminate (raw counts would collapse min-paths
@@ -229,6 +243,8 @@ object SparkEntry {
           .select(col("dst").as("src"), col("src").as("dst"), col("w"))),
         "src", "dst",
         s"$base/undirected_w", weightCol = Some("w"), assumeDistinct = true)
+      pairsAll.unpersist(blocking = false)
+      weighted.unpersist(blocking = false)
       // part↔part co-purchase graph (parts sharing an order), symmetric
       // double-edged — the non-bipartite body for the structural tier:
       // q119 (triangles) / q120 (clustering coeff) / q121 (k-core).
@@ -237,15 +253,22 @@ object SparkEntry {
       val lp = T(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pp cached so the symmetric union reads it once, not the
+      // self-join pipeline twice; lp cached so the self-join's two
+      // sides share one scan+distinct.
       val pp = lp.select(col("ok"), col("pk").as("p1"))
         .join(lp.select(col("ok"), col("pk").as("p2")), "ok")
         .where(col("p1") < col("p2"))
         .select(col("p1").as("src"), col("p2").as("dst"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val copurchase = pp
         .union(pp.select(col("dst").as("src"), col("src").as("dst")))
       operators.Graph.writeGraphTable(copurchase, "src", "dst",
         s"$base/copurchase", assumeDistinct = true)
+      lp.unpersist(blocking = false)
+      pp.unpersist(blocking = false)
       base
     })
 
@@ -3236,6 +3259,26 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(bpeMergesPath(dir))
       operators.Bpe.tokenCounts(docs, "doc_id", "text", model)
         .orderBy("doc_id")
+    }),
+
+    // Sequence packing under the REAL tokenizer — q118's global FFD
+    // shape composed with q189's fitted BPE model through the
+    // `tokenCount` hook: context windows are sized in actual subword
+    // tokens, not the whitespace estimate (the whole point of fitting
+    // a tokenizer before packing). The fit + merges persist run
+    // in-line (q189 accounting precedent); the oracle replays the
+    // merge loop per distinct word over the persisted merges table,
+    // then feeds those counts into the q118 harmonic-class replay.
+    "q190_pack_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val model = operators.Bpe.fitBpe(docs, "text", numMerges = 48)
+      model.merges.map(m => (m.rank, m.l, m.r)).toDF("rank", "l", "r")
+        .coalesce(1).write.mode("overwrite").parquet(bpeMergesPath(dir))
+      operators.Curation.packSequencesGlobal(
+        docs, "doc_id", "text", capacity = 256,
+        tokenCount = operators.Bpe.tokenCountCol(model))
+        .orderBy("doc_id")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -6150,6 +6193,56 @@ object SparkEntry {
         |  CAST(sum(tc.n) AS BIGINT) AS n_tokens
         |FROM w JOIN tc USING (word)
         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q189's recursive-CTE per-distinct-word merge replay composed
+    // into q118's closed-form harmonic-class FFD replay: per-doc n is
+    // the REAL BPE token count (LEFT JOINs keep zero-word docs at
+    // n=0, matching the engine's tokenCountCol null/empty → 0)
+    "q190_pack_bpe" ->
+      s"""WITH RECURSIVE
+        |mg AS MATERIALIZED (SELECT rank, ' ' || l || '  ' || r || ' '
+        |    AS pat, ' ' || l || r || ' ' AS rep
+        |  FROM read_parquet('${bpeMergesPath(lastDatasetDir)}/*.parquet')),
+        |w AS MATERIALIZED (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '[^\\s.,!?;:]+|[.,!?;:]', 0))
+        |    AS word FROM documents),
+        |v AS MATERIALIZED (SELECT DISTINCT word FROM w),
+        |seed AS (SELECT word, ' ' || array_to_string(list_transform(
+        |    range(1, length(word) + 1),
+        |    i -> substr(word, CAST(i AS INT), 1)), '  ') || ' ' AS st
+        |  FROM v),
+        |steps AS (
+        |  SELECT word, st FROM seed
+        |  UNION ALL
+        |  SELECT s.word, replace(s.st, m.pat, m.rep) AS st
+        |  FROM steps s JOIN mg m ON contains(s.st, m.pat)
+        |  WHERE m.rank =
+        |    (SELECT min(m2.rank) FROM mg m2 WHERE contains(s.st, m2.pat))),
+        |fin AS (SELECT word, st FROM steps s
+        |  WHERE NOT EXISTS (SELECT 1 FROM mg m WHERE contains(s.st, m.pat))),
+        |tc AS (SELECT word,
+        |  CAST(len(string_split(trim(st), '  ')) AS BIGINT) AS n FROM fin),
+        |nt AS (SELECT d.doc_id,
+        |  CAST(coalesce(sum(tc.n), 0) AS BIGINT) AS n
+        |  FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+        |  LEFT JOIN tc USING (word) GROUP BY d.doc_id),
+        |s AS (SELECT doc_id, n,
+        |  CAST(256 AS BIGINT) // greatest(n, 1) AS cls FROM nt),
+        |r AS (SELECT doc_id, n, cls,
+        |  row_number() OVER (PARTITION BY cls ORDER BY n DESC, doc_id)
+        |    - 1 AS rk
+        |  FROM s),
+        |cc AS (SELECT cls, count(*) AS cnt FROM s GROUP BY 1),
+        |cb AS (SELECT cls,
+        |  coalesce(sum((cnt + greatest(cls, 1) - 1) // greatest(cls, 1))
+        |    OVER (ORDER BY cls
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS base
+        |  FROM cc)
+        |SELECT r.cls AS cls, r.doc_id, r.n AS n_tokens,
+        |  CAST(cb.base + rk // greatest(r.cls, 1) AS BIGINT) AS pack_id
+        |FROM r JOIN cb ON cb.cls = r.cls
+        |ORDER BY r.doc_id""".stripMargin,
 
     // same VALUES fixture (ONE Scala Seq), same three Java∩RE2
     // patterns spelled for RE2 — counts are integer-exact

@@ -242,10 +242,13 @@ object Bpe {
   def tokenCountCol(model: BpeModel)(text: Column): Column = {
     val spark = SparkSession.active
     val bc = spark.sparkContext.broadcast(model)
+    // Compiled once here and serialized with the closure
+    // (java.util.regex.Pattern is Serializable) — never per row.
+    val pat = java.util.regex.Pattern.compile(wordPattern)
     val kernel = udf { (t: String) =>
       if (t == null) 0L
       else {
-        val m = java.util.regex.Pattern.compile(wordPattern).matcher(t)
+        val m = pat.matcher(t)
         var n = 0L
         while (m.find()) n += tokenizeWord(m.group(), bc.value).length
         n

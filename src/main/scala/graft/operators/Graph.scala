@@ -201,7 +201,14 @@ object Graph {
     * `spark.graft.graph.wedgeBroadcastMaxRows`. */
   def wedgeBroadcastMaxRows(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.graph.wedgeBroadcastMaxRows")
-      .map(_.toLong).getOrElse(300000L)
+      .map { v =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            "spark.graft.graph.wedgeBroadcastMaxRows must be a long row " +
+              s"count, got '$v'")
+        }
+      }.getOrElse(300000L)
 
   /** Node count above which [[pageRank]] auto-selects the distributed
     * rank-table loop body (the rank table must fit the driver/broadcast
@@ -1085,7 +1092,96 @@ object Graph {
     * broadcast pays for all three. Counts are integer-exact, so
     * neither partitioning nor join strategy can move a bit
     * (parity-pinned in GraphSpec). */
-  private def triangleCore(e: DataFrame, edgeHint: Long): DataFrame = {
+  private def triangleCore(e: DataFrame, edgeHint: Long): DataFrame =
+    if (triangleAlgo(e.sparkSession) == "csr") triangleCoreCsr(e, edgeHint)
+    else triangleCoreWedge(e, edgeHint)
+
+  /** Triangle-close algorithm selector:
+    * `spark.graft.graph.triangleAlgo` = `wedge` (default — the
+    * wedge-stream self-join + close join below) or `csr` (grouped
+    * adjacency: per-edge array intersection, no wedge stream —
+    * [[triangleCoreCsr]]). Both are exact and parity-pinned in
+    * GraphSpec; the default is set by min-of-five floors, not theory. */
+  private[operators] def triangleAlgo(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.graph.triangleAlgo")
+      .getOrElse("wedge") match {
+      case a @ ("wedge" | "csr") => a
+      case bad => throw new IllegalArgumentException(
+        s"spark.graft.graph.triangleAlgo must be 'wedge' or 'csr', " +
+          s"got '$bad'")
+    }
+
+  /** Grouped-adjacency (CSR-style) triangle counting: orient edges by
+    * (degree, id) as in the wedge path, group each node's oriented
+    * out-neighbors into ONE array row, broadcast that adjacency table,
+    * and close triangles per oriented edge as an array intersection
+    * `N⁺(u) ∩ N⁺(v)` — triangle (u,v,w) (u lowest, w highest in
+    * orientation order) is found exactly once, at its base edge (u,v).
+    *
+    * Why this can beat the wedge stream: the work is the same
+    * Σ(d⁺(u)+d⁺(v)) = O(E^1.5) bound, but it runs as tight per-row
+    * array ops instead of W join-machinery rows, and NOTHING of wedge
+    * volume ever moves — the adjacency broadcast packs E longs into N
+    * array rows (~an order denser than a hashed E-row relation, which
+    * is what sank the r12 broadcast device at 1.2M rows), the closing
+    * stage is fully map-side, and the only shuffles are the E-row
+    * adjacency groupBy and the 3T-row credit aggregate (partial-agg
+    * combined map-side). At 100 TB the adjacency table outgrows the
+    * broadcast envelope and the wedge plan is the right one — this
+    * path's value is the (large) mid range where N-array adjacency
+    * fits memory but the wedge stream dominates wall time. */
+  private def triangleCoreCsr(e: DataFrame, edgeHint: Long): DataFrame = {
+    // AMBIENT task counts throughout, no scoping: the closing stage's
+    // work is WEDGE-volume-proportional (Σ d⁺(u)+d⁺(v) per edge) but
+    // runs over the E-row oriented list, so narrowing tasks to
+    // E/250k (the iterative-body heuristic) would starve it — the r12
+    // floors already showed narrowed scope costing on big graphs.
+    {
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val orient = e
+        .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+        .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
+        .select(col("src").as("u"), col("dst").as("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // element order inside an adjacency row is partition-dependent
+      // (collect_list) and deliberately NOT sorted: every consumer
+      // below is order-invariant (intersection + count aggregates)
+      val adj = orient.groupBy(col("u"))
+        .agg(collect_list(col("v")).as("nbrs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      adj.count() // materialize once; both broadcast builds read the cache
+      // INNER join on the v side: an edge whose head has no oriented
+      // out-neighbors can close nothing, so dropping it is exact
+      val closed = orient
+        .join(broadcast(adj), Seq("u"))
+        .join(broadcast(adj.select(col("u").as("v"),
+          col("nbrs").as("nbrs_v"))), Seq("v"))
+        .select(col("u"), col("v"),
+          array_intersect(col("nbrs"), col("nbrs_v")).as("ws"))
+        .where(size(col("ws")) > 0)
+      // ONE pass: T triangle rows → 3T node credits → partial-agg'd
+      // count (u and v are in every triangle of their base edge; each
+      // w in exactly one)
+      val perNode = closed
+        .select(col("u"), col("v"), explode(col("ws")).as("w"))
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      val out = deg
+        .join(perNode.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .localCheckpoint(eager = true)
+      adj.unpersist(blocking = false)
+      orient.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      out
+    }
+  }
+
+  private def triangleCoreWedge(e: DataFrame, edgeHint: Long): DataFrame = {
     val spark = e.sparkSession
     val ceiling = spark.sessionState.conf.numShufflePartitions
     val small = edgeHint / 2 <= wedgeBroadcastMaxRows(spark)
@@ -1185,6 +1281,12 @@ object Graph {
       .select("src", "dst")
     val sym = pairs.union(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // The size hint is the EXPECTED sampled edge count, not the actual
+    // sample cardinality — the gate is therefore probabilistic for
+    // DOULION (a sample landing above the estimate broadcasts a
+    // slightly larger relation). A pure performance heuristic: results
+    // stay exact either way (parity-pinned plans), and counting the
+    // sample first would cost an extra job per estimate call.
     val perNode = triangleCore(sym,
       math.max(1L, gt.numEdges * keepPct / 100))
     val scale = 1000000.0 / (keepPct.toLong * keepPct * keepPct).toDouble
@@ -1437,8 +1539,9 @@ object Graph {
       .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
       .select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val csr = triangleAlgo(spark) == "csr"
     val pW =
-      if (!small) ceiling
+      if (!small || csr) ceiling
       else {
         val wedgeRows = orient2.groupBy("u").agg(count(lit(1)).as("d"))
           .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
@@ -1446,9 +1549,25 @@ object Graph {
           .head.getLong(0)
         iterPartitions(ceiling, math.max(gt.numEdges, wedgeRows))
       }
+    // csr: grouped-adjacency close ([[triangleCoreCsr]] rationale) —
+    // same (u, b=middle, c=top) triangle triples, so the per-edge
+    // explode+agg below is shared verbatim between the two algorithms
+    var adjToRelease: Option[DataFrame] = None
     val out = withShufflePartitions(spark, pW) {
       val closeSide = orient2.select(col("u").as("b"), col("v").as("c"))
-      val tri = orient2
+      val tri = if (csr) {
+        val adj = orient2.groupBy(col("u"))
+          .agg(collect_list(col("v")).as("nbrs"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        adj.count()
+        adjToRelease = Some(adj)
+        orient2
+          .join(broadcast(adj), Seq("u"))
+          .join(broadcast(adj.select(col("u").as("v"),
+            col("nbrs").as("nbrs_v"))), Seq("v"))
+          .select(col("u"), col("v").as("b"),
+            explode(array_intersect(col("nbrs"), col("nbrs_v"))).as("c"))
+      } else orient2
         .select(col("u"), col("v").as("b"), col("dv").as("db"))
         .join(orient2.select(col("u"), col("v").as("c"), col("dv").as("dc"))
           .hint("shuffle_hash"), "u")
@@ -1482,6 +1601,7 @@ object Graph {
             (col("deg_src") + col("deg_dst") - col("common")))
         .localCheckpoint(eager = true)
     }
+    adjToRelease.foreach(_.unpersist(blocking = false))
     orient2.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     out.orderBy(desc("jac"), col("src"), col("dst"))

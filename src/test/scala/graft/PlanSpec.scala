@@ -471,6 +471,35 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.kmeans.maxCodegenCells")
   }
 
+  test("KMeans.transform AT the k·dim codegen budget keeps the literal " +
+    "chain under the DEFAULT conf — the gate is <=, not <") {
+    import graft.functions.VectorFunctions.argminCentroid
+    import org.apache.spark.sql.functions.col
+    val emb = sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("features"))
+    // 128 centroids × dim 64 = 8192 cells = exactly the default
+    // budget: the boundary must stay on the codegen side (a <
+    // regression would silently push every default-k workload onto
+    // the UDF kernel), with no conf override in play.
+    val cents = emb.orderBy("vec_id").limit(128)
+      .select("features").collect().map(_.getSeq[Float](0).toArray)
+    val model = graft.kmeans.KMeansModel(cents, 0, converged = true)
+    val viaChain = model.transform(emb)
+    val p = viaChain.queryExecution.executedPlan.toString
+    assert(!p.contains("UDF("), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("vec_sqdist"), p)
+    val got = viaChain.select("vec_id", "features", "cluster")
+      .orderBy("vec_id").limit(200).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      assert(r.getInt(2) === argminCentroid(v, cents),
+        s"vec_id=${r.getLong(0)}")
+    }
+  }
+
   test("probeBloomGate (q140) probes with the native might_contain " +
     "expression — no ScalaUDF anywhere in the plan") {
     import org.apache.spark.sql.functions.col

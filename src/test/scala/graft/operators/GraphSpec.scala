@@ -917,6 +917,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangle algo: csr (grouped-adjacency intersect) is " +
+      "bit-identical to the wedge stream, both gate sides") {
+    import spark.implicits._
+    val sym = randomSym(40, 150, seed = 11L)
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    val algoKey = "spark.graft.graph.triangleAlgo"
+    val gateKey = "spark.graft.graph.wedgeBroadcastMaxRows"
+    def runBoth() = (
+      gt.triangleCounts().collect().toSeq,
+      gt.clusteringCoefficient().collect().toSeq,
+      gt.edgeJaccard().collect().toSeq)
+    try {
+      val viaWedge = runBoth() // default gate + default algo
+      spark.conf.set(gateKey, "0")
+      val viaWedgeBig = runBoth() // shuffle_hash wedge form
+      spark.conf.set(algoKey, "csr")
+      val viaCsr = runBoth() // csr ignores the gate entirely
+      assert(viaCsr === viaWedge)
+      assert(viaCsr === viaWedgeBig)
+      spark.conf.set(algoKey, "nonsense")
+      val e = intercept[IllegalArgumentException](gt.triangleCounts())
+      assert(e.getMessage.contains(algoKey))
+    } finally {
+      spark.conf.unset(algoKey)
+      spark.conf.unset(gateKey)
+      gt.unpersist()
+    }
+  }
+
   test("clusteringCoefficient: complete graph 1.0, path graph 0.0") {
     import spark.implicits._
     val k4 = (for {
