@@ -52,6 +52,9 @@ object Profile {
       }
       println(f"[prof] $n: ${times.map(t => f"$t%.2f").mkString(" ")}")
     }
+    SparkEntry.artifactBuildCosts.toSeq.sortBy(_._1).foreach {
+      case (k, v) => println(f"[prof] artifact $k: $v%.1fs")
+    }
     spark.stop()
   }
 

@@ -1093,22 +1093,55 @@ object Graph {
     * neither partitioning nor join strategy can move a bit
     * (parity-pinned in GraphSpec). */
   private def triangleCore(e: DataFrame, edgeHint: Long): DataFrame =
-    if (triangleAlgo(e.sparkSession) == "csr") triangleCoreCsr(e, edgeHint)
+    if (useCsr(e.sparkSession, edgeHint / 2)) triangleCoreCsr(e, edgeHint)
     else triangleCoreWedge(e, edgeHint)
 
   /** Triangle-close algorithm selector:
-    * `spark.graft.graph.triangleAlgo` = `wedge` (default — the
-    * wedge-stream self-join + close join below) or `csr` (grouped
+    * `spark.graft.graph.triangleAlgo` = `auto` (default), `wedge`
+    * (the wedge-stream self-join + close join), or `csr` (grouped
     * adjacency: per-edge array intersection, no wedge stream —
     * [[triangleCoreCsr]]). Both are exact and parity-pinned in
-    * GraphSpec; the default is set by min-of-five floors, not theory. */
+    * GraphSpec. `auto` picks csr while the oriented list fits the
+    * adjacency-broadcast envelope ([[csrMaxOrientedRows]]) and the
+    * always-scaling wedge shuffle plan above it — set by round-13
+    * min-of-8 A/B at sf0.1 (1.2M oriented rows: q119 3.34→2.12,
+    * q120 3.22→2.25, q129 3.70→2.28, q127 2.99→2.10 s, controls
+    * flat-to-worse under rising load), not theory. */
   private[operators] def triangleAlgo(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.graph.triangleAlgo")
-      .getOrElse("wedge") match {
-      case a @ ("wedge" | "csr") => a
+      .getOrElse("auto") match {
+      case a @ ("auto" | "wedge" | "csr") => a
       case bad => throw new IllegalArgumentException(
-        s"spark.graft.graph.triangleAlgo must be 'wedge' or 'csr', " +
-          s"got '$bad'")
+        s"spark.graft.graph.triangleAlgo must be 'auto', 'wedge' or " +
+          s"'csr', got '$bad'")
+    }
+
+  /** Oriented-list row cap for the auto csr pick: the broadcast
+    * adjacency packs one long per oriented edge plus one array row
+    * per source node, so 2M rows ≈ 30-60 MB as a hashed relation —
+    * comfortably inside executor memory with headroom over the 1.2M
+    * rows the A/B measured. Beyond it `auto` falls back to the wedge
+    * shuffle plan, whose exchanges scale with cluster width instead
+    * of a single broadcast (a 100 TB edge list must never be forced
+    * through one driver collect). Override with
+    * `spark.graft.graph.csrMaxOrientedRows`. */
+  private[operators] def csrMaxOrientedRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.csrMaxOrientedRows")
+      .map { v =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            "spark.graft.graph.csrMaxOrientedRows must be a long row " +
+              s"count, got '$v'")
+        }
+      }.getOrElse(2000000L)
+
+  private[operators] def useCsr(
+      spark: SparkSession, orientedRows: Long): Boolean =
+    triangleAlgo(spark) match {
+      case "csr"   => true
+      case "wedge" => false
+      case _       => orientedRows <= csrMaxOrientedRows(spark)
     }
 
   /** Grouped-adjacency (CSR-style) triangle counting: orient edges by
@@ -1539,7 +1572,7 @@ object Graph {
       .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
       .select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val csr = triangleAlgo(spark) == "csr"
+    val csr = useCsr(spark, gt.numEdges / 2)
     val pW =
       if (!small || csr) ceiling
       else {

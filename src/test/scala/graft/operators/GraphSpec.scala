@@ -906,12 +906,16 @@ class GraphSpec extends SparkSpec {
       Graph.bipartiteProject(pairs, "c", "p", maxRightDegree = 3)
         .orderBy("src", "dst").collect().toSeq)
     try {
+      // force the wedge algorithm: under the default auto selector
+      // these tiny graphs resolve to csr, which ignores this gate
+      spark.conf.set("spark.graft.graph.triangleAlgo", "wedge")
       spark.conf.set(key, "0") // every edge count exceeds the gate
       val viaShuffle = runAll()
       spark.conf.unset(key) // default gate: these tiny graphs broadcast
       val viaBroadcast = runAll()
       assert(viaBroadcast === viaShuffle)
     } finally {
+      spark.conf.unset("spark.graft.graph.triangleAlgo")
       spark.conf.unset(key)
       gt.unpersist()
     }
@@ -931,11 +935,15 @@ class GraphSpec extends SparkSpec {
       gt.clusteringCoefficient().collect().toSeq,
       gt.edgeJaccard().collect().toSeq)
     try {
-      val viaWedge = runBoth() // default gate + default algo
+      val viaAuto = runBoth() // default: auto resolves to csr here
+      spark.conf.set(algoKey, "wedge")
+      val viaWedge = runBoth() // forced wedge, small-graph device
       spark.conf.set(gateKey, "0")
-      val viaWedgeBig = runBoth() // shuffle_hash wedge form
+      val viaWedgeBig = runBoth() // forced wedge, shuffle_hash form
+      spark.conf.unset(gateKey)
       spark.conf.set(algoKey, "csr")
-      val viaCsr = runBoth() // csr ignores the gate entirely
+      val viaCsr = runBoth() // forced csr
+      assert(viaCsr === viaAuto)
       assert(viaCsr === viaWedge)
       assert(viaCsr === viaWedgeBig)
       spark.conf.set(algoKey, "nonsense")
