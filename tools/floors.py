@@ -15,6 +15,11 @@ import platform
 def last_json_line(path):
     with open(path) as f:
         lines = [l.strip() for l in f if l.strip()]
+    # prefer the FULL record (has "queries"); the literal last stdout
+    # line is the compact q_dsec_by_id tail-truncation record
+    for line in reversed(lines):
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
     for line in reversed(lines):
         if line.startswith("{"):
             return json.loads(line)
