@@ -120,3 +120,111 @@ case class VecSqDist(left: Expression, right: Expression) extends VecBinaryFold 
       newLeft: Expression, newRight: Expression): VecSqDist =
     copy(left = newLeft, right = newRight)
 }
+
+/** Earliest-wins argmin of squared distance against a LITERAL float
+  * codebook: `argmin_c Σᵢ (vᵢ − codebook(c)(i))²`, strict `<` running
+  * min (ties → lowest index — KMapper.java:39 semantics, identical to
+  * the [[graft.functions.VectorFunctions.assignCol]] CASE chain and
+  * the `argminCentroid` Scala kernel: same per-centroid left-to-right
+  * double fold, null elements contribute 0, dim mismatch throws).
+  *
+  * Why an expression and not a chain of [[VecSqDist]] comparisons:
+  * the chain inlines each distance's generated code O(k²) times into
+  * ONE whole-stage method (expressions over codegen locals cannot be
+  * split into sub-methods), which overran janino's 64 KB limit when
+  * the PQ encoder put m+1 chains in one projection — the build
+  * silently fell back to interpreted eval. Here the codebook rides
+  * along as a single `references[]` object and the generated code is
+  * a fixed ~20-line double loop regardless of k·dim. */
+case class VecArgminSqDist(
+    child: Expression,
+    codebook: Seq[Seq[Float]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(codebook.nonEmpty, "vec_argmin_sqdist: empty codebook")
+
+  override def prettyName: String = "vec_argmin_sqdist"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  private def elemGet: String =
+    if (child.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+      "getFloat" else "getDouble"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${other.sql}")
+  }
+
+  @transient private lazy val cb: Array[Array[Float]] =
+    codebook.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val vv = v.asInstanceOf[ArrayData]
+    val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = vv.numElements()
+    if (n != cb(0).length)
+      throw new IllegalArgumentException(
+        s"$prettyName: dim mismatch $n vs ${cb(0).length}")
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cb.length) {
+      val cent = cb(c)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!vv.isNullAt(i)) {
+          val av = if (isFloat) vv.getFloat(i).toDouble else vv.getDouble(i)
+          val bv = cent(i).toDouble
+          s += (av - bv) * (av - bv)
+        }
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbRef = ctx.addReferenceObj("graftCodebook", cb, "float[][]")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cent = ctx.freshName("cent")
+      val av = ctx.freshName("av")
+      val bv = ctx.freshName("bv")
+      s"""
+         |int $n = $v.numElements();
+         |if ($n != $cbRef[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dim mismatch " + $n + " vs " + $cbRef[0].length);
+         |}
+         |int $best = -1;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $cbRef.length; $c++) {
+         |  float[] $cent = $cbRef[$c];
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$v.isNullAt($i)) {
+         |      double $av = (double) $v.$elemGet($i);
+         |      double $bv = (double) $cent[$i];
+         |      $s += ($av - $bv) * ($av - $bv);
+         |    }
+         |  }
+         |  if ($s < $bestD) { $bestD = $s; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VecArgminSqDist = copy(child = newChild)
+}

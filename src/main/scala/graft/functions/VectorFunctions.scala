@@ -117,6 +117,17 @@ object VectorFunctions {
   /** Float-array literal column (`array<float>`). */
   def vecLit(v: Array[Float]): Column = array(v.map(x => lit(x)): _*)
 
+  /** Native-loop argmin over a literal codebook ([[VecArgminSqDist]]):
+    * a fixed ~20-line generated loop regardless of k·dim (the codebook
+    * rides as one `references[]` object), bit-identical picks to the
+    * [[assignCol]] CASE chain. Use when several argmins must share one
+    * projection (the PQ encoder) — inline chains there overran
+    * janino's 64 KB method limit and fell back to interpreted eval. */
+  def argminSqDistCol(
+      features: Column, centroids: Array[Array[Float]]): Column =
+    toCol(VecArgminSqDist(expr(features),
+      centroids.map(_.toSeq).toSeq))
+
   /** J1 argmin-over-centroids as a codegen'd CASE chain over [[VecSqDist]]
     * distances, ties to the LOWEST index (strict `<` running min,
     * KMapper.java:39). Bit-identical to [[argminCentroid]]: VecSqDist

@@ -64,20 +64,25 @@ object Quantization {
     PQCodebooks(m, subDim, books)
   }
 
-  /** The m-code array for one embedding column (argmin CASE chain per
-    * subspace — codegen'd for k ≤ 16, no UDF, no shuffle). */
+  /** The m-code array for one embedding column: one native-loop
+    * argmin expression per subspace ([[VecArgminSqDist]] — the
+    * codebook rides as a reference object, so m of these share one
+    * whole-stage method in ~20 generated lines each; the former
+    * inline CASE-chain form overran janino's 64 KB method limit here
+    * and silently fell back to interpreted eval). Narrow, codegen'd,
+    * no UDF, no shuffle; picks bit-identical to
+    * [[graft.functions.VectorFunctions.assignCol]]. */
   private def codesCol(emb: org.apache.spark.sql.Column,
       cb: PQCodebooks): org.apache.spark.sql.Column =
     array((0 until cb.m).map { j =>
-      assignCol(
+      argminSqDistCol(
         slice(emb, lit(j * cb.subDim + 1), lit(cb.subDim))
           .cast("array<float>"),
         cb.books(j))
     }: _*)
 
   /** Encode every row as its `m` nearest sub-centroid indices —
-    * `(id, codes array<int>)`. Narrow map, codegen'd argmin CASE
-    * chain per subspace for k ≤ 16 (broadcast-UDF twin above). */
+    * `(id, codes array<int>)`. */
   def encodePQ(
       emb: DataFrame,
       idCol: String,

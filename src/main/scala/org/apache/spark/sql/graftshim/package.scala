@@ -33,4 +33,23 @@ package object graftshim {
     * transparently reload from its checkpoint, at a latency cost). */
   def unloadAllStateStores(): Unit =
     execution.streaming.state.StateStore.unloadAll()
+
+  /** Force-compile every whole-stage-codegen subtree of `df`'s
+    * executed plan, returning the compile-error messages (empty =
+    * everything stays compiled). Production Spark falls back to
+    * interpreted evaluation SILENTLY when janino rejects a stage
+    * (e.g. a >64 KB method) — specs use this to pin that a hot
+    * stage's generated code actually compiles. */
+  def codegenCompileErrors(df: Dataset[_]): Seq[String] = {
+    val plan = df.queryExecution.executedPlan
+    plan.collect { case w: execution.WholeStageCodegenExec =>
+      val (_, code) = w.doCodeGen()
+      try {
+        catalyst.expressions.codegen.CodeGenerator.compile(code)
+        None
+      } catch { case e: Exception =>
+        Some(Option(e.getMessage).getOrElse(e.toString).take(300))
+      }
+    }.flatten
+  }
 }

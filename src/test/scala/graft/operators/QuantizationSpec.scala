@@ -39,6 +39,33 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("encodePQ at the production shape (m=4, k=16, dim=64) stays " +
+      "whole-stage-compiled — the inline-chain form overran 64 KB") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val big = (0L until 32L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq)).toDF(
+      "vec_id", "embedding").repartition(2) // defeat ConvertToLocalRelation
+    val cb = Quantization.fitPQ(big, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, iters = 2)
+    val enc = Quantization.encodePQ(big, "vec_id", "embedding", cb)
+    val errs = org.apache.spark.sql.graftshim.codegenCompileErrors(enc)
+    assert(errs.isEmpty, s"codegen compile failures: $errs")
+    assert(enc.queryExecution.executedPlan.toString
+      .contains("vec_argmin_sqdist"))
+    // picks still brute-force-exact at this shape
+    val got = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    big.collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      val exp = (0 until cb.m).map { j =>
+        argminCentroid(
+          v.slice(j * cb.subDim, (j + 1) * cb.subDim), cb.books(j))
+      }
+      assert(got(id) === exp, s"vec $id")
+    }
+  }
+
   test("adcTopK equals a brute-force ADC ranking") {
     val cb = fit()
     val query = Array(0.1f, 0.1f, 9.9f, 10.1f)
