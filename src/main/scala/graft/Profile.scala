@@ -32,6 +32,8 @@ object Profile {
     // set GRAFT_TRIANGLE_ALGO=csr against the default wedge form)
     sys.env.get("GRAFT_TRIANGLE_ALGO").foreach(a =>
       spark.conf.set("spark.graft.graph.triangleAlgo", a))
+    sys.env.get("GRAFT_ARGMIN_IMPL").foreach(a =>
+      spark.conf.set("spark.graft.kmeans.argminImpl", a))
     spark
   }
 

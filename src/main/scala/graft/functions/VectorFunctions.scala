@@ -146,14 +146,32 @@ object VectorFunctions {
     * every LATER chunk's min picks the earliest chunk achieving the
     * global min. */
   def assignCol(features: Column, centroids: Array[Array[Float]]): Column = {
+    // A/B knob (the triangleAlgo discipline): 'native' (default —
+    // the [[VecArgminSqDist]] loop expression: round-13 sf0.1 mins
+    // q06 0.53→0.42, q31 0.27→0.23, q32 0.26→0.22, q07 0.94→0.87,
+    // q30 flat, and no 64 KB source cliff) or 'chain' (the chunked
+    // literal CASE chain, kept for parity specs and rollback).
+    // ABOVE the codegen-cells budget both impls ship the broadcast
+    // kernel instead: an embedded codebook rides in every STAGE's
+    // task binary, so an iterative fit over a huge codebook re-ships
+    // it per round where the broadcast ships once per executor.
+    val impl = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.kmeans.argminImpl").getOrElse("native")
     val cells = centroids.length.toLong *
       (if (centroids.isEmpty) 0L else centroids(0).length.toLong)
-    if (cells <= maxCodegenCells) {
-      val ds = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        (sqdistCol(features, vecLit(c)), lit(i): Column)
-      }
-      argminPairs(ds)
-    } else assignColBroadcast(features, centroids)
+    impl match {
+      case _ if cells > maxCodegenCells =>
+        assignColBroadcast(features, centroids)
+      case "native" => argminSqDistCol(features, centroids)
+      case "chain" =>
+        val ds = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+          (sqdistCol(features, vecLit(c)), lit(i): Column)
+        }
+        argminPairs(ds)
+      case bad => throw new IllegalArgumentException(
+        "spark.graft.kmeans.argminImpl must be 'chain' or 'native', " +
+          s"got '$bad'")
+    }
   }
 
   /** k·dim literal budget for the CASE-chain argmin. The chain inlines

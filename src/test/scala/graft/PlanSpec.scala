@@ -74,9 +74,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q31: small-k assignment is the codegen'd VecSqDist chain, no UDF") {
+  test("q31: small-k assignment is the codegen'd native argmin, no UDF") {
     val p = plan("q31_kmeans_label")
-    assert(p.contains("vec_sqdist"), p)
+    assert(p.contains("vec_argmin_sqdist"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
@@ -400,7 +400,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("KMeans.transform at k=64 stays the codegen'd chunked argmin — " +
+  test("KMeans.transform at k=64 stays a codegen'd argmin — " +
     "no ScalaUDF fallback, and labels match the compiled running min") {
     import graft.functions.VectorFunctions.argminCentroid
     import org.apache.spark.sql.functions.col
@@ -420,7 +420,7 @@ class PlanSpec extends SparkSpec {
     // sentinel alone never matches and would pin nothing)
     assert(!p.contains("UDF("), p)
     assert(!p.contains("ScalaUDF"), p)
-    assert(p.contains("vec_sqdist"), p)
+    assert(p.contains("vec_argmin_sqdist"), p)
     val got = labeled.select("vec_id", "features", "cluster").collect()
     assert(got.nonEmpty)
     got.foreach { r =>
@@ -456,9 +456,11 @@ class PlanSpec extends SparkSpec {
       assert(r.getInt(2) === argminCentroid(v, cents),
         s"vec_id=${r.getLong(0)}")
     }
-    // raise the budget: same call compiles the chunked chain instead,
-    // and the two paths agree row-for-row (parity pin)
+    // raise the budget: same call compiles the CHAIN impl (forced —
+    // the default below-budget impl is now the native loop), and the
+    // two paths agree row-for-row (parity pin)
     spark.conf.set("spark.graft.kmeans.maxCodegenCells", "100000")
+    spark.conf.set("spark.graft.kmeans.argminImpl", "chain")
     try {
       val viaChain = model.transform(emb)
       val p = viaChain.queryExecution.executedPlan.toString
@@ -468,7 +470,18 @@ class PlanSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1)))
       val kernel = got.map(r => (r.getLong(0), r.getInt(2)))
       assert(chain.toSeq === kernel.toSeq)
-    } finally spark.conf.unset("spark.graft.kmeans.maxCodegenCells")
+      // and the native impl at the same raised budget agrees too
+      spark.conf.set("spark.graft.kmeans.argminImpl", "native")
+      val viaNative = model.transform(emb)
+      assert(viaNative.queryExecution.executedPlan.toString
+        .contains("vec_argmin_sqdist"))
+      val native = viaNative.select("vec_id", "cluster").orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(native.toSeq === chain.toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.kmeans.maxCodegenCells")
+      spark.conf.unset("spark.graft.kmeans.argminImpl")
+    }
   }
 
   test("KMeans.transform AT the k·dim codegen budget keeps the literal " +
@@ -489,7 +502,7 @@ class PlanSpec extends SparkSpec {
     val p = viaChain.queryExecution.executedPlan.toString
     assert(!p.contains("UDF("), p)
     assert(!p.contains("ScalaUDF"), p)
-    assert(p.contains("vec_sqdist"), p)
+    assert(p.contains("vec_argmin_sqdist"), p)
     val got = viaChain.select("vec_id", "features", "cluster")
       .orderBy("vec_id").limit(200).collect()
     assert(got.nonEmpty)
