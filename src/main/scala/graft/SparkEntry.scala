@@ -228,6 +228,16 @@ object SparkEntry {
         .distinct()
       operators.Graph.writeGraphTable(sampled, "src", "dst",
         s"$base/sampled10", assumeDistinct = true)
+      // 90% complement feed: q130's append-lifecycle base (write from
+      // 90%, append the sampled10 batch). Both of q130's edge feeds
+      // now come from this shared artifact, so its timed line measures
+      // the lifecycle ops — write, merge-append, PageRank — not a
+      // third re-execution of the l⋈o extraction (r13 verdict item).
+      val sampled90 = pairsAll.where(col("ok") % 10 =!= 0)
+        .select(col("src"), col("dst"))
+        .distinct()
+      operators.Graph.writeGraphTable(sampled90, "src", "dst",
+        s"$base/sampled90", assumeDistinct = true)
       // symmetric COST-weighted twin for q134 shortest paths: cost =
       // 1 + floor(100/purchase_count), so frequent ties are cheap and
       // path costs discriminate (raw counts would collapse min-paths
@@ -2369,18 +2379,20 @@ object SparkEntry {
       val base = TempCleanup.register(sys.props("java.io.tmpdir") +
         s"/graft_gappend_${ProcessHandle.current().pid()}_" +
         Integer.toHexString(dir.hashCode))
-      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      def purchases(w: Column) =
-        l.join(o.where(w), col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("src"),
-            (col("l_suppkey") + 10000000L).as("dst"))
-          .distinct()
-      operators.Graph.writeGraphTable(
-        purchases(col("o_orderkey") % 10 =!= 0), "src", "dst", base,
+      val gbase = graphTablePath(s, dir)
+      // both edge feeds read the shared persisted artifact (already
+      // distinct): the timed line is the LIFECYCLE — base write,
+      // one merge-append pass, 10-iteration PageRank — exactly what a
+      // deployment pays per delta; the l⋈o raw-feed extraction was
+      // paid once at artifact-build time (untimed warmup), like every
+      // other graph-tier line
+      val e90 = operators.Graph.readGraphTable(s, s"$gbase/sampled90")
+        .edges.select(col("src"), col("dst"))
+      operators.Graph.writeGraphTable(e90, "src", "dst", base,
         assumeDistinct = true)
-      operators.Graph.appendToGraphTable(s, base,
-        purchases(col("o_orderkey") % 10 === 0), "src", "dst")
+      val e10 = operators.Graph.readGraphTable(s, s"$gbase/sampled10")
+        .edges.select(col("src"), col("dst"))
+      operators.Graph.appendToGraphTable(s, base, e10, "src", "dst")
       operators.Graph.readGraphTable(s, base)
         .pageRank(iters = 10, danglingCorrection = true).limit(20)
     }),

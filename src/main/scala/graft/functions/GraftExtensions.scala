@@ -67,7 +67,8 @@ object GraftExtensions {
     binary("graft_word_grams", classOf[GraftWordGrams],
       GraftWordGrams.apply),
     binary("graft_deletion_hashes", classOf[GraftDeletionHashes],
-      GraftDeletionHashes.apply))
+      GraftDeletionHashes.apply),
+    nary("graft_nfc", classOf[GraftNfc], 1, args => GraftNfc(args(0))))
 
   /** Column-level probe of a serialized Spark sketch-format Bloom
     * filter: Catalyst's own `BloomFilterMightContain` over the bytes as

@@ -294,6 +294,41 @@ case class GraftDeletionHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC composition — SQL name `graft_nfc`. The one
+  * normalization step Spark has no built-in for (é as one codepoint,
+  * not e + combining acute — byte-identical text for downstream
+  * hashing and dedup regardless of how the source encoded it).
+  * Unlike the [[KernelCall]] kernels this is null-preserving
+  * (null text → null, like every Spark string builtin): it replaces
+  * the last `ScalaUDF` in the engine
+  * ([[graft.operators.TextAnalysis.normalizeText]]'s `nfc`), which
+  * had the same null contract, so oracle hashes are unchanged while
+  * the normalize scan stays inside ONE whole-stage-codegen span.
+  * Oracle twin: DuckDB `nfc_normalize`. */
+case class GraftNfc(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_nfc"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(graft.operators.TextAnalysis.nfcNormalize(
+      v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.operators.TextAnalysis.nfcNormalize($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftNfc = copy(child = newChild)
+}
+
 /** Column-API entry points for the text-kernel expressions — the
   * typed twins of the `graft_*` SQL functions, used by the Dedup/
   * Curation/Joins operators themselves (one expression, two
@@ -322,4 +357,7 @@ object TextKernelFunctions {
 
   def deletionHashesCol(text: Column, k: Int): Column =
     column(GraftDeletionHashes(expression(text), expression(lit(k))))
+
+  def nfcCol(text: Column): Column =
+    column(GraftNfc(expression(text)))
 }

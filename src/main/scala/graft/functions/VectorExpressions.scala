@@ -167,11 +167,7 @@ case class VecArgminSqDist(
     if (n != cb(0).length)
       throw new IllegalArgumentException(
         s"$prettyName: dim mismatch $n vs ${cb(0).length}")
-    var best = -1
-    var bestD = Double.PositiveInfinity
-    var c = 0
-    while (c < cb.length) {
-      val cent = cb(c)
+    def distTo(cent: Array[Float]): Double = {
       var s = 0.0
       var i = 0
       while (i < n) {
@@ -182,6 +178,17 @@ case class VecArgminSqDist(
         }
         i += 1
       }
+      s
+    }
+    // Seeded from centroid 0 like [[VectorFunctions.argminCentroid]]
+    // (not best=-1/+∞): an all-NaN distance row then yields 0, a valid
+    // index, instead of -1 leaking into PQ codes or cluster labels.
+    // (A NULL input array still yields NULL via nullSafeEval.)
+    var best = 0
+    var bestD = distTo(cb(0))
+    var c = 1
+    while (c < cb.length) {
+      val s = distTo(cb(c))
       if (s < bestD) { bestD = s; best = c }
       c += 1
     }
@@ -201,13 +208,15 @@ case class VecArgminSqDist(
       val cent = ctx.freshName("cent")
       val av = ctx.freshName("av")
       val bv = ctx.freshName("bv")
+      // Seeded from centroid 0 (argminCentroid parity): all-NaN rows
+      // yield index 0, never -1 — see nullSafeEval.
       s"""
          |int $n = $v.numElements();
          |if ($n != $cbRef[0].length) {
          |  throw new IllegalArgumentException(
          |    "$prettyName: dim mismatch " + $n + " vs " + $cbRef[0].length);
          |}
-         |int $best = -1;
+         |int $best = 0;
          |double $bestD = Double.POSITIVE_INFINITY;
          |for (int $c = 0; $c < $cbRef.length; $c++) {
          |  float[] $cent = $cbRef[$c];
@@ -219,7 +228,7 @@ case class VecArgminSqDist(
          |      $s += ($av - $bv) * ($av - $bv);
          |    }
          |  }
-         |  if ($s < $bestD) { $bestD = $s; $best = $c; }
+         |  if ($c == 0 || $s < $bestD) { $bestD = $s; $best = $c; }
          |}
          |${ev.value} = $best;
        """.stripMargin

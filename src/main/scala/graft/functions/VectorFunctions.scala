@@ -157,6 +157,13 @@ object VectorFunctions {
     // it per round where the broadcast ships once per executor.
     val impl = org.apache.spark.sql.SparkSession.active.conf
       .getOption("spark.graft.kmeans.argminImpl").getOrElse("native")
+    // fail fast on a typo'd impl BEFORE the cells gate — otherwise an
+    // A/B run over a beyond-budget codebook would silently measure the
+    // broadcast kernel under both labels
+    if (impl != "native" && impl != "chain")
+      throw new IllegalArgumentException(
+        "spark.graft.kmeans.argminImpl must be 'chain' or 'native', " +
+          s"got '$impl'")
     val cells = centroids.length.toLong *
       (if (centroids.isEmpty) 0L else centroids(0).length.toLong)
     impl match {
@@ -168,9 +175,6 @@ object VectorFunctions {
           (sqdistCol(features, vecLit(c)), lit(i): Column)
         }
         argminPairs(ds)
-      case bad => throw new IllegalArgumentException(
-        "spark.graft.kmeans.argminImpl must be 'chain' or 'native', " +
-          s"got '$bad'")
     }
   }
 

@@ -217,7 +217,16 @@ object Graph {
     * and a few hundred MB of driver heap: comfortably inside a default
     * driver, and well past the point where the distributed body's
     * per-round overhead has amortized). Override with
-    * `spark.graft.graph.maxDriverRankNodes`. */
+    * `spark.graft.graph.maxDriverRankNodes`.
+    *
+    * Scale note (the 100 TB posture): the switch is only as good as
+    * this node-count probe, and the probe is FREE and EXACT — it reads
+    * [[GraphTable.numNodes]], counted once at artifact build/load time
+    * (meta row), never re-scanned per query. At 100× today's graphs
+    * every directed-family call crosses the 2M default and lands on
+    * the distributed body (listener-proven zero driver collects); the
+    * driver-resident body is strictly a small-graph latency
+    * optimization, never load-bearing for correctness. */
   def maxDriverRankNodes(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.graph.maxDriverRankNodes")
       .map(_.toLong).getOrElse(2000000L)
@@ -1139,7 +1148,20 @@ object Graph {
   private[operators] def useCsr(
       spark: SparkSession, orientedRows: Long): Boolean =
     triangleAlgo(spark) match {
-      case "csr"   => true
+      case "csr" =>
+        // forcing csr does NOT bypass the broadcast envelope: a stale
+        // conf pinned on a graph 100× bigger than when it was set
+        // would force-collect the whole adjacency onto the driver and
+        // OOM. Fail soft to the wedge shuffle plan with a warning; the
+        // cap itself stays overridable via csrMaxOrientedRows.
+        val cap = csrMaxOrientedRows(spark)
+        val fits = orientedRows <= cap
+        if (!fits) org.slf4j.LoggerFactory.getLogger("graft.Graph").warn(
+          s"triangleAlgo=csr forced but orientedRows=$orientedRows > " +
+            s"csrMaxOrientedRows=$cap — falling back to the wedge " +
+            "shuffle plan (raise spark.graft.graph.csrMaxOrientedRows " +
+            "to force-broadcast anyway)")
+        fits
       case "wedge" => false
       case _       => orientedRows <= csrMaxOrientedRows(spark)
     }

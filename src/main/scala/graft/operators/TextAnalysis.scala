@@ -527,15 +527,22 @@ object TextAnalysis {
     * e + combining acute — byte-identical text for downstream hashing
     * and dedup regardless of how the source encoded it). The regex
     * steps are codegen'd Columns; NFC is the one step Spark has no
-    * built-in for — a compiled `java.text.Normalizer` UDF, O(len) per
-    * row, map-side, no shuffle. Oracle twin: DuckDB `nfc_normalize`. */
-  def normalizeText(text: Column): Column = {
-    val nfc = udf((s: String) =>
-      if (s == null) null
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
-    nfc(trim(regexp_replace(
+    * built-in for — the [[graft.functions.GraftNfc]] codegen
+    * expression over [[nfcNormalize]], O(len) per row, map-side, no
+    * shuffle, no ScalaUDF boundary (the whole normalize pipeline is
+    * one codegen span). Oracle twin: DuckDB `nfc_normalize`. */
+  def normalizeText(text: Column): Column =
+    graft.functions.TextKernelFunctions.nfcCol(trim(regexp_replace(
       regexp_replace(text, controlRe, " "), "\\s+", " ")))
-  }
+
+  /** NFC composition kernel behind [[graft.functions.GraftNfc]] —
+    * `java.text.Normalizer` fast-paths already-composed ASCII/NFC
+    * text, so the common case is a scan, not a rewrite. Kept here (an
+    * object with no companion class) so the codegen'd Java reaches it
+    * through a static forwarder. */
+  def nfcNormalize(s: String): String =
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 
   /** BPE-ish token estimate: a token is a maximal run of
     * non-space/non-punctuation characters, or a single punctuation

@@ -484,8 +484,9 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("KMeans.transform AT the k·dim codegen budget keeps the literal " +
-    "chain under the DEFAULT conf — the gate is <=, not <") {
+  test("KMeans.transform AT the k·dim codegen budget keeps the codegen'd " +
+    "native argmin under the DEFAULT conf (vs falling to the broadcast " +
+    "UDF kernel) — the gate is <=, not <") {
     import graft.functions.VectorFunctions.argminCentroid
     import org.apache.spark.sql.functions.col
     val emb = sources.Tables(spark, dir, "embeddings")

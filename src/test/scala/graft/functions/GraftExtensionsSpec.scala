@@ -83,6 +83,21 @@ class GraftExtensionsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("graft_nfc from SQL: composes to NFC, null-preserving") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      // U+0301 combining acute (Scala lexer-level \\u escape — Spark's
+      // own chr() wraps mod 256): 'e' + accent must compose
+      """SELECT graft_nfc('e\u0301x') AS composed,
+        |graft_nfc('plain') AS plain,
+        |graft_nfc(CAST(NULL AS STRING)) AS n""".stripMargin)
+      .head()
+    assert(row.getString(0) === "\u00e9x") // e-acute as ONE codepoint
+    assert(row.getString(0).length === 2)   // 3 if NFC had not composed
+    assert(row.getString(1) === "plain")
+    assert(row.isNullAt(2)) // null-preserving, unlike the total kernels
+  }
+
   test("wrong arity fails with the arity message, not an analyzer crash") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

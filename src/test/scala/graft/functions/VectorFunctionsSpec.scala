@@ -69,4 +69,29 @@ class VectorFunctionsColumnSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - cosine(a, b)) < 1e-9)
     }
   }
+
+  test("argminSqDistCol NaN/null edges match argminCentroid: all-NaN " +
+    "row yields 0 (a valid index, never -1); null array yields null") {
+    import spark.implicits._
+    val cents = Array(Array(0f, 0f), Array(1f, 1f))
+    val df = Seq(
+      (1L, Array(Float.NaN, Float.NaN)), // all distances NaN → 0
+      (2L, Array(0.9f, 0.9f)),           // sanity: nearest is 1
+      (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    // both codegen and interpreted paths must agree
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val got = df.select(col("id"),
+            argminSqDistCol(col("v"), cents).as("c"))
+          .orderBy("id").collect()
+        assert(got(0).getInt(1) === 0, codegen)
+        assert(got(0).getInt(1) ===
+          argminCentroid(Array(Float.NaN, Float.NaN), cents))
+        assert(got(1).getInt(1) === 1, codegen)
+        assert(got(2).isNullAt(1), codegen)
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }

@@ -180,6 +180,23 @@ class CurationSpec extends SparkSpec {
     assert(got(2) === null)
   }
 
+  test("normalizeText is one codegen span — graft_nfc expression, " +
+    "no ScalaUDF boundary (the engine's last UDF, graduated r14)") {
+    // non-foldable input: over a LITERAL, ConstantFolding evaluates
+    // graft_nfc at plan time and the executed plan is a LocalTableScan
+    // (itself proof the expression is a first-class foldable Catalyst
+    // citizen, but not the span we want to assert)
+    val q = spark.range(2)
+      .select(concat(col("id").cast("string"), lit("e\u0301x")).as("t"))
+      .select(TextAnalysis.normalizeText(col("t")).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("UDF("), p)
+    assert(p.toLowerCase.contains("graft_nfc"), p)
+    assert(p.contains("*(1) Project"), p) // * = whole-stage codegen
+    assert(q.orderBy("n").head().getString(0) === "0\u00e9x") // composed
+  }
+
   test("redactPii scrubs emails and phones, counts spans") {
     import spark.implicits._
     val df = Seq(
