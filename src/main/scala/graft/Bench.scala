@@ -37,6 +37,7 @@ object Bench {
   // printed by the shutdown hook iff the normal path didn't finish
   @volatile private var snapshot: String = null
   @volatile private var finished: Boolean = false
+  @volatile private var sessionForHook: SparkSession = null
 
   /** Pass totals disagreeing >20% (or degenerate: zero/negative/NaN
     * must read as disagreement, not slip through the
@@ -64,6 +65,13 @@ object Bench {
 
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!finished && snapshot != null) {
+        // Spark's own shutdown hook runs CONCURRENTLY with this one and
+        // its teardown can log ERROR lines (task-rejected noise) after
+        // our record prints — and the driver keeps only the last 2000
+        // chars of merged output. Best-effort: mute logging first.
+        try { if (sessionForHook != null)
+          sessionForHook.sparkContext.setLogLevel("OFF") }
+        catch { case _: Throwable => () }
         println(snapshot)
         try java.nio.file.Files.write(
           java.nio.file.Paths.get(sys.env.getOrElse(
@@ -83,7 +91,13 @@ object Bench {
       // testdata has parquet TIMESTAMP(NANOS) columns (see sources.Tables)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's round artifact keeps only the LAST
+    // 2000 chars of merged output, and streaming lines emit WARN
+    // chatter (ResolveWriteToStream / MicroBatchExecution / cancel-job
+    // noise — see the r13 tail) that can evict the record line printed
+    // by the shutdown hook if the driver's timeout fires mid-run.
+    spark.sparkContext.setLogLevel("ERROR")
+    sessionForHook = spark
 
     // a failed query would otherwise register as a near-zero time and
     // silently deflate a pass total — count failures and refuse to

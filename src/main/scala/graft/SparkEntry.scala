@@ -196,6 +196,7 @@ object SparkEntry {
         .select(col("o_orderkey").as("ok"), col("o_custkey").as("src"),
           (col("l_suppkey") + 10000000L).as("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairsAll.count() // materialize ONCE, before the parallel branches
       // weighted purchase graph: edge weight = number of line items
       // between the pair (purchase frequency), grouped so the pairs
       // are distinct by construction: q116. ONE pair shuffle — the
@@ -205,39 +206,29 @@ object SparkEntry {
         .groupBy("src", "dst")
         .agg(count(lit(1)).cast("double").as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      operators.Graph.writeGraphTable(weighted, "src", "dst",
-        s"$base/directed_w", weightCol = Some("w"), assumeDistinct = true)
+      weighted.count() // materialize before the parallel branches
       // directed customer -> supplier purchase graph (supplier ids
       // offset by 1e7): q102/q107/q113/q114/q115 — the weighted
       // table's key set, distinct by construction, zero extra shuffle
       val directed = weighted.select(col("src"), col("dst"))
-      operators.Graph.writeGraphTable(directed, "src", "dst",
-        s"$base/directed", assumeDistinct = true)
       // undirected double-edged feed (sink-free by construction):
       // q98/q117. The two directions are disjoint (supplier offset),
       // so the union stays distinct — and both branches read the
       // weighted cache, not the join lineage.
       val undirected = directed
         .union(directed.select(col("dst").as("src"), col("src").as("dst")))
-      operators.Graph.writeGraphTable(undirected, "src", "dst",
-        s"$base/undirected", assumeDistinct = true)
       // 10%-sampled order feed: q111 (the ok column exists in the
-      // cached feed precisely for this filter)
+      // cached feed precisely for this filter); 90% complement feed:
+      // q130's append-lifecycle base (write from 90%, append the
+      // sampled10 batch) — both of q130's edge feeds come from this
+      // shared artifact, so its timed line measures the lifecycle ops,
+      // not a third re-execution of the l⋈o extraction.
       val sampled = pairsAll.where(col("ok") % 10 === 0)
         .select(col("src"), col("dst"))
         .distinct()
-      operators.Graph.writeGraphTable(sampled, "src", "dst",
-        s"$base/sampled10", assumeDistinct = true)
-      // 90% complement feed: q130's append-lifecycle base (write from
-      // 90%, append the sampled10 batch). Both of q130's edge feeds
-      // now come from this shared artifact, so its timed line measures
-      // the lifecycle ops — write, merge-append, PageRank — not a
-      // third re-execution of the l⋈o extraction (r13 verdict item).
       val sampled90 = pairsAll.where(col("ok") % 10 =!= 0)
         .select(col("src"), col("dst"))
         .distinct()
-      operators.Graph.writeGraphTable(sampled90, "src", "dst",
-        s"$base/sampled90", assumeDistinct = true)
       // symmetric COST-weighted twin for q134 shortest paths: cost =
       // 1 + floor(100/purchase_count), so frequent ties are cheap and
       // path costs discriminate (raw counts would collapse min-paths
@@ -248,13 +239,6 @@ object SparkEntry {
       // would dead-end every path at hop 1.
       val weightedSym = weighted
         .withColumn("w", lit(1.0) + floor(lit(100.0) / col("w")))
-      operators.Graph.writeGraphTable(
-        weightedSym.union(weightedSym
-          .select(col("dst").as("src"), col("src").as("dst"), col("w"))),
-        "src", "dst",
-        s"$base/undirected_w", weightCol = Some("w"), assumeDistinct = true)
-      pairsAll.unpersist(blocking = false)
-      weighted.unpersist(blocking = false)
       // part↔part co-purchase graph (parts sharing an order), symmetric
       // double-edged — the non-bipartite body for the structural tier:
       // q119 (triangles) / q120 (clustering coeff) / q121 (k-core).
@@ -275,10 +259,43 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val copurchase = pp
         .union(pp.select(col("dst").as("src"), col("src").as("dst")))
-      operators.Graph.writeGraphTable(copurchase, "src", "dst",
-        s"$base/copurchase", assumeDistinct = true)
-      lp.unpersist(blocking = false)
-      pp.unpersist(blocking = false)
+      // The seven artifacts derive from three materialized caches
+      // (pairsAll / weighted / lp+pp) and are mutually independent, so
+      // their writes run CONCURRENTLY: each write is a short chain of
+      // small jobs (stats aggregates + parquet) that underutilizes the
+      // 32 local cores alone — overlapping them cut the fresh-JVM
+      // build ~2× at sf0.1 and, on a cluster, overlaps each table's
+      // scheduling/IO gaps with another's compute. Concurrent actions
+      // on a shared cache are safe (block-level locks: first computes,
+      // others reuse).
+      val tables: Seq[(String, DataFrame, Option[String])] = Seq(
+        ("directed_w", weighted, Some("w")),
+        ("directed", directed, None),
+        ("undirected", undirected, None),
+        ("sampled10", sampled, None),
+        ("sampled90", sampled90, None),
+        ("undirected_w", weightedSym.union(weightedSym
+          .select(col("dst").as("src"), col("src").as("dst"), col("w"))),
+          Some("w")),
+        ("copurchase", copurchase, None))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(tables.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val writes = tables.map { case (name, df, w) => Future {
+        operators.Graph.writeGraphTable(df, "src", "dst",
+          s"$base/$name", weightCol = w, assumeDistinct = true)
+      }}
+      try writes.foreach(Await.result(_, Duration.Inf))
+      finally {
+        pool.shutdown()
+        pairsAll.unpersist(blocking = false)
+        weighted.unpersist(blocking = false)
+        lp.unpersist(blocking = false)
+        pp.unpersist(blocking = false)
+      }
       base
     })
 

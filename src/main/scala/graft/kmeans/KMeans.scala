@@ -78,9 +78,16 @@ final case class KMeansModel(
   * aggregation remains the engine's single-step operator (q07) where
   * Catalyst's partial/final HashAggregate split is asserted by PlanSpec.
   *
-  * Determinism: partitions accumulate in row order and the driver merges
-  * partials in partition order, so the double-precision sums are
-  * bit-stable across runs (a parallel `sum()` over doubles is not).
+  * Determinism: partitions accumulate in row order (double fold — the
+  * reference combiner's semantics per partition), then each partition's
+  * cells are lifted to exact `BigDecimal`s for the merge. Exact addition
+  * is associative, so the merged sum is independent of merge ORDER and
+  * merge SHAPE — the driver's sequential fold and the gated
+  * `treeReduce` below are bit-identical by construction (the PageRank
+  * DECIMAL device, applied to the k×(dim+1) partial cells), and the
+  * result is bit-stable across runs (a parallel `sum()` over raw
+  * doubles is not). Each merged cell is converted to double exactly
+  * once before the 5-dp float mean.
   *
   * Parity-preserving semantics: f32 coordinates, mean computed in float
   * then rounded to 5 dp half-up at the final aggregate only
@@ -91,12 +98,25 @@ final case class KMeansModel(
   * keeps its previous centroid instead of NPE-ing the driver.
   *
   * At scale: assignment+partial-agg is one narrow pass over cached
-  * partitions; a 1000-executor run returns k×(dim+1) doubles per
-  * partition to the driver (tens of MB at 10k partitions — if k×dim×P
-  * outgrows the driver, swap the `collect` for a `treeReduce`; the
-  * per-partition fold is unchanged).
+  * partitions; a 1000-executor run returns k×(dim+1) cells per
+  * partition to the driver (tens of MB at 10k partitions). When
+  * k×dim×P outgrows the driver envelope the loop swaps the `collect`
+  * for a 2-level `treeReduce` — executors pre-merge partials so the
+  * driver receives ONE k×(dim+1) table per round instead of P of
+  * them. Gate: `spark.graft.kmeans.treeReducePartitions` (default
+  * 1024 partitions — below it the extra treeReduce stage costs more
+  * than it saves; at 10k+ partitions it bounds driver ingress). The
+  * per-partition fold is unchanged and the exact-cell merge makes the
+  * two paths bit-identical (KMeansSpec pins it).
   */
 object KMeans {
+
+  /** Partition count above which [[fit]]'s per-round partial merge
+    * runs as a 2-level `treeReduce` instead of a driver `collect`.
+    * Override with `spark.graft.kmeans.treeReducePartitions`. */
+  private def treeReducePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.kmeans.treeReducePartitions")
+      .map(_.toInt).getOrElse(1024)
 
   /** Seeded distinct uniform sample as initial centroids — the analog of
     * the reference's positional line sample (Main.java:129-164) with the
@@ -139,12 +159,37 @@ object KMeans {
         }
       val dim = centroids(0).length
 
+      val treeGate = treeReducePartitions(spark)
+
+      // Exact merge of two k×(dim+1) partial tables: BigDecimal
+      // addition is exact and associative, so ANY merge order/shape —
+      // the driver's sequential fold, treeReduce's executor-side
+      // pre-merges — yields the same cells. Mutates and returns `a`
+      // (inputs are task-fresh on every path).
+      def merge(
+          a: (Array[Array[java.math.BigDecimal]], Array[Long]),
+          b: (Array[Array[java.math.BigDecimal]], Array[Long]))
+          : (Array[Array[java.math.BigDecimal]], Array[Long]) = {
+        var c = 0
+        while (c < k) {
+          var i = 0
+          while (i < dim) { a._1(c)(i) = a._1(c)(i).add(b._1(c)(i)); i += 1 }
+          a._2(c) += b._2(c)
+          c += 1
+        }
+        a
+      }
+
       var loop = 1
       var converged = false
       while (loop < params.maxLoop && !converged) {
         val bc = spark.sparkContext.broadcast(centroids)
-        // A2 — the combiner: per-partition fold into k (sum, count) cells.
-        val partials = data.mapPartitions { it =>
+        // A2 — the combiner: per-partition fold into k (sum, count)
+        // cells, primitive doubles in row order (KCombiner.java:9-18
+        // semantics), each cell lifted to an EXACT BigDecimal at
+        // partition exit (`new BigDecimal(double)` represents every
+        // finite double exactly) so the A3 merge is order-independent.
+        val partialsRdd = data.mapPartitions { it =>
           val cents = bc.value
           val sums = Array.ofDim[Double](cents.length, dim)
           val cnts = new Array[Long](cents.length)
@@ -153,27 +198,34 @@ object KMeans {
             addInto(sums(c), p)
             cnts(c) += 1
           }
-          Iterator.single((sums, cnts))
-        }.collect() // partition-ordered -> deterministic merge below
-
-        // A3 — the reducer: merge partials in partition order, then the
-        // 5-dp rounded float mean (PointWritable.calcAverage).
-        val sums = Array.ofDim[Double](k, dim)
-        val cnts = new Array[Long](k)
-        partials.foreach { case (ps, pc) =>
-          var c = 0
-          while (c < k) {
-            var i = 0
-            while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
-            cnts(c) += pc(c)
-            c += 1
-          }
+          Iterator.single(
+            (sums.map(_.map(new java.math.BigDecimal(_))), cnts))
         }
+
+        // A3 — the reducer: exact merge, then one double conversion per
+        // cell and the 5-dp rounded float mean (PointWritable
+        // .calcAverage). Above the partition gate the merge runs as a
+        // 2-level treeReduce (executors pre-merge; the driver receives
+        // ONE table, not P) — bit-identical to the collect fold by the
+        // exactness argument above, pinned by KMeansSpec.
+        val (exactSums, cnts) =
+          if (data.getNumPartitions > treeGate)
+            partialsRdd.treeReduce(merge _, depth = 2)
+          else {
+            val zero = (Array.fill(k, dim)(java.math.BigDecimal.ZERO),
+              new Array[Long](k))
+            partialsRdd.collect().foldLeft(zero)(merge)
+          }
         // Empty cluster -> keep previous centroid (documented divergence).
         val next = centroids.map(_.clone())
         var c = 0
         while (c < k) {
-          if (cnts(c) > 0) next(c) = meanRounded5(sums(c), cnts(c))
+          if (cnts(c) > 0) {
+            val s = new Array[Double](dim)
+            var i = 0
+            while (i < dim) { s(i) = exactSums(c)(i).doubleValue(); i += 1 }
+            next(c) = meanRounded5(s, cnts(c))
+          }
           c += 1
         }
         converged =

@@ -52,7 +52,13 @@ object EventWindows {
       frame: SparkSession => DataFrame): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // A/B hook: GRAFT_STREAM_STATE_PARTS overrides every line's state
+    // partition count (deployment knob: state-store count tracks key
+    // cardinality × core count; these synchronous verification runs
+    // carry sf-sized state, a real deployment sizes it up)
+    val parts = sys.env.get("GRAFT_STREAM_STATE_PARTS")
+      .map(_.toInt).getOrElse(statePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // UPDATE-mode aggregates emit on data batches only: the trailing
     // no-data micro-batch (watermark advance) exists to EVICT state and
     // to let APPEND-mode operators emit finalized results. Callers that
@@ -84,15 +90,25 @@ object EventWindows {
         Some(java.nio.file.Files
           .createTempDirectory(ckptBase, "graft_ckpt_"))
       else None
+    val debug = sys.env.contains("GRAFT_STREAM_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[stream-phase $name] $phase: ${(now - tMark) / 1e9}%.3fs")
+      tMark = now
+    }
     val writer = frame(s).writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
     ckpt.foreach(p => writer.option("checkpointLocation", p.toString))
+    mark("build")
     val q = writer.start()
-    try q.processAllAvailable()
+    mark("start")
+    try { q.processAllAvailable(); mark("processAll") }
     finally {
-      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      if (debug)
         q.recentProgress.foreach(p =>
           System.err.println(s"[stream $name] ${p.json}"))
       // stop() can throw (e.g. the stream already died) — provider
@@ -113,13 +129,16 @@ object EventWindows {
             .forEach(f => Files.deleteIfExists(f))
           finally walk.close()
         }
+        mark("stop+cleanup")
       }
     }
     val sunk = s.table(name)
     val rows = sunk.collectAsList()
     val schema = sunk.schema
     s.catalog.dropTempView(name)
-    spark.createDataFrame(rows, schema)
+    val out = spark.createDataFrame(rows, schema)
+    mark("collect")
+    out
   }
 
   /** Tumbling-window aggregate per event_type: row count and value sum.

@@ -128,6 +128,30 @@ class KMeansSpec extends SparkSpec {
     assert(model.centroids.forall(_.length === model.centroids(0).length))
     assert(model.iterations >= 1)
   }
+
+  test("treeReduce partial merge is bit-identical to the driver collect " +
+    "fold (the extreme-P posture behind spark.graft.kmeans." +
+    "treeReducePartitions)") {
+    // Many small partitions so the tree's executor-side pre-merges
+    // combine partials in a genuinely different shape/order than the
+    // driver's sequential fold — exact-cell merging must erase that.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").as("features"))
+      .repartition(13)
+    val params = KMeansParams(k = 5, threshold = 1e-6, maxLoop = 8,
+      seed = 7L)
+    val viaCollect = KMeans.fit(emb, params) // 13 partitions <= 1024
+    val confKey = "spark.graft.kmeans.treeReducePartitions"
+    spark.conf.set(confKey, "1") // 13 > 1 -> every round treeReduces
+    val viaTree =
+      try KMeans.fit(emb, params)
+      finally spark.conf.unset(confKey)
+    assert(viaTree.iterations === viaCollect.iterations)
+    assert(viaTree.converged === viaCollect.converged)
+    viaTree.centroids.zip(viaCollect.centroids).zipWithIndex.foreach {
+      case ((t, c), i) => assert(t.toSeq === c.toSeq, s"centroid $i")
+    }
+  }
 }
 
 class DbiSpec extends SparkSpec {

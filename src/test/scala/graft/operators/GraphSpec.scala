@@ -804,24 +804,32 @@ class GraphSpec extends SparkSpec {
       // 3 nodes > threshold 2 → the DISTRIBUTED body (zero collects)
       spark.conf.set(confKey, "2")
       recorded.clear()
-      Graph.pageRank(directed.toDF("src", "dst"), "src", "dst", iters = 4,
-        danglingCorrection = true)
+      val viaDist = Graph.pageRank(directed.toDF("src", "dst"), "src",
+          "dst", iters = 4, danglingCorrection = true)
+        .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
       spark.range(1).collect() // FIFO sentinel
       val d1 = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (!recorded.asScala.contains("collect") &&
+      // 2 collects are OURS (the rank readback + the sentinel); the
+      // loop body itself must contribute zero
+      while (recorded.asScala.count(_ == "collect") < 2 &&
           System.nanoTime() < d1) Thread.sleep(50)
-      assert(recorded.asScala.count(_ == "collect") === 1,
+      assert(recorded.asScala.count(_ == "collect") === 2,
         s"auto(distributed) collected: ${recorded.asScala.toList}")
 
       // 3 nodes <= threshold 1000 → the DRIVER body (collect per round)
       spark.conf.set(confKey, "1000")
       recorded.clear()
-      Graph.pageRank(directed.toDF("src", "dst"), "src", "dst", iters = 4,
-        danglingCorrection = true)
+      val viaDriver = Graph.pageRank(directed.toDF("src", "dst"), "src",
+          "dst", iters = 4, danglingCorrection = true)
+        .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
       val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (recorded.asScala.count(_ == "collect") < 4 &&
           System.nanoTime() < d2) Thread.sleep(50)
       assert(recorded.asScala.count(_ == "collect") >= 4)
+
+      // the triangle-envelope discipline: crossing the gate must never
+      // change the answer — both auto-selected bodies bit-identical
+      assert(viaDist.toSeq === viaDriver.toSeq)
     } finally {
       spark.conf.unset(confKey)
       spark.listenerManager.unregister(listener)
