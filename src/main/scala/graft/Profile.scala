@@ -45,8 +45,13 @@ object Profile {
     val names = if (args.length > 2) args.drop(2).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // GRAFT_PROF_CLEARCACHE=1 replicates Bench's between-pass cleanup
+    // (clearCache + gc) before every rep — for attributing a line's
+    // warm-up to catalog caches vs JIT/page-cache effects
+    val clear = sys.env.contains("GRAFT_PROF_CLEARCACHE")
     names.foreach { n =>
       val times = (1 to reps).map { _ =>
+        if (clear) { spark.catalog.clearCache(); System.gc() }
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, dir)
           .write.format("noop").mode("overwrite").save()
