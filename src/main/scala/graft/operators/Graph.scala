@@ -278,18 +278,30 @@ object Graph {
     val edgesFull = withW.join(broadcast(od), "src")
       .select(col("src"), col("dst"), col("w"), col("wout"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val srcN = eD.select(col("src").as("node")).distinct()
-    val nodesDf = srcN.select(col("node"), lit(true).as("is_src"))
-      .unionByName(
-        eD.select(col("dst").as("node")).distinct()
-          .join(srcN, Seq("node"), "left_anti")
-          .select(col("node"), lit(false).as("is_src")))
+    // ONE shuffle for the node list: a node is a source iff it ever
+    // appears on the src side, so max(is_src) over the tagged union
+    // of both endpoint columns is exactly the old distinct+anti-join
+    // derivation (3 shuffles) — partial aggregation collapses the 2E
+    // tagged rows to distinct nodes map-side before the exchange.
+    val nodesDf = eD.select(col("src").as("node"), lit(true).as("is_src"))
+      .unionByName(eD.select(col("dst").as("node"),
+        lit(false).as("is_src")))
+      .groupBy("node")
+      .agg(max(col("is_src")).as("is_src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val numEdges = edgesFull.count() // also materializes the eD cache
-    val cnts = nodesDf
+    // The two count actions share the eD cache (block-level locks:
+    // first computes, the other reuses) and are independent jobs —
+    // overlap them instead of leaving 32 cores half-idle twice.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val numEdgesF = Future(edgesFull.count()) // also materializes eD
+    val cntsF = Future(nodesDf
       .agg(count(lit(1)).as("n"),
         count(when(col("is_src"), lit(1))).as("ns"))
-      .head()
+      .head())
+    val numEdges = Await.result(numEdgesF, Duration.Inf)
+    val cnts = Await.result(cntsF, Duration.Inf)
     eD.unpersist(blocking = false)
     GraphTable(edgesFull, nodesDf, cnts.getLong(0), cnts.getLong(1),
       numEdges, cached = true)
@@ -307,18 +319,37 @@ object Graph {
       weightCol: Option[String] = None,
       assumeDistinct: Boolean = false): Unit = {
     val spark = edges.sparkSession
-    import spark.implicits._
     val gt = buildGraphTable(edges, srcCol, dstCol, weightCol,
       assumeDistinct)
-    try {
-      graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
-        gt.edges.write.mode("overwrite").parquet(s"$vdir/edges")
-        gt.nodes.write.mode("overwrite").parquet(s"$vdir/nodes")
-        Seq((gt.numNodes, gt.numSrcNodes, gt.numEdges))
+    try publishGraphArtifact(spark, path, gt)
+    finally gt.unpersist()
+  }
+
+  /** Publish a built [[GraphTable]] as the next artifact version.
+    * The three component writes read already-persisted frames and are
+    * mutually independent jobs, so they run CONCURRENTLY — same
+    * rationale as the parallel scaffold build: each write alone is a
+    * small job that underutilizes the cluster, and on a real cluster
+    * overlapping them hides each table's commit/IO latency behind
+    * another's compute. */
+  private def publishGraphArtifact(
+      spark: SparkSession, path: String, gt: GraphTable): Unit = {
+    import spark.implicits._
+    graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val writes = Seq(
+        Future(gt.edges.write.mode("overwrite").parquet(s"$vdir/edges")),
+        Future(gt.nodes.write.mode("overwrite").parquet(s"$vdir/nodes")),
+        Future(Seq((gt.numNodes, gt.numSrcNodes, gt.numEdges))
           .toDF("n_nodes", "n_src", "n_edges")
-          .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
-      }
-    } finally gt.unpersist()
+          .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")))
+      try writes.foreach(Await.result(_, Duration.Inf))
+      finally pool.shutdown()
+    }
   }
 
   private def latestGraphDir(spark: SparkSession, path: String): String =
@@ -380,16 +411,8 @@ object Graph {
     }
     val gt = buildGraphTable(merged, "src", "dst",
       weightCol = weightCol.map(_ => "w"), assumeDistinct = true)
-    try {
-      graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
-        gt.edges.write.mode("overwrite").parquet(s"$vdir/edges")
-        gt.nodes.write.mode("overwrite").parquet(s"$vdir/nodes")
-        import spark.implicits._
-        Seq((gt.numNodes, gt.numSrcNodes, gt.numEdges))
-          .toDF("n_nodes", "n_src", "n_edges")
-          .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
-      }
-    } finally gt.unpersist()
+    try publishGraphArtifact(spark, path, gt)
+    finally gt.unpersist()
   }
 
   /** Re-open a persisted graph artifact. Counts come from `meta/`
