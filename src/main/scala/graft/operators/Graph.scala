@@ -457,16 +457,21 @@ object Graph {
     * [[maxDriverRankNodes]]):
     *
     *  - driver-resident (the small-N fast path): each round broadcasts
-    *    the N-row rank table into the edge partitions (the edges never
-    *    move) and partial/final-aggregates the contributions — ONE job
-    *    with one E-row shuffle per round. The rank table lives on the
-    *    driver between rounds: broadcasting it already collects all N
-    *    ranks driver-side every round, so driver residency adds no new
-    *    constraint — it just deletes the per-round rank-update join
-    *    and eager localCheckpoint jobs the DataFrame-resident loop
-    *    pays (measured ~2× the round cost at sf0.1). Cap: N must fit
-    *    the driver/executor broadcast envelope — which is exactly what
-    *    the auto-switch threshold encodes.
+    *    the N-entry rank array into the edge partitions (the edges
+    *    never move) and folds contributions into a per-partition DENSE
+    *    array of exact 12-dp decimals — the map-side combiner taken to
+    *    its limit: ONE zero-shuffle task wave per round, merged exactly
+    *    (BigDecimal addition is associative, the K-Means A3 merge
+    *    discipline — collect-fold below
+    *    `spark.graft.graph.treeReducePartitions`, 2-level treeReduce
+    *    above it). No exchange ever carries edge rows; edges are lifted
+    *    ONCE to primitive columnar partitions keyed by dense node
+    *    index, so the per-round job deserializes no rows and hashes no
+    *    keys. The rank array lives on the driver between rounds:
+    *    broadcasting it already collects all N ranks driver-side every
+    *    round, so driver residency adds no new constraint. Cap: N must
+    *    fit the driver/executor broadcast envelope — which is exactly
+    *    what the auto-switch threshold encodes.
     *
     *  - distributed rank table (the 100-TB path): the rank table NEVER
     *    visits the driver. Edges (out-weights pre-attached) are
@@ -564,13 +569,26 @@ object Graph {
   }
 
   /** Driver-resident loop (see scale posture above): ranks live in a
-    * Map between rounds; one broadcast-join job per round. */
+    * dense array between rounds; each round is ONE zero-shuffle task
+    * wave over the cached primitive edge partitions, exact-merged.
+    *
+    * Bit-identity with the DataFrame round it replaced (and so with
+    * the distributed body and the recursive-CTE oracles):
+    * `round(rank·w/wout, 12) CAST DECIMAL(38,12)` equals
+    * `BigDecimal.valueOf(rank·w/wout).setScale(12, HALF_UP)` — the
+    * double round-trip is lossless because distinct 12-dp decimals
+    * differ by ≥ 1e-12, orders of magnitude beyond a double's ulp at
+    * rank magnitudes, so the shortest-repr cast recovers exactly the
+    * rounded decimal. The per-dst sums are then the same exact
+    * addends in a different association — equal by associativity. */
   private def pageRankDriver(
       gt: GraphTable,
       iters: Int,
       damping: Double,
       danglingCorrection: Boolean,
       epsilon: Option[Double]): DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    import java.math.RoundingMode.HALF_UP
     val spark = gt.edges.sparkSession
     // this body re-scans the edge list every round — persist it when
     // the table was loaded from parquet (build-time tables already are)
@@ -583,55 +601,132 @@ object Graph {
     // the node list and per-round ranks are driver-resident (see the
     // scale-posture note above — the broadcast already pays this)
     val nodeArr: Array[Any] = nodesDf.collect().map(_.get(0))
-    val n = nodeArr.length.toDouble
-    val danglingSet: Set[Any] =
+    val nN = nodeArr.length
+    val n = nN.toDouble
+    val idx = new java.util.HashMap[Any, Integer](nN * 2)
+    var i0 = 0
+    while (i0 < nN) { idx.put(nodeArr(i0), i0); i0 += 1 }
+    val danglingIdx: Array[Int] =
       if (danglingCorrection)
         gt.nodes.where(!col("is_src")).select("node")
-          .collect().map(_.get(0)).toSet
-      else Set.empty
+          .collect().map(r => idx.get(r.get(0)).intValue())
+      else Array.emptyIntArray
+
+    // edges lifted ONCE to primitive columnar partitions keyed by
+    // dense node index (non-dangling path: dst ⊆ src is the loud
+    // precondition above, so every endpoint resolves) — each round
+    // re-reads THIS cache: no row deserialization, no key hashing
+    val bcIdx = spark.sparkContext.broadcast(idx)
+    val edgeParts = ed.select(col("src"), col("dst"), col("w"),
+        col("wout"))
+      .rdd.mapPartitions { rows =>
+        val m = bcIdx.value
+        val si = new scala.collection.mutable.ArrayBuilder.ofInt
+        val di = new scala.collection.mutable.ArrayBuilder.ofInt
+        val wv = new scala.collection.mutable.ArrayBuilder.ofDouble
+        val wo = new scala.collection.mutable.ArrayBuilder.ofDouble
+        rows.foreach { r =>
+          si += m.get(r.get(0)).intValue()
+          di += m.get(r.get(1)).intValue()
+          wv += r.getDouble(2)
+          wo += r.getDouble(3)
+        }
+        Iterator.single((si.result(), di.result(), wv.result(),
+          wo.result()))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    edgeParts.count()
+
+    // exact merge of two dense contribution tables: BigDecimal
+    // addition is exact and associative, so ANY merge order/shape —
+    // the driver's sequential fold, treeReduce's executor-side
+    // pre-merges — yields the same cells. Mutates and returns `a`
+    // (inputs are task-fresh on every path).
+    def merge(a: Array[JBD], b: Array[JBD]): Array[JBD] = {
+      var j = 0
+      while (j < a.length) {
+        if (b(j) != null)
+          a(j) = if (a(j) == null) b(j) else a(j).add(b(j))
+        j += 1
+      }
+      a
+    }
+    val treeGate =
+      spark.conf.getOption("spark.graft.graph.treeReducePartitions")
+        .map(_.toInt).getOrElse(1024)
 
     val rankSchema = StructType(Seq(
       StructField("node", gt.nodes.schema.fields(0).dataType,
         nullable = false),
       StructField("rank", DoubleType, nullable = false)))
-    def ranksDf(rank: Map[Any, Double]): DataFrame =
+    def ranksDf(rank: Array[Double]): DataFrame =
       spark.createDataFrame(
-        nodeArr.map(v => Row(v, rank(v))).toSeq.asJava, rankSchema)
+        nodeArr.indices.map(i => Row(nodeArr(i), rank(i))).asJava,
+        rankSchema)
     def round9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-    var rank: Map[Any, Double] = nodeArr.map(_ -> 1.0 / n).toMap
+    var rank: Array[Double] = Array.fill(nN)(1.0 / n)
     var it = 0
     var converged = false
     while (it < iters && !converged) {
       // dangling mass, redistributed uniformly: the 12-dp DECIMAL sum
       // of sink ranks (exact, order-independent) over one double
-      // division by N — free on the driver-resident rank table
+      // division by N — free on the driver-resident rank array
       val dmn: Double =
-        if (danglingSet.isEmpty) 0.0
-        else danglingSet.iterator
-          .map(v => BigDecimal(rank(v))
-            .setScale(12, BigDecimal.RoundingMode.HALF_UP))
-          .sum.toDouble / n
-      // the ONE distributed job per round: E-row broadcast join +
-      // partial/final DECIMAL aggregate, collected as ≤N (cn, s) rows
-      val sums: Map[Any, java.math.BigDecimal] =
-        ed.join(broadcast(ranksDf(rank)), col("src") === col("node"))
-          .select(col("dst").as("cn"),
-            round(col("rank") * col("w") / col("wout"), 12)
-              .cast(Dec12).as("c"))
-          .groupBy("cn").agg(sum(col("c")).as("s"))
-          .collect().map(r => r.get(0) -> r.getDecimal(1)).toMap
-      val next = nodeArr.map { v =>
-        val s = sums.get(v).fold(0.0)(_.doubleValue())
+        if (danglingIdx.isEmpty) 0.0
+        else {
+          var s = JBD.ZERO
+          danglingIdx.foreach(d =>
+            s = s.add(JBD.valueOf(rank(d)).setScale(12, HALF_UP)))
+          s.doubleValue() / n
+        }
+      // the ONE distributed job per round: a zero-shuffle task wave
+      // folding round(rank·w/wout, 12) into a dense exact-decimal
+      // array per partition (the map-side combiner taken to its limit)
+      val bcRank = spark.sparkContext.broadcast(rank)
+      val partials = edgeParts.mapPartitions { it0 =>
+        val rk = bcRank.value
+        val acc = new Array[JBD](nN)
+        it0.foreach { case (si, di, wv, wo) =>
+          var i = 0
+          while (i < si.length) {
+            val c = JBD.valueOf(rk(si(i)) * wv(i) / wo(i))
+              .setScale(12, HALF_UP)
+            val d = di(i)
+            acc(d) = if (acc(d) == null) c else acc(d).add(c)
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+      val sums: Array[JBD] =
+        if (edgeParts.getNumPartitions > treeGate)
+          partials.treeReduce(merge _, depth = 2)
+        else partials.collect().foldLeft(new Array[JBD](nN))(merge)
+      bcRank.unpersist(blocking = false)
+      val next = new Array[Double](nN)
+      var v = 0
+      while (v < nN) {
+        val s = if (sums(v) == null) 0.0 else sums(v).doubleValue()
         val inner = if (danglingCorrection) s + dmn else s
-        v -> round9((1.0 - damping) / n + damping * inner)
-      }.toMap
-      converged = epsilon.exists(eps =>
-        nodeArr.iterator.map(v => math.abs(next(v) - rank(v))).max <= eps)
+        next(v) = round9((1.0 - damping) / n + damping * inner)
+        v += 1
+      }
+      converged = epsilon.exists { eps =>
+        var m = 0.0
+        var j = 0
+        while (j < nN) {
+          val d = math.abs(next(j) - rank(j))
+          if (d > m) m = d
+          j += 1
+        }
+        m <= eps
+      }
       rank = next
       it += 1
     }
+    edgeParts.unpersist(blocking = false)
+    bcIdx.unpersist(blocking = false)
     if (!gt.cached) ed.unpersist(blocking = false)
     ranksDf(rank).orderBy(desc("rank"), col("node"))
   }

@@ -192,14 +192,18 @@ class GraphSpec extends SparkSpec {
       val collects = recorded.asScala.count(_ == "collect")
       assert(collects === 1, s"loop collected: ${recorded.asScala.toList}")
 
-      // contrast: the driver-resident loop collects every round
+      // contrast: the driver-resident loop collects its node and
+      // dangling lists up front (Dataset collects the listener sees;
+      // the per-round merge is an RDD action) — proving the listener
+      // records driver-body collects, so the distributed loop's zero
+      // above is not a false negative
       recorded.clear()
       Graph.pageRank(directed.toDF("src", "dst"), "src", "dst", iters = 4,
         danglingCorrection = true)
       val deadline2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (recorded.asScala.count(_ == "collect") < 4 &&
+      while (recorded.asScala.count(_ == "collect") < 2 &&
           System.nanoTime() < deadline2) Thread.sleep(50)
-      assert(recorded.asScala.count(_ == "collect") >= 4)
+      assert(recorded.asScala.count(_ == "collect") >= 2)
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -816,16 +820,20 @@ class GraphSpec extends SparkSpec {
       assert(recorded.asScala.count(_ == "collect") === 2,
         s"auto(distributed) collected: ${recorded.asScala.toList}")
 
-      // 3 nodes <= threshold 1000 → the DRIVER body (collect per round)
+      // 3 nodes <= threshold 1000 → the DRIVER body: node + dangling
+      // list collects plus our readback = 3 Dataset collects (the
+      // per-round merge is an RDD action the listener doesn't see) —
+      // one MORE than the distributed body's 2, so selection is still
+      // listener-discriminable
       spark.conf.set(confKey, "1000")
       recorded.clear()
       val viaDriver = Graph.pageRank(directed.toDF("src", "dst"), "src",
           "dst", iters = 4, danglingCorrection = true)
         .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
       val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (recorded.asScala.count(_ == "collect") < 4 &&
+      while (recorded.asScala.count(_ == "collect") < 3 &&
           System.nanoTime() < d2) Thread.sleep(50)
-      assert(recorded.asScala.count(_ == "collect") >= 4)
+      assert(recorded.asScala.count(_ == "collect") >= 3)
 
       // the triangle-envelope discipline: crossing the gate must never
       // change the answer — both auto-selected bodies bit-identical
