@@ -54,11 +54,14 @@ final case class GraphTable(
       seeds: DataFrame,
       iters: Int,
       damping: Double = 0.85,
-      epsilon: Option[Double] = None): DataFrame =
-    Graph.personalizedPageRankImpl(this, seeds, iters, damping, epsilon)
+      epsilon: Option[Double] = None,
+      distributedRanks: Option[Boolean] = None): DataFrame =
+    Graph.personalizedPageRankImpl(this, seeds, iters, damping, epsilon,
+      distributedRanks)
 
-  def hits(iters: Int, epsilon: Option[Double] = None): DataFrame =
-    Graph.hitsImpl(this, iters, epsilon)
+  def hits(iters: Int, epsilon: Option[Double] = None,
+      distributedScores: Option[Boolean] = None): DataFrame =
+    Graph.hitsImpl(this, iters, epsilon, distributedScores)
 
   def labelPropagation(iters: Int): DataFrame =
     Graph.labelPropagationImpl(this, iters)
@@ -568,12 +571,21 @@ object Graph {
       pageRankDriver(gt, iters, damping, danglingCorrection, epsilon)
   }
 
-  /** Driver-resident loop (see scale posture above): ranks live in a
-    * dense array between rounds; each round is ONE zero-shuffle task
-    * wave over the cached primitive edge partitions, exact-merged.
+  /** Shared machinery for the driver-resident rank loops
+    * ([[pageRankDriver]], [[personalizedPageRankDriver]]): lifts the
+    * edge list ONCE to primitive columnar partitions keyed by dense
+    * node index — each round re-reads THIS cache, so the per-round
+    * job deserializes no rows and hashes no keys — and folds one
+    * round's contributions round(rank·w/wout, 12) into a dense
+    * per-partition array of exact 12-dp decimals (the map-side
+    * combiner taken to its limit: a zero-shuffle task wave), merged
+    * exactly (BigDecimal addition is associative ⇒ any merge shape —
+    * the driver's sequential fold, treeReduce's executor-side
+    * pre-merges above `spark.graft.graph.treeReducePartitions` —
+    * yields the same cells).
     *
-    * Bit-identity with the DataFrame round it replaced (and so with
-    * the distributed body and the recursive-CTE oracles):
+    * Bit-identity with the DataFrame round this replaces (and so with
+    * the distributed bodies and the recursive-CTE oracles):
     * `round(rank·w/wout, 12) CAST DECIMAL(38,12)` equals
     * `BigDecimal.valueOf(rank·w/wout).setScale(12, HALF_UP)` — the
     * double round-trip is lossless because distinct 12-dp decimals
@@ -581,46 +593,26 @@ object Graph {
     * rank magnitudes, so the shortest-repr cast recovers exactly the
     * rounded decimal. The per-dst sums are then the same exact
     * addends in a different association — equal by associativity. */
-  private def pageRankDriver(
-      gt: GraphTable,
-      iters: Int,
-      damping: Double,
-      danglingCorrection: Boolean,
-      epsilon: Option[Double]): DataFrame = {
+  private final class DriverRankHarness(
+      ed: DataFrame, val nodeArr: Array[Any]) {
     import java.math.{BigDecimal => JBD}
     import java.math.RoundingMode.HALF_UP
-    val spark = gt.edges.sparkSession
-    // this body re-scans the edge list every round — persist it when
-    // the table was loaded from parquet (build-time tables already are)
-    val ed =
-      if (gt.cached) gt.edges
-      else gt.edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val nodesDf =
-      if (danglingCorrection) gt.nodes.select("node")
-      else gt.nodes.where(col("is_src")).select("node")
-    // the node list and per-round ranks are driver-resident (see the
-    // scale-posture note above — the broadcast already pays this)
-    val nodeArr: Array[Any] = nodesDf.collect().map(_.get(0))
-    val nN = nodeArr.length
-    val n = nN.toDouble
-    val idx = new java.util.HashMap[Any, Integer](nN * 2)
-    var i0 = 0
-    while (i0 < nN) { idx.put(nodeArr(i0), i0); i0 += 1 }
-    val danglingIdx: Array[Int] =
-      if (danglingCorrection)
-        gt.nodes.where(!col("is_src")).select("node")
-          .collect().map(r => idx.get(r.get(0)).intValue())
-      else Array.emptyIntArray
+    val spark: SparkSession = ed.sparkSession
+    val nN: Int = nodeArr.length
+    private val idx = new java.util.HashMap[Any, Integer](nN * 2)
+    locally {
+      var i = 0
+      while (i < nN) { idx.put(nodeArr(i), i); i += 1 }
+    }
+    def indexOf(v: Any): Int = idx.get(v).intValue()
 
-    // edges lifted ONCE to primitive columnar partitions keyed by
-    // dense node index (non-dangling path: dst ⊆ src is the loud
-    // precondition above, so every endpoint resolves) — each round
-    // re-reads THIS cache: no row deserialization, no key hashing
-    val bcIdx = spark.sparkContext.broadcast(idx)
-    val edgeParts = ed.select(col("src"), col("dst"), col("w"),
-        col("wout"))
-      .rdd.mapPartitions { rows =>
-        val m = bcIdx.value
+    private val bcIdx = spark.sparkContext.broadcast(idx)
+    private val edgeParts = {
+      val bc = bcIdx // local alias: the task closure must not drag
+                     // the (non-serializable) harness in via `this`
+      ed.select(col("src"), col("dst"), col("w"), col("wout"))
+        .rdd.mapPartitions { rows =>
+        val m = bc.value
         val si = new scala.collection.mutable.ArrayBuilder.ofInt
         val di = new scala.collection.mutable.ArrayBuilder.ofInt
         val wv = new scala.collection.mutable.ArrayBuilder.ofDouble
@@ -634,59 +626,33 @@ object Graph {
         Iterator.single((si.result(), di.result(), wv.result(),
           wo.result()))
       }.persist(StorageLevel.MEMORY_AND_DISK)
+    }
     edgeParts.count()
 
-    // exact merge of two dense contribution tables: BigDecimal
-    // addition is exact and associative, so ANY merge order/shape —
-    // the driver's sequential fold, treeReduce's executor-side
-    // pre-merges — yields the same cells. Mutates and returns `a`
-    // (inputs are task-fresh on every path).
-    def merge(a: Array[JBD], b: Array[JBD]): Array[JBD] = {
-      var j = 0
-      while (j < a.length) {
-        if (b(j) != null)
-          a(j) = if (a(j) == null) b(j) else a(j).add(b(j))
-        j += 1
-      }
-      a
-    }
-    val treeGate =
+    private val treeGate =
       spark.conf.getOption("spark.graft.graph.treeReducePartitions")
         .map(_.toInt).getOrElse(1024)
 
-    val rankSchema = StructType(Seq(
-      StructField("node", gt.nodes.schema.fields(0).dataType,
-        nullable = false),
-      StructField("rank", DoubleType, nullable = false)))
-    def ranksDf(rank: Array[Double]): DataFrame =
-      spark.createDataFrame(
-        nodeArr.indices.map(i => Row(nodeArr(i), rank(i))).asJava,
-        rankSchema)
-    def round9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-
-    var rank: Array[Double] = Array.fill(nN)(1.0 / n)
-    var it = 0
-    var converged = false
-    while (it < iters && !converged) {
-      // dangling mass, redistributed uniformly: the 12-dp DECIMAL sum
-      // of sink ranks (exact, order-independent) over one double
-      // division by N — free on the driver-resident rank array
-      val dmn: Double =
-        if (danglingIdx.isEmpty) 0.0
-        else {
-          var s = JBD.ZERO
-          danglingIdx.foreach(d =>
-            s = s.add(JBD.valueOf(rank(d)).setScale(12, HALF_UP)))
-          s.doubleValue() / n
+    /** One round's per-dst contribution sums (null cell = no mass). */
+    def contribSums(rank: Array[Double]): Array[JBD] = {
+      // exact merge of two dense contribution tables; mutates and
+      // returns `a` (inputs are task-fresh on every path). A LOCAL
+      // function: an instance method would drag the non-serializable
+      // harness into the treeReduce closure via `this`.
+      def merge(a: Array[JBD], b: Array[JBD]): Array[JBD] = {
+        var j = 0
+        while (j < a.length) {
+          if (b(j) != null)
+            a(j) = if (a(j) == null) b(j) else a(j).add(b(j))
+          j += 1
         }
-      // the ONE distributed job per round: a zero-shuffle task wave
-      // folding round(rank·w/wout, 12) into a dense exact-decimal
-      // array per partition (the map-side combiner taken to its limit)
+        a
+      }
       val bcRank = spark.sparkContext.broadcast(rank)
+      val nCells = nN
       val partials = edgeParts.mapPartitions { it0 =>
         val rk = bcRank.value
-        val acc = new Array[JBD](nN)
+        val acc = new Array[JBD](nCells)
         it0.foreach { case (si, di, wv, wo) =>
           var i = 0
           while (i < si.length) {
@@ -699,11 +665,96 @@ object Graph {
         }
         Iterator.single(acc)
       }
-      val sums: Array[JBD] =
+      val sums =
         if (edgeParts.getNumPartitions > treeGate)
           partials.treeReduce(merge _, depth = 2)
         else partials.collect().foldLeft(new Array[JBD](nN))(merge)
       bcRank.unpersist(blocking = false)
+      sums
+    }
+
+    /** Exact 12-dp sum of the ranks at `which`, as a double. */
+    def sinkMass(rank: Array[Double], which: Array[Int]): Double = {
+      var s = JBD.ZERO
+      which.foreach(d =>
+        s = s.add(JBD.valueOf(rank(d)).setScale(12, HALF_UP)))
+      s.doubleValue()
+    }
+
+    def release(): Unit = {
+      edgeParts.unpersist(blocking = false)
+      bcIdx.unpersist(blocking = false)
+    }
+  }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def maxAbsDelta(a: Array[Double], b: Array[Double]): Double = {
+    var m = 0.0
+    var j = 0
+    while (j < a.length) {
+      val d = math.abs(a(j) - b(j))
+      if (d > m) m = d
+      j += 1
+    }
+    m
+  }
+
+  /** Driver-resident loop (see scale posture above): ranks live in a
+    * dense array between rounds; each round is ONE zero-shuffle task
+    * wave over the cached primitive edge partitions, exact-merged —
+    * see [[DriverRankHarness]] for the device and the bit-identity
+    * argument. */
+  private def pageRankDriver(
+      gt: GraphTable,
+      iters: Int,
+      damping: Double,
+      danglingCorrection: Boolean,
+      epsilon: Option[Double]): DataFrame = {
+    val spark = gt.edges.sparkSession
+    // this body re-scans the edge list every round — persist it when
+    // the table was loaded from parquet (build-time tables already are)
+    val ed =
+      if (gt.cached) gt.edges
+      else gt.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesDf =
+      if (danglingCorrection) gt.nodes.select("node")
+      else gt.nodes.where(col("is_src")).select("node")
+    // the node list and per-round ranks are driver-resident (see the
+    // scale-posture note above — the broadcast already pays this).
+    // Non-dangling path: dst ⊆ src is the loud precondition above, so
+    // every edge endpoint resolves in the dense index.
+    val nodeArr: Array[Any] = nodesDf.collect().map(_.get(0))
+    val h = new DriverRankHarness(ed, nodeArr)
+    val nN = h.nN
+    val n = nN.toDouble
+    val danglingIdx: Array[Int] =
+      if (danglingCorrection)
+        gt.nodes.where(!col("is_src")).select("node")
+          .collect().map(r => h.indexOf(r.get(0)))
+      else Array.emptyIntArray
+
+    val rankSchema = StructType(Seq(
+      StructField("node", gt.nodes.schema.fields(0).dataType,
+        nullable = false),
+      StructField("rank", DoubleType, nullable = false)))
+    def ranksDf(rank: Array[Double]): DataFrame =
+      spark.createDataFrame(
+        nodeArr.indices.map(i => Row(nodeArr(i), rank(i))).asJava,
+        rankSchema)
+
+    var rank: Array[Double] = Array.fill(nN)(1.0 / n)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      // dangling mass, redistributed uniformly: the 12-dp DECIMAL sum
+      // of sink ranks (exact, order-independent) over one double
+      // division by N — free on the driver-resident rank array
+      val dmn: Double =
+        if (danglingIdx.isEmpty) 0.0
+        else h.sinkMass(rank, danglingIdx) / n
+      val sums = h.contribSums(rank)
       val next = new Array[Double](nN)
       var v = 0
       while (v < nN) {
@@ -712,21 +763,11 @@ object Graph {
         next(v) = round9((1.0 - damping) / n + damping * inner)
         v += 1
       }
-      converged = epsilon.exists { eps =>
-        var m = 0.0
-        var j = 0
-        while (j < nN) {
-          val d = math.abs(next(j) - rank(j))
-          if (d > m) m = d
-          j += 1
-        }
-        m <= eps
-      }
+      converged = epsilon.exists(eps => maxAbsDelta(next, rank) <= eps)
       rank = next
       it += 1
     }
-    edgeParts.unpersist(blocking = false)
-    bcIdx.unpersist(blocking = false)
+    h.release()
     if (!gt.cached) ed.unpersist(blocking = false)
     ranksDf(rank).orderBy(desc("rank"), col("node"))
   }
@@ -842,20 +883,31 @@ object Graph {
     * Initial ranks are r itself. Contributions are out-weight-
     * normalized (rank/outdeg on unweighted graphs).
     *
-    * Scale posture: built directly on the DISTRIBUTED rank-table body
-    * — ranks live as a hash-partitioned, per-round-checkpointed
-    * DataFrame carrying the per-node reset weight alongside (computed
-    * once from a seed semi-join; seeds are a DataFrame, not a driver
-    * collection, so the seed set itself can be large); per round one
-    * shuffled-hash join against the cached co-partitioned edges, a
-    * DECIMAL partial/final agg, and a one-row dangling aggregate
-    * cross-joined into the update. No driver collect anywhere
-    * (GraphSpec's listener assertion covers this path too).
+    * Scale posture: TWO loop bodies behind one set of semantics, the
+    * [[pageRank]] discipline, auto-selected by node count against
+    * [[maxDriverRankNodes]] unless `distributedRanks` pins one:
+    *
+    *  - distributed (the 100-TB path): ranks live as a
+    *    hash-partitioned, per-round-checkpointed DataFrame carrying
+    *    the per-node reset weight alongside (computed once from a
+    *    seed semi-join; seeds are a DataFrame, not a driver
+    *    collection, so the seed set itself can be large); per round
+    *    one shuffled-hash join against the cached co-partitioned
+    *    edges, a DECIMAL partial/final agg, and a one-row dangling
+    *    aggregate cross-joined into the update. No driver collect
+    *    anywhere (GraphSpec's listener assertion pins this body).
+    *
+    *  - driver-resident (the small-N fast path): the
+    *    [[DriverRankHarness]] device — the reset weights join is
+    *    collected as the N-bounded node table (bounded by N whatever
+    *    the seed cardinality), and each round is one zero-shuffle
+    *    task wave with the sink mass summed on the driver.
     *
     * Determinism: the same 12-dp DECIMAL contribution sums and 9-dp
     * HALF_UP damped update as [[pageRank]], with the fixed association
     * `(1−d)·r + d·(s + dm·r)` — bit-replayable in any IEEE engine
-    * (the q113 oracle).
+    * (the q113 oracle), and bit-identical across the two bodies by
+    * the [[DriverRankHarness]] argument.
     */
   def personalizedPageRank(
       edges: DataFrame,
@@ -866,10 +918,12 @@ object Graph {
       damping: Double = 0.85,
       assumeDistinct: Boolean = false,
       epsilon: Option[Double] = None,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      distributedRanks: Option[Boolean] = None): DataFrame = {
     val gt = buildGraphTable(edges, srcCol, dstCol, weightCol,
       assumeDistinct)
-    try personalizedPageRankImpl(gt, seeds, iters, damping, epsilon)
+    try personalizedPageRankImpl(gt, seeds, iters, damping, epsilon,
+      distributedRanks)
     finally gt.unpersist()
   }
 
@@ -878,7 +932,8 @@ object Graph {
       seeds: DataFrame,
       iters: Int,
       damping: Double,
-      epsilon: Option[Double]): DataFrame = withIterParallelism(gt) {
+      epsilon: Option[Double],
+      distributedRanks: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
@@ -889,6 +944,24 @@ object Graph {
     // a repeated misconfigured call must not accumulate persists
     val k = gt.nodes.join(seedsDf, Seq("node"), "left_semi").count()
     require(k > 0, "no seed node appears in the graph")
+    val distributed = distributedRanks.getOrElse(
+      gt.numNodes > maxDriverRankNodes(gt.edges.sparkSession))
+    if (distributed)
+      personalizedPageRankDistributed(gt, seedsDf, k, iters, damping,
+        epsilon)
+    else
+      personalizedPageRankDriver(gt, seedsDf, k, iters, damping, epsilon)
+  }
+
+  /** Distributed PPR body (see the scale posture on
+    * [[personalizedPageRank]]). */
+  private def personalizedPageRankDistributed(
+      gt: GraphTable,
+      seedsDf: DataFrame,
+      k: Long,
+      iters: Int,
+      damping: Double,
+      epsilon: Option[Double]): DataFrame = withIterParallelism(gt) {
     val ed = gt.edges.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rv0 = 1.0 / k
@@ -952,6 +1025,74 @@ object Graph {
       .orderBy(desc("rank"), col("node"))
   }
 
+  /** Driver-resident PPR twin ([[DriverRankHarness]] device): the
+    * reset-weight join collapses to an N-bounded (node, rv) collect —
+    * bounded by the node count whatever the seed cardinality — and
+    * each round is one zero-shuffle task wave with the sink mass
+    * riding the reset distribution, summed exactly on the driver. */
+  private def personalizedPageRankDriver(
+      gt: GraphTable,
+      seedsDf: DataFrame,
+      k: Long,
+      iters: Int,
+      damping: Double,
+      epsilon: Option[Double]): DataFrame = {
+    val spark = gt.edges.sparkSession
+    val ed =
+      if (gt.cached) gt.edges
+      else gt.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val rv0 = 1.0 / k
+    // node list with the per-node reset weight attached ONCE: 1/|S| on
+    // seed nodes (seeds outside the graph are ignored), 0 elsewhere
+    val nodeRows = gt.nodes.select("node")
+      .join(seedsDf.withColumn("_g_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_g_seed").isNotNull, lit(rv0)).otherwise(lit(0.0))
+          .as("rv"))
+      .collect()
+    val nodeArr: Array[Any] = nodeRows.map(_.get(0))
+    val h = new DriverRankHarness(ed, nodeArr)
+    val nN = h.nN
+    val rv: Array[Double] = nodeRows.map(_.getDouble(1))
+    val danglingIdx: Array[Int] =
+      gt.nodes.where(!col("is_src")).select("node")
+        .collect().map(r => h.indexOf(r.get(0)))
+
+    val rankSchema = StructType(Seq(
+      StructField("node", gt.nodes.schema.fields(0).dataType,
+        nullable = false),
+      StructField("rank", DoubleType, nullable = false)))
+
+    var rank: Array[Double] = rv.clone()
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      // total sink mass (NOT divided by N — it rides the reset
+      // distribution): exact 12-dp sum, one double conversion
+      val dmt: Double =
+        if (danglingIdx.isEmpty) 0.0
+        else h.sinkMass(rank, danglingIdx)
+      val sums = h.contribSums(rank)
+      val next = new Array[Double](nN)
+      var v = 0
+      while (v < nN) {
+        val sd = if (sums(v) == null) 0.0 else sums(v).doubleValue()
+        next(v) = round9(
+          (1.0 - damping) * rv(v) + damping * (sd + dmt * rv(v)))
+        v += 1
+      }
+      converged = epsilon.exists(eps => maxAbsDelta(next, rank) <= eps)
+      rank = next
+      it += 1
+    }
+    h.release()
+    if (!gt.cached) ed.unpersist(blocking = false)
+    spark.createDataFrame(
+      nodeArr.indices.map(i => Row(nodeArr(i), rank(i))).asJava,
+      rankSchema)
+      .orderBy(desc("rank"), col("node"))
+  }
+
   // ------------------------------------------------------------- HITS
 
   /** HITS (hubs & authorities), Kleinberg 1999 — the Jacobi
@@ -986,7 +1127,16 @@ object Graph {
     * the same term multisets as the separate gathers, so scores are
     * bit-identical), the L1 totals are one-row aggregates cross-joined
     * in (a plan, not a collect), scores are 9-dp rounded and the frame
-    * is per-round `localCheckpoint`ed. No driver collect anywhere.
+    * is per-round `localCheckpoint`ed. No driver collect anywhere in
+    * the distributed body. Like [[pageRank]], TWO loop bodies behind
+    * one set of semantics, auto-selected by node count against
+    * [[maxDriverRankNodes]] unless `distributedScores` pins one: the
+    * driver-resident twin folds BOTH gathers in one zero-shuffle task
+    * wave per round over cached primitive edge partitions (the
+    * [[pageRankDriver]] device — dense exact-decimal accumulators,
+    * associative merge), bit-identical by the same argument since the
+    * gathers sum identical 12-dp addend multisets and the L1 divide +
+    * 9-dp round is the same IEEE expression either way.
     *
     * Returns (node, auth, hub), authorities first. */
   def hits(
@@ -995,19 +1145,32 @@ object Graph {
       dstCol: String,
       iters: Int,
       assumeDistinct: Boolean = false,
-      epsilon: Option[Double] = None): DataFrame = {
+      epsilon: Option[Double] = None,
+      distributedScores: Option[Boolean] = None): DataFrame = {
     val gt = buildGraphTable(edges, srcCol, dstCol, None, assumeDistinct)
-    try hitsImpl(gt, iters, epsilon)
+    try hitsImpl(gt, iters, epsilon, distributedScores)
     finally gt.unpersist()
   }
 
   private[operators] def hitsImpl(
       gt: GraphTable,
       iters: Int,
-      epsilon: Option[Double]): DataFrame = withIterParallelism(gt) {
+      epsilon: Option[Double],
+      distributedScores: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     epsilon.foreach(e => require(e >= 0.0, s"epsilon must be >= 0, got $e"))
     require(gt.numNodes > 0, "graph has no nodes")
+    val distributed = distributedScores.getOrElse(
+      gt.numNodes > maxDriverRankNodes(gt.edges.sparkSession))
+    if (distributed) hitsDistributed(gt, iters, epsilon)
+    else hitsDriver(gt, iters, epsilon)
+  }
+
+  /** Distributed HITS body (see the scale posture on [[hits]]). */
+  private def hitsDistributed(
+      gt: GraphTable,
+      iters: Int,
+      epsilon: Option[Double]): DataFrame = withIterParallelism(gt) {
     val e = gt.edges.select("src", "dst")
     // ONE bidirectional gather cache: (gfrom → gto) carries hub mass
     // when is_auth (the src→dst direction) and auth mass otherwise
@@ -1070,6 +1233,149 @@ object Graph {
     }
     bi.unpersist(); nodesDf.unpersist()
     scores.orderBy(desc("auth"), col("node"))
+  }
+
+  /** Driver-resident HITS twin (see [[pageRankDriver]] for the device
+    * and the lossless-round-trip bit-identity argument): scores live
+    * in dense arrays between rounds; each round is ONE zero-shuffle
+    * task wave over cached primitive edge partitions folding BOTH
+    * gathers at once — auth(dst) += r12(hub(src)) and
+    * hub(src) += r12(auth(dst)) per edge, exact decimals rounded ONCE
+    * per node per round (the distributed form rounds per edge row;
+    * same addend values, same multisets) — merged exactly and
+    * L1-normalized on the driver. */
+  private def hitsDriver(
+      gt: GraphTable,
+      iters: Int,
+      epsilon: Option[Double]): DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    import java.math.RoundingMode.HALF_UP
+    val spark = gt.edges.sparkSession
+    val nodeArr: Array[Any] =
+      gt.nodes.select("node").collect().map(_.get(0))
+    val nN = nodeArr.length
+    val n = nN.toDouble
+    val idx = new java.util.HashMap[Any, Integer](nN * 2)
+    var i0 = 0
+    while (i0 < nN) { idx.put(nodeArr(i0), i0); i0 += 1 }
+
+    val bcIdx = spark.sparkContext.broadcast(idx)
+    val edgeParts = gt.edges.select(col("src"), col("dst"))
+      .rdd.mapPartitions { rows =>
+        val m = bcIdx.value
+        val si = new scala.collection.mutable.ArrayBuilder.ofInt
+        val di = new scala.collection.mutable.ArrayBuilder.ofInt
+        rows.foreach { r =>
+          si += m.get(r.get(0)).intValue()
+          di += m.get(r.get(1)).intValue()
+        }
+        Iterator.single((si.result(), di.result()))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    edgeParts.count()
+
+    def merge(a: (Array[JBD], Array[JBD]), b: (Array[JBD], Array[JBD]))
+        : (Array[JBD], Array[JBD]) = {
+      var j = 0
+      while (j < nN) {
+        if (b._1(j) != null)
+          a._1(j) = if (a._1(j) == null) b._1(j) else a._1(j).add(b._1(j))
+        if (b._2(j) != null)
+          a._2(j) = if (a._2(j) == null) b._2(j) else a._2(j).add(b._2(j))
+        j += 1
+      }
+      a
+    }
+    val treeGate =
+      spark.conf.getOption("spark.graft.graph.treeReducePartitions")
+        .map(_.toInt).getOrElse(1024)
+
+    var auth = Array.fill(nN)(1.0 / n)
+    var hub = Array.fill(nN)(1.0 / n)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      // one rounded decimal per node per round — the gathers add only
+      // these table values, so the addend multisets match the
+      // distributed form's per-edge-row rounding exactly
+      val ra = new Array[JBD](nN)
+      val rh = new Array[JBD](nN)
+      var p = 0
+      while (p < nN) {
+        ra(p) = JBD.valueOf(auth(p)).setScale(12, HALF_UP)
+        rh(p) = JBD.valueOf(hub(p)).setScale(12, HALF_UP)
+        p += 1
+      }
+      val bc = spark.sparkContext.broadcast((ra, rh))
+      val partials = edgeParts.mapPartitions { it0 =>
+        val (ra0, rh0) = bc.value
+        val aAcc = new Array[JBD](nN)
+        val hAcc = new Array[JBD](nN)
+        it0.foreach { case (si, di) =>
+          var i = 0
+          while (i < si.length) {
+            val s = si(i)
+            val d = di(i)
+            aAcc(d) = if (aAcc(d) == null) rh0(s) else aAcc(d).add(rh0(s))
+            hAcc(s) = if (hAcc(s) == null) ra0(d) else hAcc(s).add(ra0(d))
+            i += 1
+          }
+        }
+        Iterator.single((aAcc, hAcc))
+      }
+      val (sa, sh) =
+        if (edgeParts.getNumPartitions > treeGate)
+          partials.treeReduce(merge _, depth = 2)
+        else partials.collect()
+          .foldLeft((new Array[JBD](nN), new Array[JBD](nN)))(merge)
+      bc.unpersist(blocking = false)
+      // L1 totals: exact sums of the non-null cells — the same
+      // multisets the distributed one-row aggregates sum
+      var ta = JBD.ZERO
+      var th = JBD.ZERO
+      var t = 0
+      while (t < nN) {
+        if (sa(t) != null) ta = ta.add(sa(t))
+        if (sh(t) != null) th = th.add(sh(t))
+        t += 1
+      }
+      val taD = ta.doubleValue()
+      val thD = th.doubleValue()
+      val nextAuth = new Array[Double](nN)
+      val nextHub = new Array[Double](nN)
+      var v = 0
+      while (v < nN) {
+        nextAuth(v) = round9(
+          (if (sa(v) == null) 0.0 else sa(v).doubleValue()) / taD)
+        nextHub(v) = round9(
+          (if (sh(v) == null) 0.0 else sh(v).doubleValue()) / thD)
+        v += 1
+      }
+      converged = epsilon.exists { eps =>
+        var m = 0.0
+        var j = 0
+        while (j < nN) {
+          val d = math.max(math.abs(nextAuth(j) - auth(j)),
+            math.abs(nextHub(j) - hub(j)))
+          if (d > m) m = d
+          j += 1
+        }
+        m <= eps
+      }
+      auth = nextAuth
+      hub = nextHub
+      it += 1
+    }
+    edgeParts.unpersist(blocking = false)
+    bcIdx.unpersist(blocking = false)
+    val schema = StructType(Seq(
+      StructField("node", gt.nodes.schema.fields(0).dataType,
+        nullable = false),
+      StructField("auth", DoubleType, nullable = false),
+      StructField("hub", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      nodeArr.indices.map(i => Row(nodeArr(i), auth(i), hub(i))).asJava,
+      schema)
+      .orderBy(desc("auth"), col("node"))
   }
 
   // ---------------------------------------------- label propagation

@@ -307,6 +307,29 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  test("PPR auto-selects the loop body by node count; both gate " +
+    "sides bit-identical") {
+    import spark.implicits._
+    val confKey = "spark.graft.graph.maxDriverRankNodes"
+    try {
+      spark.conf.set(confKey, "2") // 7 nodes > 2 → the DISTRIBUTED body
+      val viaDist = Graph.personalizedPageRank(
+          directed.toDF("src", "dst"), "src", "dst",
+          Seq(1L, 3L).toDF("node"), iters = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      spark.conf.set(confKey, "1000") // 7 <= 1000 → the DRIVER body
+      val viaDriver = Graph.personalizedPageRank(
+          directed.toDF("src", "dst"), "src", "dst",
+          Seq(1L, 3L).toDF("node"), iters = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // the triangle-envelope discipline: crossing the gate must never
+      // change the answer — and both match the in-memory replica
+      assert(viaDist === viaDriver)
+      assert(viaDriver.map(t => t._1 -> t._2).toMap ===
+        brutePpr(directed, Set(1L, 3L), 5, 0.85))
+    } finally spark.conf.unset(confKey)
+  }
+
   test("PPR with all nodes as seeds equals uniform dangling PageRank") {
     import spark.implicits._
     // r(v) = 1/N uniformly and dm·r = dm/N, so the updates coincide —
@@ -358,7 +381,7 @@ class GraphSpec extends SparkSpec {
       Thread.sleep(200)
       recorded.clear()
       Graph.personalizedPageRank(directed.toDF("src", "dst"), "src", "dst",
-        Seq(1L).toDF("node"), iters = 4)
+        Seq(1L).toDF("node"), iters = 4, distributedRanks = Some(true))
       spark.range(1).collect() // FIFO sentinel
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (!recorded.asScala.contains("collect") &&
@@ -433,7 +456,7 @@ class GraphSpec extends SparkSpec {
     spark.sparkContext.setJobGroup(group, "hits fused-gather test")
     try {
       val got = Graph.hits(directed.toDF("src", "dst").repartition(3),
-          "src", "dst", iters = 8)
+          "src", "dst", iters = 8, distributedScores = Some(true))
         .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
         .toMap
       assert(got === bruteHits(directed, 8))
@@ -468,6 +491,29 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
     assert(got === bruteHits(g, 6))
+  }
+
+  test("hits auto-selects the loop body by node count; both gate " +
+    "sides bit-identical") {
+    import spark.implicits._
+    val confKey = "spark.graft.graph.maxDriverRankNodes"
+    try {
+      spark.conf.set(confKey, "2") // 7 nodes > 2 → the DISTRIBUTED body
+      val viaDist = Graph.hits(directed.toDF("src", "dst"), "src",
+          "dst", iters = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      spark.conf.set(confKey, "1000") // 7 <= 1000 → the DRIVER body
+      val viaDriver = Graph.hits(directed.toDF("src", "dst"), "src",
+          "dst", iters = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      // the triangle-envelope discipline: crossing the gate must never
+      // change the answer — and both match the in-memory replica
+      assert(viaDist === viaDriver)
+      assert(viaDriver.map(t => t._1 -> (t._2, t._3)).toMap ===
+        bruteHits(directed, 5))
+    } finally spark.conf.unset(confKey)
   }
 
   test("epsilon stop: iters cap binds when epsilon is never reached") {
