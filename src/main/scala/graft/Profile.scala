@@ -9,6 +9,7 @@ object Profile {
     args.headOption match {
       case Some("entry") => entrySmoke()
       case Some("queries") => profileQueries(args.drop(1))
+      case Some("plans") => dumpPlans(args.drop(1))
       case Some("pagerank") => pagerankPhases(
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case Some("pagerank-dist") => pagerankDistPhases(
@@ -35,6 +36,31 @@ object Profile {
     sys.env.get("GRAFT_ARGMIN_IMPL").foreach(a =>
       spark.conf.set("spark.graft.kmeans.argminImpl", a))
     spark
+  }
+
+  /** Dump `.explain("formatted")` for selected queries to files.
+    * usage: runMain graft.Profile plans <sfDir> <outDir> <tag> q119 ...
+    * Writes <outDir>/<query>_<tag>.txt. NOTE: constructing an
+    * iterative query runs its loop eagerly (checkpoints), so the
+    * dumped plan is the final frame; the in-loop shape lives in code. */
+  def dumpPlans(args: Array[String]): Unit = {
+    val dir = args(0)
+    val outDir = args(1)
+    val tag = args(2)
+    val names = if (args.length > 3) args.drop(3).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/${n}_$tag.txt"),
+        plan.getBytes("UTF-8"))
+      println(s"[plans] wrote $outDir/${n}_$tag.txt (${plan.length} chars)")
+    }
+    spark.stop()
   }
 
   /** Time selected SparkEntry queries N times each at a given sf dir.

@@ -687,6 +687,262 @@ object Graph {
     }
   }
 
+  /** Edge-count gate for the driver-resident LOOP twins
+    * ([[labelPropagationDriver]], [[kCoreDriver]], [[bfsLevelsDriver]],
+    * [[shortestPathsDriver]]): the lifted primitive edge partitions
+    * stay on the EXECUTORS either way (the [[DriverRankHarness]]
+    * device), but label propagation's per-round merge is bounded by
+    * distinct (node, label) pairs ≤ E rather than N, so the loop
+    * family takes a belt-and-braces edge gate the N-merge rank family
+    * does not need (8M edges ≈ 64 MB of primitive columns — the
+    * [[csrMaxOrientedRows]] envelope argument). At 100 TB every call
+    * crosses the gate and lands on the distributed bodies, which are
+    * unchanged; the twins are strictly a small-graph latency device
+    * (the round-14 rank-loop precedent), never load-bearing. */
+  private[operators] def maxDriverLoopEdges(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.maxDriverLoopEdges")
+      .map(_.toLong).getOrElse(8000000L)
+
+  /** Both gates: node count within the rank family's broadcast/dense-
+    * array envelope AND edge count within [[maxDriverLoopEdges]]. */
+  private def useDriverLoop(gt: GraphTable): Boolean = {
+    val spark = gt.edges.sparkSession
+    gt.numNodes <= maxDriverRankNodes(spark) &&
+      gt.numEdges <= maxDriverLoopEdges(spark)
+  }
+
+  /** Minimal open-addressing long→long count accumulator (power-of-two
+    * capacity, linear probing, −1 as the empty sentinel — packed keys
+    * are always ≥ 0). Serializable so executor partials can cross as
+    * instances too; [[DriverLoopHarness.labelCounts]] ships the denser
+    * (keys, counts) array pair instead. */
+  private[operators] final class LongCountMap(expected: Int)
+      extends Serializable {
+    private var cap = math.max(16,
+      java.lang.Integer.highestOneBit(math.max(1, expected)) * 4)
+    private var keys = Array.fill(cap)(-1L)
+    private var vals = new Array[Long](cap)
+    private var used = 0
+
+    def add(k: Long, c: Long): Unit = {
+      if (used * 4 >= cap * 3) grow()
+      var i = (scala.util.hashing.byteswap64(k) & (cap - 1)).toInt
+      var done = false
+      while (!done) {
+        val kk = keys(i)
+        if (kk == k) { vals(i) += c; done = true }
+        else if (kk == -1L) {
+          keys(i) = k
+          vals(i) = c
+          used += 1
+          done = true
+        } else i = (i + 1) & (cap - 1)
+      }
+    }
+
+    private def grow(): Unit = {
+      val ok = keys
+      val ov = vals
+      cap *= 2
+      keys = Array.fill(cap)(-1L)
+      vals = new Array[Long](cap)
+      used = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != -1L) add(ok(i), ov(i))
+        i += 1
+      }
+    }
+
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) != -1L) f(keys(i), vals(i))
+        i += 1
+      }
+    }
+
+    /** Dense (keys, counts) copy — the executor→driver wire format. */
+    def toArrays: (Array[Long], Array[Long]) = {
+      val ks = new Array[Long](used)
+      val vs = new Array[Long](used)
+      var i = 0
+      var j = 0
+      while (i < keys.length) {
+        if (keys(i) != -1L) { ks(j) = keys(i); vs(j) = vals(i); j += 1 }
+        i += 1
+      }
+      (ks, vs)
+    }
+  }
+
+  /** [[DriverRankHarness]]'s integer sibling for the loop twins: lifts
+    * (src, dst[, w]) ONCE to dense-int-indexed primitive columnar
+    * partitions cached on the executors; each round is one
+    * zero-shuffle task wave over this cache against a broadcast of the
+    * N-sized round state, per-partition partials merged on the driver.
+    * Every consumer accumulates EXACT values (long counts, boolean
+    * reachability, min over exact double sums), so merge order cannot
+    * move a bit — unlike the rank harness, no decimal device is even
+    * needed for bit-identity with the distributed bodies. */
+  private final class DriverLoopHarness(
+      ed: DataFrame, val nodeArr: Array[Any], withW: Boolean) {
+    val spark: SparkSession = ed.sparkSession
+    val nN: Int = nodeArr.length
+    private val idx = new java.util.HashMap[Any, Integer](nN * 2)
+    locally {
+      var i = 0
+      while (i < nN) { idx.put(nodeArr(i), i); i += 1 }
+    }
+    /** Dense index of a node value; -1 when absent (foreign seeds). */
+    def indexOf(v: Any): Int = {
+      val r = idx.get(v)
+      if (r == null) -1 else r.intValue()
+    }
+
+    private val bcIdx = spark.sparkContext.broadcast(idx)
+    private val edgeParts = {
+      val bc = bcIdx // local alias: keep `this` out of the closure
+      val w = withW
+      ed.rdd.mapPartitions { rows =>
+        val m = bc.value
+        val si = new scala.collection.mutable.ArrayBuilder.ofInt
+        val di = new scala.collection.mutable.ArrayBuilder.ofInt
+        val wv = new scala.collection.mutable.ArrayBuilder.ofDouble
+        rows.foreach { r =>
+          si += m.get(r.get(0)).intValue()
+          di += m.get(r.get(1)).intValue()
+          if (w) wv += r.getDouble(2)
+        }
+        Iterator.single((si.result(), di.result(), wv.result()))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    edgeParts.count() // materialize once; every wave reads the cache
+
+    /** Per-(dst, src-label) offer counts for one label-propagation
+      * round, merged driver-side as (dstIdx << 32 | lblIdx) → count.
+      * Bounded by distinct (dst, label) pairs ≤ E — the reason for
+      * the [[maxDriverLoopEdges]] gate. Partials cross as primitive
+      * (keys, counts) arrays and merge into a [[LongCountMap]]: the
+      * boxed java.util.HashMap form measured ~1.8 s/line at sf0.1
+      * volumes (≈2M boxed entries serialized per round), the
+      * primitive form ~0.1 s. */
+    def labelCounts(lbl: Array[Int]): LongCountMap = {
+      val bc = spark.sparkContext.broadcast(lbl)
+      val partials = edgeParts.mapPartitions { it0 =>
+        val l = bc.value
+        val m = new LongCountMap(1 << 12)
+        it0.foreach { case (si, di, _) =>
+          var i = 0
+          while (i < si.length) {
+            m.add((di(i).toLong << 32) | (l(si(i)).toLong & 0xffffffffL),
+              1L)
+            i += 1
+          }
+        }
+        Iterator.single(m.toArrays)
+      }.collect()
+      val merged = new LongCountMap(
+        math.max(1 << 12, partials.iterator.map(_._1.length).sum))
+      partials.foreach { case (ks, vs) =>
+        var i = 0
+        while (i < ks.length) { merged.add(ks(i), vs(i)); i += 1 }
+      }
+      bc.unpersist(blocking = false)
+      merged
+    }
+
+    /** Per-src degree over edges whose BOTH endpoints are alive —
+      * one k-core peeling round (the edge list is symmetric, so the
+      * src-side count is the node's degree and the sum over nodes is
+      * the surviving directed edge count). */
+    def aliveDegrees(alive: Array[Boolean]): Array[Long] = {
+      val bc = spark.sparkContext.broadcast(alive)
+      val nCells = nN
+      val sums = edgeParts.mapPartitions { it0 =>
+        val a = bc.value
+        val acc = new Array[Long](nCells)
+        it0.foreach { case (si, di, _) =>
+          var i = 0
+          while (i < si.length) {
+            if (a(si(i)) && a(di(i))) acc(si(i)) += 1L
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }.collect().foldLeft(new Array[Long](nN)) { (a, b) =>
+        var j = 0
+        while (j < a.length) { a(j) += b(j); j += 1 }
+        a
+      }
+      bc.unpersist(blocking = false)
+      sums
+    }
+
+    /** Nodes reachable in one hop from the frontier (BFS round). */
+    def reachable(frontier: Array[Boolean]): Array[Boolean] = {
+      val bc = spark.sparkContext.broadcast(frontier)
+      val nCells = nN
+      val reached = edgeParts.mapPartitions { it0 =>
+        val f = bc.value
+        val acc = new Array[Boolean](nCells)
+        it0.foreach { case (si, di, _) =>
+          var i = 0
+          while (i < si.length) {
+            if (f(si(i))) acc(di(i)) = true
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }.collect().foldLeft(new Array[Boolean](nN)) { (a, b) =>
+        var j = 0
+        while (j < a.length) { a(j) = a(j) || b(j); j += 1 }
+        a
+      }
+      bc.unpersist(blocking = false)
+      reached
+    }
+
+    /** Per-dst min of frontier(src) + w — one Bellman–Ford relaxation
+      * round; NaN = no candidate. Sums and mins of exact doubles, so
+      * merge order cannot change a value. */
+    def relax(fdist: Array[Double]): Array[Double] = {
+      val bc = spark.sparkContext.broadcast(fdist)
+      val nCells = nN
+      val cand = edgeParts.mapPartitions { it0 =>
+        val f = bc.value
+        val acc = Array.fill(nCells)(Double.NaN)
+        it0.foreach { case (si, di, wv) =>
+          var i = 0
+          while (i < si.length) {
+            val fs = f(si(i))
+            if (!fs.isNaN) {
+              val c = fs + wv(i)
+              val d = di(i)
+              if (acc(d).isNaN || c < acc(d)) acc(d) = c
+            }
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }.collect().foldLeft(Array.fill(nN)(Double.NaN)) { (a, b) =>
+        var j = 0
+        while (j < a.length) {
+          if (!b(j).isNaN && (a(j).isNaN || b(j) < a(j))) a(j) = b(j)
+          j += 1
+        }
+        a
+      }
+      bc.unpersist(blocking = false)
+      cand
+    }
+
+    def release(): Unit = {
+      edgeParts.unpersist(blocking = false)
+      bcIdx.unpersist(blocking = false)
+    }
+  }
+
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
@@ -1416,9 +1672,75 @@ object Graph {
 
   private[operators] def labelPropagationImpl(
       gt: GraphTable,
-      iters: Int): DataFrame = withIterParallelism(gt) {
+      iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(gt.numNodes > 0, "graph has no nodes")
+    if (useDriverLoop(gt)) labelPropagationDriver(gt, iters)
+    else labelPropagationDistributed(gt, iters)
+  }
+
+  /** Driver-resident label-propagation twin ([[DriverLoopHarness]]
+    * device): labels live in a dense int array between rounds; each
+    * round is ONE zero-shuffle task wave producing the exact
+    * (dst, label) offer counts, argmax'd on the driver. The node list
+    * is collected VALUE-ORDERED, so dense-index comparisons ARE value
+    * comparisons and the "smallest label on ties" break matches the
+    * distributed `min(struct(-cnt, lbl))` bit-for-bit (all counts are
+    * exact longs — no rounding device anywhere). */
+  private def labelPropagationDriver(
+      gt: GraphTable, iters: Int): DataFrame = {
+    val spark = gt.edges.sparkSession
+    val nodeArr: Array[Any] =
+      gt.nodes.select("node").orderBy("node").collect().map(_.get(0))
+    val h = new DriverLoopHarness(
+      gt.edges.select("src", "dst"), nodeArr, withW = false)
+    val nN = h.nN
+    var lbl = Array.tabulate(nN)(identity)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val cnts = h.labelCounts(lbl)
+      // deterministic argmax per dst: most frequent label, smallest
+      // (by value = by index) on ties; nodes with no in-edges keep
+      val bestCnt = new Array[Long](nN)
+      val bestLbl = new Array[Int](nN)
+      java.util.Arrays.fill(bestLbl, -1)
+      cnts.foreachEntry { (key, c) =>
+        val d = (key >>> 32).toInt
+        val l = (key & 0xffffffffL).toInt
+        if (bestLbl(d) == -1 || c > bestCnt(d) ||
+            (c == bestCnt(d) && l < bestLbl(d))) {
+          bestCnt(d) = c
+          bestLbl(d) = l
+        }
+      }
+      var changed = 0L
+      val next = new Array[Int](nN)
+      var v = 0
+      while (v < nN) {
+        next(v) = if (bestLbl(v) == -1) lbl(v) else bestLbl(v)
+        if (next(v) != lbl(v)) changed += 1
+        v += 1
+      }
+      lbl = next
+      converged = changed == 0L
+      it += 1
+    }
+    h.release()
+    val nodeType = gt.nodes.schema.fields(0).dataType
+    val schema = StructType(Seq(
+      StructField("node", nodeType, nullable = false),
+      StructField("lbl", nodeType, nullable = false)))
+    spark.createDataFrame(
+      nodeArr.indices.map(i => Row(nodeArr(i), nodeArr(lbl(i)))).asJava,
+      schema).orderBy("node")
+  }
+
+  /** Distributed label-propagation body (the 100 TB path — see the
+    * scale posture on [[labelPropagation]]). */
+  private def labelPropagationDistributed(
+      gt: GraphTable,
+      iters: Int): DataFrame = withIterParallelism(gt) {
     val ed = gt.edges.select("src", "dst").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ed.count()
@@ -1814,14 +2136,72 @@ object Graph {
     * Returns surviving (node, deg) — degree WITHIN the core — ordered
     * by node (empty when the k-core is empty). */
   private[operators] def kCoreImpl(
-      gt: GraphTable, k: Int, maxRounds: Int): DataFrame =
-    withIterParallelism(gt) {
+      gt: GraphTable, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     require(gt.numNodes > 0, "graph has no nodes")
     require(gt.numDangling == 0,
       "kCore requires a symmetric double-edged feed " +
         s"(found ${gt.numDangling} sink nodes)")
+    if (useDriverLoop(gt)) kCoreDriver(gt, k, maxRounds)
+    else kCoreDistributed(gt, k, maxRounds)
+  }
+
+  /** Driver-resident k-core twin ([[DriverLoopHarness]] device): the
+    * alive set lives in a dense boolean array between rounds; each
+    * round is ONE zero-shuffle task wave computing exact per-node
+    * degrees over both-alive edges (the symmetric feed makes the
+    * src-side count the degree and its sum the surviving edge count,
+    * so the stationary check needs no extra job). The peel set, keep
+    * test, and stationary check are integer-exact — bit-identical to
+    * the distributed rounds by construction. */
+  private def kCoreDriver(
+      gt: GraphTable, k: Int, maxRounds: Int): DataFrame = {
+    val spark = gt.edges.sparkSession
+    val nodeArr: Array[Any] =
+      gt.nodes.select("node").collect().map(_.get(0))
+    val h = new DriverLoopHarness(
+      gt.edges.where(col("src") =!= col("dst")).select("src", "dst"),
+      nodeArr, withW = false)
+    val nN = h.nN
+    var alive = Array.fill(nN)(true)
+    var deg = h.aliveDegrees(alive)
+    var m = 0L
+    var v0 = 0
+    while (v0 < nN) { m += deg(v0); v0 += 1 }
+    var it = 0
+    var converged = m == 0L
+    while (it < maxRounds && !converged) {
+      val keep = new Array[Boolean](nN)
+      var v = 0
+      while (v < nN) { keep(v) = alive(v) && deg(v) >= k; v += 1 }
+      val deg2 = h.aliveDegrees(keep)
+      var m2 = 0L
+      v = 0
+      while (v < nN) { m2 += deg2(v); v += 1 }
+      converged = m2 == m || m2 == 0L
+      alive = keep
+      deg = deg2
+      m = m2
+      it += 1
+    }
+    h.release()
+    val nodeType = gt.nodes.schema.fields(0).dataType
+    val schema = StructType(Seq(
+      StructField("node", nodeType, nullable = false),
+      StructField("deg", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    val rows = nodeArr.indices.collect {
+      case i if deg(i) > 0L => Row(nodeArr(i), deg(i))
+    }
+    spark.createDataFrame(rows.asJava, schema).orderBy("node")
+  }
+
+  /** Distributed k-core body (the 100 TB path — see the scale posture
+    * on the impl doc above). */
+  private def kCoreDistributed(
+      gt: GraphTable, k: Int, maxRounds: Int): DataFrame =
+    withIterParallelism(gt) {
     var edges = gt.edges.where(col("src") =!= col("dst"))
       .select("src", "dst")
       .repartition(col("src"))
@@ -1871,10 +2251,68 @@ object Graph {
     * Returns (node, lvl) for reached nodes (seeds at 0), ordered by
     * node. Seeds not present in the graph are ignored. */
   private[operators] def bfsLevelsImpl(
-      gt: GraphTable, seeds: DataFrame, maxDepth: Int): DataFrame =
-    withIterParallelism(gt) {
+      gt: GraphTable, seeds: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     require(gt.numNodes > 0, "graph has no nodes")
+    if (useDriverLoop(gt)) bfsLevelsDriver(gt, seeds, maxDepth)
+    else bfsLevelsDistributed(gt, seeds, maxDepth)
+  }
+
+  /** Driver-resident BFS twin ([[DriverLoopHarness]] device): the
+    * frontier and level table live in dense arrays between rounds;
+    * each round is ONE zero-shuffle task wave marking one-hop
+    * reachability. Levels are exact ints with a unique fixpoint —
+    * bit-identical to the distributed rounds by construction. Seeds
+    * absent from the graph are ignored (the distributed semi-join). */
+  private def bfsLevelsDriver(
+      gt: GraphTable, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = gt.edges.sparkSession
+    val nodeArr: Array[Any] =
+      gt.nodes.select("node").collect().map(_.get(0))
+    val h = new DriverLoopHarness(
+      gt.edges.select("src", "dst"), nodeArr, withW = false)
+    val nN = h.nN
+    val seedIdx = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().collect().map(r => h.indexOf(r.get(0)))
+      .filter(_ >= 0)
+    val lvl = Array.fill(nN)(-1)
+    var frontier = new Array[Boolean](nN)
+    seedIdx.foreach { i => lvl(i) = 0; frontier(i) = true }
+    var depth = 0
+    var frontierSize = seedIdx.length.toLong
+    while (depth < maxDepth && frontierSize > 0) {
+      depth += 1
+      val reached = h.reachable(frontier)
+      val nf = new Array[Boolean](nN)
+      frontierSize = 0L
+      var v = 0
+      while (v < nN) {
+        if (reached(v) && lvl(v) == -1) {
+          lvl(v) = depth
+          nf(v) = true
+          frontierSize += 1
+        }
+        v += 1
+      }
+      frontier = nf
+    }
+    h.release()
+    val nodeType = gt.nodes.schema.fields(0).dataType
+    val schema = StructType(Seq(
+      StructField("node", nodeType, nullable = false),
+      StructField("lvl", org.apache.spark.sql.types.IntegerType,
+        nullable = false)))
+    val rows = nodeArr.indices.collect {
+      case i if lvl(i) >= 0 => Row(nodeArr(i), lvl(i))
+    }
+    spark.createDataFrame(rows.asJava, schema).orderBy("node")
+  }
+
+  /** Distributed BFS body (the 100 TB path — see the scale posture on
+    * the impl doc above). */
+  private def bfsLevelsDistributed(
+      gt: GraphTable, seeds: DataFrame, maxDepth: Int): DataFrame =
+    withIterParallelism(gt) {
     val seedsDf = seeds.select(col(seeds.columns.head).as("node")).distinct()
     val ed = gt.edges.select("src", "dst").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1937,10 +2375,70 @@ object Graph {
     * (seeds at 0.0), ordered by node. Seeds absent from the graph are
     * ignored. */
   private[operators] def shortestPathsImpl(
-      gt: GraphTable, seeds: DataFrame, maxRounds: Int): DataFrame =
-    withIterParallelism(gt) {
+      gt: GraphTable, seeds: DataFrame, maxRounds: Int): DataFrame = {
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
     require(gt.numNodes > 0, "graph has no nodes")
+    if (useDriverLoop(gt)) shortestPathsDriver(gt, seeds, maxRounds)
+    else shortestPathsDistributed(gt, seeds, maxRounds)
+  }
+
+  /** Driver-resident Bellman–Ford twin ([[DriverLoopHarness]] device):
+    * the distance table and improved-frontier live in dense double
+    * arrays between rounds; each round is ONE zero-shuffle task wave
+    * computing per-dst candidate minima (NaN = no candidate). Every
+    * candidate is ONE double add of exact values and `min` over exact
+    * doubles is order-free, so the rounds are bit-identical to the
+    * distributed body's relax/improve/refresh joins. Seeds absent
+    * from the graph are ignored (the distributed semi-join). */
+  private def shortestPathsDriver(
+      gt: GraphTable, seeds: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = gt.edges.sparkSession
+    val nodeArr: Array[Any] =
+      gt.nodes.select("node").collect().map(_.get(0))
+    val h = new DriverLoopHarness(
+      gt.edges.select("src", "dst", "w"), nodeArr, withW = true)
+    val nN = h.nN
+    val seedIdx = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().collect().map(r => h.indexOf(r.get(0)))
+      .filter(_ >= 0)
+    val dist = Array.fill(nN)(Double.NaN)
+    var fdist = Array.fill(nN)(Double.NaN)
+    seedIdx.foreach { i => dist(i) = 0.0; fdist(i) = 0.0 }
+    var round = 0
+    var frontierSize = seedIdx.length.toLong
+    while (round < maxRounds && frontierSize > 0) {
+      round += 1
+      val cand = h.relax(fdist)
+      val nf = Array.fill(nN)(Double.NaN)
+      frontierSize = 0L
+      var v = 0
+      while (v < nN) {
+        val c = cand(v)
+        if (!c.isNaN && (dist(v).isNaN || c < dist(v))) {
+          dist(v) = c
+          nf(v) = c
+          frontierSize += 1
+        }
+        v += 1
+      }
+      fdist = nf
+    }
+    h.release()
+    val nodeType = gt.nodes.schema.fields(0).dataType
+    val schema = StructType(Seq(
+      StructField("node", nodeType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+    val rows = nodeArr.indices.collect {
+      case i if !dist(i).isNaN => Row(nodeArr(i), dist(i))
+    }
+    spark.createDataFrame(rows.asJava, schema).orderBy("node")
+  }
+
+  /** Distributed Bellman–Ford body (the 100 TB path — see the scale
+    * posture on the impl doc above). */
+  private def shortestPathsDistributed(
+      gt: GraphTable, seeds: DataFrame, maxRounds: Int): DataFrame =
+    withIterParallelism(gt) {
     val seedsDf = seeds.select(col(seeds.columns.head).as("node")).distinct()
     val ed = gt.edges.select("src", "dst", "w").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -1190,6 +1190,50 @@ class GraphSpec extends SparkSpec {
     } finally gt.unpersist()
   }
 
+  test("loop twins auto-select by the maxDriverLoopEdges gate; both " +
+    "sides bit-identical (label prop, k-core, BFS, shortest paths)") {
+    import spark.implicits._
+    val confKey = "spark.graft.graph.maxDriverLoopEdges"
+    val sym = randomSym(60, 220, seed = 41L)
+    // directed weighted feed for the Bellman–Ford pair (weights need
+    // not be symmetric — the operator takes any weighted edge list)
+    val we = sym.map { case (s, t) =>
+      (s, t, ((s * 13 + t * 7) % 4 + 1).toDouble)
+    }
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    val gtw = Graph.buildGraphTable(
+      we.toDF("src", "dst", "w").repartition(3), "src", "dst",
+      weightCol = Some("w"), assumeDistinct = true)
+    val seeds = Seq(0L, 1L, 2L, 999L) // 999 absent from the graph
+    try {
+      def runAll() = (
+        gt.labelPropagation(iters = 4).collect().map(_.toSeq).toSeq,
+        gt.kCore(5, maxRounds = 50).collect().map(_.toSeq).toSeq,
+        gt.bfsLevels(seeds.toDF("node"), maxDepth = 3)
+          .collect().map(_.toSeq).toSeq,
+        gtw.shortestPaths(seeds.toDF("node"), maxRounds = 4)
+          .collect().map(_.toSeq).toSeq)
+      spark.conf.set(confKey, "0") // edges > 0 → the DISTRIBUTED bodies
+      val viaDist = runAll()
+      spark.conf.unset(confKey) // default gate → the DRIVER twins
+      val viaDriver = runAll()
+      // the triangle-envelope discipline: crossing the gate must never
+      // change the answer, for any of the four loop twins
+      assert(viaDist._1 === viaDriver._1, "labelPropagation")
+      assert(viaDist._2 === viaDriver._2, "kCore")
+      assert(viaDist._3 === viaDriver._3, "bfsLevels")
+      assert(viaDist._4 === viaDriver._4, "shortestPaths")
+      assert(viaDriver._1.nonEmpty && viaDriver._2.nonEmpty &&
+        viaDriver._3.nonEmpty && viaDriver._4.nonEmpty)
+    } finally {
+      spark.conf.unset(confKey)
+      gt.unpersist()
+      gtw.unpersist()
+    }
+  }
+
   test("edgeJaccard matches the adjacency-set replica") {
     import spark.implicits._
     val sym = randomSym(40, 150, seed = 23L)
