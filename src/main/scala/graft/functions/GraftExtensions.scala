@@ -68,7 +68,9 @@ object GraftExtensions {
       GraftWordGrams.apply),
     binary("graft_deletion_hashes", classOf[GraftDeletionHashes],
       GraftDeletionHashes.apply),
-    nary("graft_nfc", classOf[GraftNfc], 1, args => GraftNfc(args(0))))
+    nary("graft_nfc", classOf[GraftNfc], 1, args => GraftNfc(args(0))),
+    binary("graft_char_ngrams", classOf[GraftCharNgrams],
+      GraftCharNgrams.apply))
 
   /** Column-level probe of a serialized Spark sketch-format Bloom
     * filter: Catalyst's own `BloomFilterMightContain` over the bytes as

@@ -294,6 +294,42 @@ case class GraftDeletionHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Code-point character n-grams — SQL name
+  * `graft_char_ngrams(text, n)`, the codegen'd one-pass twin of
+  * `transform(sequence(1, length(text)−n+1), i -> substr(text, i, n))`
+  * (which is O(len²) per row: every `substr` rescans the string to
+  * its position). Null-preserving like the chain it replaces (null
+  * text → null array; text shorter than n → empty array). Kernel:
+  * [[graft.operators.TextAnalysis.charNgramsKernel]]. */
+case class GraftCharNgrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_char_ngrams"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int) arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    graft.operators.TextAnalysis.charNgramsKernel(
+      t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.operators.TextAnalysis" +
+        s".charNgramsKernel($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftCharNgrams =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode NFC composition — SQL name `graft_nfc`. The one
   * normalization step Spark has no built-in for (é as one codepoint,
   * not e + combining acute — byte-identical text for downstream

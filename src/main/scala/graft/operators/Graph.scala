@@ -2598,6 +2598,22 @@ object Graph {
     * cost/quality knob, not an approximation of convenience). Three
     * shuffles total: degree agg, wedge self-join on the center, and
     * the pair agg + candidate anti-join on (u,w). */
+  /** Broadcast envelope (ROW count) for the capped neighbor list in
+    * [[adamicAdarImpl]]: the close side of the wedge join is the
+    * DEGREE-CAPPED list (≤ maxDegree rows per center — hubs are
+    * dropped), so it is usually far smaller than E and broadcasting
+    * it lets the Σ C(deg,2)-row wedge stream fuse map-side into the
+    * partial (u,w) aggregate with no pre-join exchange. 2M rows ≈ the
+    * [[csrMaxOrientedRows]] hashed-relation envelope. Measured at
+    * sf0.1 (nb = 390k rows, 17.2M wedges): scored-aggregate 5.0-7.4 s
+    * shuffle_hash → 2.6-3.0 s broadcast. Above the envelope the
+    * shuffle_hash plan runs — its exchanges scale with cluster width,
+    * the 100 TB shape. Override with
+    * `spark.graft.graph.aaBroadcastMaxNbRows`. */
+  private[operators] def aaBroadcastMaxNbRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.aaBroadcastMaxNbRows")
+      .map(_.toLong).getOrElse(2000000L)
+
   private[operators] def adamicAdarImpl(
       gt: GraphTable, maxDegree: Int): DataFrame = {
     require(gt.numNodes > 0, "graph has no nodes")
@@ -2606,28 +2622,38 @@ object Graph {
         s"(found ${gt.numDangling} sink nodes)")
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
     val spark = gt.edges.sparkSession
-    val ceiling = spark.sessionState.conf.numShufflePartitions
     val e = gt.edges.where(col("src") =!= col("dst")).select("src", "dst")
-    // small-graph path vs plain ambient shuffle_hash plan — the same
-    // gate, probe, and scoping rationale as [[triangleCore]] (gated on
-    // E/2 like the rest of the family, so the big path never pays a
-    // probe job; the capped neighbor list is ≤ E rows)
-    val small = gt.numEdges / 2 <= wedgeBroadcastMaxRows(spark)
-    val pE = if (small) iterPartitions(ceiling, gt.numEdges) else ceiling
-    withShufflePartitions(spark, pE) {
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // small path only: exact wedge volume Σ C(deg(b), 2) over eligible
-    // centers, one probe pass off the N-row degree table (materializes
-    // deg as a side effect)
-    val wedgeRows =
-      if (!small) 0L
-      else deg
-        .where(col("deg") >= 2 && col("deg") <= maxDegree)
-        .agg(coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0L))
-          .cast("long"))
-        .head.getLong(0)
+    // ONE probe aggregate over the N-row degree table (bounded by N,
+    // never the corpus): the capped-neighbor-list row count gates the
+    // broadcast; min/max node gate the packed pair key below.
+    // Integral node ids only — other types take the unpacked plan.
+    val integralNode = e.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val eligible = deg.where(col("deg") >= 2 && col("deg") <= maxDegree)
+    val probe = (if (integralNode)
+        eligible.agg(
+          coalesce(sum(col("deg")), lit(0L)).cast("long").as("nbRows"),
+          min(col("node").cast("long")).as("lo"),
+          max(col("node").cast("long")).as("hi"))
+      else eligible.agg(
+          coalesce(sum(col("deg")), lit(0L)).cast("long").as("nbRows"),
+          lit(-1L).as("lo"), lit(-1L).as("hi"))).head
+    val nbRows = probe.getLong(0)
+    // packed single-long pair key (u << 32 | w): exact for ids in
+    // [0, 2^31) — halves the aggregate's key bytes and hashing work
+    // (measured: 2.95 → 2.40 s on the sf0.1 scored aggregate).
+    // Bijective on the id range, so the per-pair sums/counts and the
+    // anti-join are unchanged value-for-value.
+    val packed = integralNode && !probe.isNullAt(1) &&
+      probe.getLong(1) >= 0L && probe.getLong(2) < 2147483648L
     // wedge centers: only nodes with 2..maxDegree neighbors can vouch
     // for a pair; the per-center term is fixed, so round it ONCE here
     // — and carry it as exact LONG micro-units (12-dp term × 10¹²,
@@ -2635,7 +2661,7 @@ object Graph {
     // Σ-C(deg,2)-row aggregation sums machine longs, not
     // 38-digit decimals; per-pair sums stay ≤ maxDegree·1.45e12,
     // far inside the ANSI long envelope
-    val nb = e
+    val nb = graft.CachePool.swap("graph.adamicadar.nb", e
       .join(deg.select(col("node").as("src"), col("deg")), "src")
       .where(col("deg") >= 2 && col("deg") <= maxDegree)
       .select(col("src").as("b"), col("dst").as("n"),
@@ -2643,34 +2669,54 @@ object Graph {
           .cast(DecimalType(14, 12))
           * lit(java.math.BigDecimal.valueOf(1000000000000L)))
           .cast("long").as("units"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pW =
-      if (!small) ceiling
-      else iterPartitions(ceiling, math.max(gt.numEdges, wedgeRows))
-    val out = withShufflePartitions(spark, pW) {
-      // small path: the capped neighbor list broadcasts, so the
-      // Σ C(deg,2)-row wedge stream fuses map-side into the partial
-      // (u,w) aggregate. The adjacency anti-join stays shuffle-based
-      // in both modes — `scored` is already hash-partitioned on (u,w)
-      // by its own aggregate, so only the E-row edge side exchanges.
-      val nbRight = nb.select(col("b"), col("n").as("w"))
-      val scored = nb.select(col("b"), col("n").as("u"), col("units"))
-        .join(if (small) broadcast(nbRight)
-          else nbRight.hint("shuffle_hash"), "b")
-        .where(col("u") < col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    nb.count() // materialize while deg is still cached
+    deg.unpersist(blocking = false)
+    // The returned plan is LAZY end-to-end (no checkpoint): the old
+    // eager materialization wrote every candidate pair (15.7M rows at
+    // sf0.1) to checkpoint blocks only for the caller's top-k to
+    // re-scan them — dropping it lets a top-k caller fuse into
+    // TakeOrdered over the anti-join output (measured: 6.5 → 3.3 s
+    // for aggregate + anti + top-20). The nb cache the plan references
+    // is generation-tracked in CachePool (the charNgramDetect
+    // pattern): the next adamicAdar call or releaseAll frees it, and
+    // an evicted cache recomputes from lineage — correctness
+    // unaffected. The adjacency anti-join stays shuffle-based —
+    // `scored` is already hash-partitioned on the pair key by its own
+    // aggregate, so only the E-row edge side exchanges.
+    val nbRight = nb.select(col("b"), col("n").as("w"))
+    val wedges = nb.select(col("b"), col("n").as("u"), col("units"))
+      .join(if (nbRows <= aaBroadcastMaxNbRows(spark)) broadcast(nbRight)
+        else nbRight.hint("shuffle_hash"), "b")
+      .where(col("u") < col("w"))
+    val out = if (packed) {
+      val nodeType = e.schema.head.dataType
+      val scored = wedges
+        .select((col("u").cast("long") * lit(4294967296L) +
+          col("w").cast("long")).as("uw"), col("units"))
+        .groupBy("uw")
+        .agg(sum(col("units")).as("aa_units"), count(lit(1)).as("common"))
+      scored
+        .join(e.select((col("src").cast("long") * lit(4294967296L) +
+            col("dst").cast("long")).as("uw")).hint("shuffle_hash"),
+          Seq("uw"), "left_anti")
+        .select(
+          shiftright(col("uw"), 32).cast(nodeType).as("src"),
+          col("uw").bitwiseAND(lit(4294967295L)).cast(nodeType).as("dst"),
+          col("common"),
+          (col("aa_units").cast("double") / lit(1.0e12)).as("aa"))
+    } else {
+      val scored = wedges
         .groupBy("u", "w")
         .agg(sum(col("units")).as("aa_units"), count(lit(1)).as("common"))
       scored
-        .join(e.select(col("src").as("u"), col("dst").as("w")),
+        .join(e.select(col("src").as("u"), col("dst").as("w"))
+            .hint("shuffle_hash"),
           Seq("u", "w"), "left_anti")
         .select(col("u").as("src"), col("w").as("dst"), col("common"),
           (col("aa_units").cast("double") / lit(1.0e12)).as("aa"))
-        .localCheckpoint(eager = true)
     }
-    nb.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
     out.orderBy(desc("aa"), col("src"), col("dst"))
-    }
   }
 
   /** Newman modularity of a community assignment over a symmetric

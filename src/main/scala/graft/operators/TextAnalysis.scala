@@ -229,12 +229,47 @@ object TextAnalysis {
     * empty array when the text is shorter than `n`; null for null.
     * Code-point based in both Spark and DuckDB (`substr`), so CJK
     * text grams correctly. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val cnt = length(text) - (n - 1)
-    when(text.isNull, lit(null).cast("array<string>"))
-      .when(cnt < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), cnt),
-        i => text.substr(i, lit(n))))
+  def charNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.column(
+      graft.functions.GraftCharNgrams(
+        org.apache.spark.sql.graftshim.expression(text),
+        org.apache.spark.sql.graftshim.expression(lit(n))))
+
+  /** One-pass n-gram kernel behind [[charNgrams]]'s
+    * `graft_char_ngrams` expression: code-point offsets computed once,
+    * each gram a zero-copy byte slice. The `transform(sequence(...),
+    * i => substr(i, n))` form it replaces re-scanned the string from
+    * byte 0 at every position (UTF8String.substringSQL is O(pos) for
+    * non-ASCII) — O(len²) per document, measured 2.7 s per corpus
+    * explode at sf0.1 vs 0.4 s for this kernel. Gram VALUES are
+    * identical: both are the n-code-point substrings at positions
+    * 1..len−n+1 (empty array when the text is shorter than n). */
+  def charNgramsKernel(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val numChars = s.numChars()
+    val cnt = numChars - (n - 1)
+    if (cnt < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val bytes = s.getBytes
+    val offsets = new Array[Int](numChars + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length && c < numChars) {
+      offsets(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offsets(numChars) = bytes.length
+    val out = new Array[Any](cnt)
+    var j = 0
+    while (j < cnt) {
+      out(j) = UTF8String.fromBytes(
+        bytes, offsets(j), offsets(j + n) - offsets(j))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Fit the model: per-(lang, gram) occurrence counts over a labeled
