@@ -18,6 +18,8 @@ object Profile {
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case Some("aa-phases") => aaPhases(
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      case Some("cm-phases") => cmPhases(
+        args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case _ => microbench(args.headOption.getOrElse("/root/testdata/sf0.01"))
     }
   }
@@ -232,6 +234,71 @@ object Profile {
           .collect()
       }
       Seq(nb, deg, e, pp, lp).foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+
+  /** Phase attribution for the q157/q178 CountMin lines. */
+  def cmPhases(dir: String): Unit = {
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    (1 to 2).foreach { rep =>
+      println(s"[prof] === rep $rep")
+      val li = sources.Tables(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"))
+      t("sketch build noop") {
+        operators.Frequency.countMinSketch(li, "l_partkey", 4, 2048)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("truth top-20") {
+        li.groupBy("l_partkey")
+          .agg(count(lit(1)).as("true_cnt"))
+          .orderBy(desc("true_cnt"), col("l_partkey")).limit(20)
+          .collect()
+      }
+      t("micro: scan+count") {
+        li.write.format("noop").mode("overwrite").save()
+      }
+      t("micro: 1x md5 noop") {
+        li.select(md5(concat(lit("0-"), col("l_partkey").cast("string")))
+          .as("h")).write.format("noop").mode("overwrite").save()
+      }
+      t("micro: 4x md5 noop") {
+        li.select((0 until 4).map(i =>
+            md5(concat(lit(s"$i-"), col("l_partkey").cast("string")))
+              .as(s"h$i")): _*)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("micro: 4x full cmIdx noop") {
+        li.select((0 until 4).map(i =>
+            pmod(conv(substring(md5(concat(lit(s"$i-"),
+              col("l_partkey").cast("string"))), 1, 8), 16, 10)
+              .cast("long"), lit(2048L)).as(s"h$i")): _*)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val base = s"/tmp/graft_cmprof_$rep"
+      t("writeCountMin (90%)") {
+        operators.Frequency.writeCountMin(
+          li.where(col("l_orderkey") % 10 =!= 0), "l_partkey",
+          4, 2048, base)
+      }
+      t("appendToCountMin (10%)") {
+        operators.Frequency.appendToCountMin(spark, base,
+          li.where(col("l_orderkey") % 10 === 0), "l_partkey")
+      }
+      t("probe 20 keys") {
+        val keys = li.groupBy("l_partkey")
+          .agg(count(lit(1)).as("true_cnt"))
+          .orderBy(desc("true_cnt"), col("l_partkey")).limit(20)
+          .select("l_partkey")
+        operators.Frequency.countMinEstimatePersisted(
+          spark, base, keys, "l_partkey").collect()
+      }
     }
     spark.stop()
   }

@@ -76,6 +76,21 @@ object Components {
       .unionAll(edges.select(dst.as("_g_src"), src.as("_g_dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // materialize the cache and size the gate in one job
+      val spark = edges.sparkSession
+      val nRows = und.count()
+      // driver-resident twin (the Graph loop-twin device): under the
+      // edge gate the SAME min-label + pointer-jump rounds run over
+      // dense int arrays on the driver — one collect of the cached
+      // primitive pairs, zero per-round shuffles, IDENTICAL round
+      // function and maxRounds throw. Above the gate the distributed
+      // loop below runs unchanged (the 100 TB path).
+      val maxDriver = spark.conf
+        .getOption("spark.graft.components.maxDriverEdges")
+        .map(_.toLong).getOrElse(8000000L)
+      if (nRows <= maxDriver)
+        return driverComponents(und, maxRounds)
+
       // eager localCheckpoint: materializes AND truncates lineage (see
       // the scale note above — persist alone leaves the logical plan
       // growing ~4× per round)
@@ -84,13 +99,6 @@ object Components {
         .withColumn("lbl", col("id"))
         .localCheckpoint(eager = true)
 
-      // the checkpoint above populated the edge cache, so this count is
-      // free — it sizes the loop's task count (the Graph-tier device:
-      // label rounds over small pair graphs are latency-bound at the
-      // session's shuffle width; the session setting stays the ceiling,
-      // so cluster-scale inputs are unchanged)
-      val spark = edges.sparkSession
-      val nRows = und.count()
       var round = 0
       var converged = false
       Graph.withShufflePartitions(spark,
@@ -137,6 +145,94 @@ object Components {
       // as any cached result handed to a caller).
       labels.select(col("id"), col("lbl").as("component"))
     } finally und.unpersist(blocking = false)
+  }
+
+  /** Driver-resident twin of the min-label + pointer-jump loop: the
+    * cached (src, dst) pairs are collected ONCE as primitive long
+    * arrays, node ids sorted so dense-index comparisons ARE value
+    * comparisons, and the IDENTICAL round function (offer-min, jump
+    * lbl ← lbl(lbl), stop when no label strictly decreases — including
+    * the loud maxRounds throw) runs over int arrays. All operations
+    * are exact mins over ids, so the labels equal the distributed
+    * loop's bit-for-bit (ComponentsSpec pins gate parity). */
+  private def driverComponents(
+      und: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = und.sparkSession
+    val parts = und.rdd.mapPartitions { rows =>
+      val a = new scala.collection.mutable.ArrayBuilder.ofLong
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      rows.foreach { r => a += r.getLong(0); b += r.getLong(1) }
+      Iterator.single((a.result(), b.result()))
+    }.collect()
+    // distinct sorted node ids (und carries both directions, so the
+    // src side alone covers src ∪ dst — the labels-init convention)
+    val ids: Array[Long] = {
+      val all = new scala.collection.mutable.ArrayBuilder.ofLong
+      parts.foreach { case (a, _) => all ++= a }
+      val sorted = all.result()
+      java.util.Arrays.sort(sorted)
+      var n = 0
+      var i = 0
+      while (i < sorted.length) {
+        if (n == 0 || sorted(n - 1) != sorted(i)) {
+          sorted(n) = sorted(i); n += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.copyOf(sorted, n)
+    }
+    val n = ids.length
+    val es = new scala.collection.mutable.ArrayBuilder.ofInt
+    val ed = new scala.collection.mutable.ArrayBuilder.ofInt
+    parts.foreach { case (a, b) =>
+      var i = 0
+      while (i < a.length) {
+        es += java.util.Arrays.binarySearch(ids, a(i))
+        ed += java.util.Arrays.binarySearch(ids, b(i))
+        i += 1
+      }
+    }
+    val s = es.result()
+    val d = ed.result()
+    var lbl = Array.tabulate(n)(identity)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // (1) offer labels across edges, keep the per-node min
+      val merged = lbl.clone()
+      var k = 0
+      while (k < s.length) {
+        val l = lbl(s(k))
+        if (l < merged(d(k))) merged(d(k)) = l
+        k += 1
+      }
+      // (2) pointer jump: lbl ← label(label-node)
+      val jumped = new Array[Int](n)
+      var i = 0
+      var changed = false
+      while (i < n) {
+        jumped(i) = merged(merged(i))
+        if (jumped(i) < lbl(i)) changed = true
+        i += 1
+      }
+      lbl = jumped
+      converged = !changed
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "the input is pathologically deep for a near-dup graph")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      ids.indices.map(i =>
+        org.apache.spark.sql.Row(ids(i), ids(lbl(i)))).asJava,
+      schema)
   }
 
   /** Unpersist the cached RDD behind an eager `localCheckpoint`ed

@@ -1043,20 +1043,18 @@ object Graph {
     val ed = gt.edges.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node list co-partitioned on node: the per-round left join that
-    // re-attaches zero-contribution nodes needs no exchange on it
+    // re-attaches zero-contribution nodes needs no exchange on it.
+    // With the dangling correction the SINK FLAG rides the node (and
+    // therefore rank) table, so the per-round sink-mass aggregate is a
+    // filter over the already-checkpointed ranks — the old per-round
+    // semi-join against a dangling table (and its exchanges) is gone.
     val nodesDf =
-      (if (danglingCorrection) gt.nodes.select("node")
+      (if (danglingCorrection)
+         gt.nodes.select(col("node"), (!col("is_src")).as("sink"))
        else gt.nodes.where(col("is_src")).select("node"))
         .repartition(col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nL.toDouble
-    val danglingDf =
-      if (danglingCorrection) {
-        val d = gt.nodes.where(!col("is_src")).select("node")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        d.count()
-        d
-      } else null
     ed.count()
     nodesDf.count()
 
@@ -1075,15 +1073,18 @@ object Graph {
           round(col("rank") * col("w") / col("wout"), 12)
             .cast(Dec12).as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
+      val sinkCols: Seq[org.apache.spark.sql.Column] =
+        if (danglingCorrection) Seq(col("sink")) else Nil
       val joined = nodesDf
         .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("s").cast("double"), lit(0.0)).as("sd"))
-      // dangling mass: a ONE-ROW aggregate cross-joined into the
-      // update — the scalar stays inside the plan, no driver collect
+        .select(Seq(col("node")) ++ sinkCols :+
+          coalesce(col("s").cast("double"), lit(0.0)).as("sd"): _*)
+      // dangling mass: a ONE-ROW aggregate over the checkpointed rank
+      // table's sink rows, cross-joined into the update — the scalar
+      // stays inside the plan, no driver collect, no per-round join
       val withDm =
         if (danglingCorrection) {
-          val dm = ranks.join(danglingDf, Seq("node"), "left_semi")
+          val dm = ranks.where(col("sink"))
             .agg(coalesce(
               sum(round(col("rank"), 12).cast(Dec12)),
               lit(java.math.BigDecimal.ZERO).cast(Dec12))
@@ -1094,9 +1095,9 @@ object Graph {
       // sd + 0.0 == sd for the non-dangling path (contributions are
       // ≥ 0, so no -0.0 edge), keeping the two bodies bit-identical
       val next = withDm
-        .select(col("node"),
+        .select(Seq(col("node")) ++ sinkCols :+
           round(lit(baseTerm) + lit(damping) * (col("sd") + col("dmn")), 9)
-            .as("rank"))
+            .as("rank"): _*)
         .localCheckpoint(eager = true)
       converged = epsilon.exists { eps =>
         // bounded scalar action (one row), the K-Means-convergence
@@ -1114,7 +1115,6 @@ object Graph {
     }
     ed.unpersist()
     nodesDf.unpersist()
-    if (danglingDf != null) danglingDf.unpersist()
     // the returned frame reads the final round's checkpoint blocks —
     // pinned while reachable, reclaimed by the ContextCleaner after
     ranks.select(col("node"), col("rank"))
@@ -1222,20 +1222,22 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rv0 = 1.0 / k
     // node list with the per-node reset weight attached ONCE: 1/|S| on
-    // seed nodes (seeds outside the graph are ignored), 0 elsewhere
-    val nodesDf = gt.nodes.select("node")
+    // seed nodes (seeds outside the graph are ignored), 0 elsewhere.
+    // The SINK FLAG rides along (the pageRankDistributed device), so
+    // the per-round sink-mass aggregate filters the checkpointed rank
+    // table instead of semi-joining a dangling table.
+    val nodesDf = gt.nodes
+      .select(col("node"), (!col("is_src")).as("sink"))
       .join(seedsDf.withColumn("_g_seed", lit(true)), Seq("node"), "left")
-      .select(col("node"),
+      .select(col("node"), col("sink"),
         when(col("_g_seed").isNotNull, lit(rv0)).otherwise(lit(0.0)).as("rv"))
       .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     nodesDf.count()
-    val danglingDf = gt.nodes.where(!col("is_src")).select("node")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    danglingDf.count()
     ed.count()
 
-    var ranks = nodesDf.select(col("node"), col("rv").as("rank"))
+    var ranks = nodesDf
+      .select(col("node"), col("sink"), col("rv").as("rank"))
       .localCheckpoint(eager = true)
     var it = 0
     var converged = false
@@ -1248,18 +1250,19 @@ object Graph {
         .groupBy("node").agg(sum(col("c")).as("s"))
       val joined = nodesDf
         .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"), col("rv"),
+        .select(col("node"), col("sink"), col("rv"),
           coalesce(col("s").cast("double"), lit(0.0)).as("sd"))
       // total sink mass (NOT divided by N — it rides the reset
-      // distribution), as a one-row aggregate cross-joined in
-      val dm = ranks.join(danglingDf, Seq("node"), "left_semi")
+      // distribution): a one-row aggregate over the checkpointed rank
+      // table's sink rows, cross-joined in — no per-round join
+      val dm = ranks.where(col("sink"))
         .agg(coalesce(
           sum(round(col("rank"), 12).cast(Dec12)),
           lit(java.math.BigDecimal.ZERO).cast(Dec12))
           .as("dms"))
         .select(col("dms").cast("double").as("dmt"))
       val next = joined.crossJoin(broadcast(dm))
-        .select(col("node"),
+        .select(col("node"), col("sink"),
           round(lit(1.0 - damping) * col("rv") +
             lit(damping) * (col("sd") + col("dmt") * col("rv")), 9)
             .as("rank"))
@@ -1276,7 +1279,6 @@ object Graph {
     }
     ed.unpersist()
     nodesDf.unpersist()
-    danglingDf.unpersist()
     ranks.select(col("node"), col("rank"))
       .orderBy(desc("rank"), col("node"))
   }
@@ -2791,17 +2793,22 @@ object Graph {
     val keep = lp.groupBy("r").agg(count(lit(1)).as("dc"))
       .where(col("dc") <= maxRightDegree)
       .select("r")
-    val pruned = lp.join(keep, "r")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = pruned.select(col("r"), col("l").as("src"))
+    val pruned = graft.CachePool.swap("graph.bipartite.pruned",
+      lp.join(keep, "r")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    pruned.count() // materialize while lp is still cached
+    lp.unpersist(blocking = false)
+    // LAZY result (the adamicAdarImpl discipline): the old eager
+    // `localCheckpoint` materialized every projected edge only for a
+    // top-k caller to re-scan them — dropping it lets the caller's
+    // sort/limit fuse into TakeOrdered over the aggregate output. The
+    // pruned cache the plan references is generation-tracked in
+    // CachePool; an evicted cache recomputes from lineage.
+    pruned.select(col("r"), col("l").as("src"))
       .join(pruned.select(col("r"), col("l").as("dst"))
         .hint("shuffle_hash"), "r")
       .where(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      .localCheckpoint(eager = true)
-    pruned.unpersist(blocking = false)
-    lp.unpersist(blocking = false)
-    out
   }
 
   /** Unpersist the cached RDD behind an eager `localCheckpoint`ed
