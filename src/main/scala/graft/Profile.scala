@@ -20,6 +20,8 @@ object Profile {
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case Some("cm-phases") => cmPhases(
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      case Some("bp-phases") => bpPhases(
+        args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case _ => microbench(args.headOption.getOrElse("/root/testdata/sf0.01"))
     }
   }
@@ -221,6 +223,20 @@ object Profile {
       t("C: scored agg packed-key noop") {
         scoredC.write.format("noop").mode("overwrite").save()
       }
+      // ---- variant E: grouped-adjacency + graft_pair_longs kernel
+      val scoredE = nb
+        .groupBy(col("b"), col("units"))
+        .agg(collect_list(col("n").cast("long")).as("ns"))
+        .select(col("units"),
+          explode(org.apache.spark.sql.graftshim.column(
+            graft.functions.GraftPairLongs(
+              org.apache.spark.sql.graftshim.expression(col("ns")))))
+            .as("uw"))
+        .groupBy("uw")
+        .agg(sum(col("units")).as("aa_units"), count(lit(1)).as("common"))
+      t("E: scored agg pair-kernel noop") {
+        scoredE.write.format("noop").mode("overwrite").save()
+      }
       // ---- variant D: packed key + packed anti-join + direct top-20
       val outD = scoredC
         .join(e.select((col("src") * lit(4294967296L) + col("dst"))
@@ -234,6 +250,57 @@ object Profile {
           .collect()
       }
       Seq(nb, deg, e, pp, lp).foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+
+  /** A/B for q160's projection aggregate: packed pair-kernel vs the
+    * two-sided self-join, over the same pruned incidence. */
+  def bpPhases(dir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    (1 to 2).foreach { rep =>
+      println(s"[prof] === rep $rep")
+      val o = sources.Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = sources.Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val lp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("l"), col("l_partkey").as("r"))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      val keep = lp.groupBy("r").agg(count(lit(1)).as("dc"))
+        .where(col("dc") <= 40).select("r")
+      val pruned = t("pruned build+count") {
+        val p = lp.join(keep, "r").persist(StorageLevel.MEMORY_AND_DISK)
+        println(s"[prof]   pruned=${p.count()}")
+        p
+      }
+      val joinForm = pruned.select(col("r"), col("l").as("src"))
+        .join(pruned.select(col("r"), col("l").as("dst"))
+          .hint("shuffle_hash"), "r")
+        .where(col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      t("A: self-join agg noop") {
+        joinForm.write.format("noop").mode("overwrite").save()
+      }
+      val kernelForm = pruned.groupBy(col("r"))
+        .agg(collect_list(col("l").cast("long")).as("ls"))
+        .select(explode(org.apache.spark.sql.graftshim.column(
+          graft.functions.GraftPairLongs(
+            org.apache.spark.sql.graftshim.expression(col("ls")))))
+          .as("uw"))
+        .groupBy("uw").agg(count(lit(1)).as("w"))
+      t("B: pair-kernel agg noop") {
+        kernelForm.write.format("noop").mode("overwrite").save()
+      }
+      pruned.unpersist(blocking = false)
+      lp.unpersist(blocking = false)
     }
     spark.stop()
   }

@@ -70,7 +70,9 @@ object GraftExtensions {
       GraftDeletionHashes.apply),
     nary("graft_nfc", classOf[GraftNfc], 1, args => GraftNfc(args(0))),
     binary("graft_char_ngrams", classOf[GraftCharNgrams],
-      GraftCharNgrams.apply))
+      GraftCharNgrams.apply),
+    nary("graft_pair_longs", classOf[GraftPairLongs], 1,
+      args => GraftPairLongs(args(0))))
 
   /** Column-level probe of a serialized Spark sketch-format Bloom
     * filter: Catalyst's own `BloomFilterMightContain` over the bytes as

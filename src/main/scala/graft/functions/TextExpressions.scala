@@ -330,6 +330,42 @@ case class GraftCharNgrams(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All unordered pairs of an array's elements, packed
+  * (lo << 32 | hi) — SQL name `graft_pair_longs`. The grouped-
+  * adjacency pair generator behind the wedge/co-occurrence operators
+  * (adamic-adar, bipartite projection): emits exactly C(n, 2) packed
+  * pairs per row (equal elements skipped — the strict `u < w` filter
+  * of the self-join form it replaces, which probed n² rows and
+  * filtered half away). Callers gate on ids in [0, 2^31) so the pack
+  * is bijective. Null-preserving; null elements never occur in the
+  * grouped feeds (collect_list drops them, matching the null-losing
+  * comparisons of the join form). */
+case class GraftPairLongs(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_pair_longs"
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    graft.operators.Graph.pairLongsKernel(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.Graph.pairLongsKernel($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftPairLongs = copy(child = newChild)
+}
+
 /** Unicode NFC composition — SQL name `graft_nfc`. The one
   * normalization step Spark has no built-in for (é as one codepoint,
   * not e + combining acute — byte-identical text for downstream

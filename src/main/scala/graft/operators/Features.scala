@@ -111,12 +111,22 @@ object Features {
     def sign(c: String): Column =
       when(conv(substring(h(c), 9, 1), 16, 10).cast("long") % 2 === 0,
         lit(1L)).otherwise(lit(-1L))
+    // hash each feature column ONCE (bucket + sign in one projection),
+    // then fan the dim output cells off the precomputed pair: the
+    // inline form repeated the md5+conv trees in every (dim × column)
+    // cell and relied on optimizer subexpression elimination to dedupe
+    // them — this makes the sharing structural (2 md5 + 3 conv per
+    // row, total). Cell values are unchanged: same hashes, same
+    // comparisons, exact integer sums.
+    val pre = df.select(col(idCol) +: featureCols.zipWithIndex.flatMap {
+      case (c, j) => Seq(bucket(c).as(s"_b_$j"), sign(c).as(s"_s_$j"))
+    }: _*)
     val hs = (0 until dim).map { i =>
-      featureCols.map(c =>
-          when(bucket(c) === i, sign(c)).otherwise(lit(0L)))
+      featureCols.indices.map(j =>
+          when(col(s"_b_$j") === i, col(s"_s_$j")).otherwise(lit(0L)))
         .reduce(_ + _).as(s"h$i")
     }
-    df.select(col(idCol) +: hs: _*)
+    pre.select(col(idCol) +: hs: _*)
   }
 
   /** Fit per-column scaling statistics in ONE partial/final aggregate

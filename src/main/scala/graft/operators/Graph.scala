@@ -2600,6 +2600,40 @@ object Graph {
     * cost/quality knob, not an approximation of convenience). Three
     * shuffles total: degree agg, wedge self-join on the center, and
     * the pair agg + candidate anti-join on (u,w). */
+  /** One-pass kernel behind the `graft_pair_longs` expression: all
+    * unordered pairs (lo << 32 | hi) of the array's elements, equal
+    * elements skipped — see
+    * [[graft.functions.GraftPairLongs]]. */
+  def pairLongsKernel(
+      a: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    out.sizeHint(n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val y = a.getLong(j)
+        if (x != y) {
+          val lo = math.min(x, y)
+          val hi = math.max(x, y)
+          out += (lo << 32) | hi
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+
+  private[operators] def pairLongsCol(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.column(
+      graft.functions.GraftPairLongs(
+        org.apache.spark.sql.graftshim.expression(c)))
+
   /** Broadcast envelope (ROW count) for the capped neighbor list in
     * [[adamicAdarImpl]]: the close side of the wedge join is the
     * DEGREE-CAPPED list (≤ maxDegree rows per center — hubs are
@@ -2692,6 +2726,11 @@ object Graph {
         else nbRight.hint("shuffle_hash"), "b")
       .where(col("u") < col("w"))
     val out = if (packed) {
+      // A grouped-adjacency `graft_pair_longs` variant was measured
+      // SLOWER here (5.8-6.5 s vs 2.3-2.8 s same-session): the
+      // collect_list + Generate machinery over 17M-element pair
+      // arrays loses to the fully codegen'd broadcast hash probe.
+      // The win is the packed single-long aggregate key.
       val nodeType = e.schema.head.dataType
       val scored = wedges
         .select((col("u").cast("long") * lit(4294967296L) +
@@ -2708,6 +2747,7 @@ object Graph {
           col("common"),
           (col("aa_units").cast("double") / lit(1.0e12)).as("aa"))
     } else {
+      // non-integral / out-of-range ids: the two-long-key form
       val scored = wedges
         .groupBy("u", "w")
         .agg(sum(col("units")).as("aa_units"), count(lit(1)).as("common"))
@@ -2804,11 +2844,41 @@ object Graph {
     // sort/limit fuse into TakeOrdered over the aggregate output. The
     // pruned cache the plan references is generation-tracked in
     // CachePool; an evicted cache recomputes from lineage.
-    pruned.select(col("r"), col("l").as("src"))
-      .join(pruned.select(col("r"), col("l").as("dst"))
-        .hint("shuffle_hash"), "r")
-      .where(col("src") < col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val lType = pruned.schema.apply("l").dataType
+    val integralL = lType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    // id-range probe over the CACHED pruned incidence (one cheap job)
+    // gates the packed grouped-pair plan — the adamicAdarImpl device:
+    // per-right-node groups are ≤ maxRightDegree (bounded at any
+    // scale), `graft_pair_longs` emits exactly C(d, 2) packed pairs
+    // map-side (the self-join form probed d² and filtered half), and
+    // the pair aggregate hashes ONE long key.
+    val packed = integralL && {
+      val p = pruned.agg(min(col("l").cast("long")).as("lo"),
+        max(col("l").cast("long")).as("hi")).head
+      !p.isNullAt(0) && p.getLong(0) >= 0L &&
+        p.getLong(1) < 2147483648L
+    }
+    if (packed)
+      pruned.groupBy(col("r"))
+        .agg(collect_list(col("l").cast("long")).as("ls"))
+        .select(explode(pairLongsCol(col("ls"))).as("uw"))
+        .groupBy("uw").agg(count(lit(1)).as("w"))
+        .select(
+          shiftright(col("uw"), 32).cast(lType).as("src"),
+          col("uw").bitwiseAND(lit(4294967295L)).cast(lType).as("dst"),
+          col("w"))
+    else
+      pruned.select(col("r"), col("l").as("src"))
+        .join(pruned.select(col("r"), col("l").as("dst"))
+          .hint("shuffle_hash"), "r")
+        .where(col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
   /** Unpersist the cached RDD behind an eager `localCheckpoint`ed
