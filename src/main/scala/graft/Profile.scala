@@ -41,6 +41,14 @@ object Profile {
       spark.conf.set("spark.graft.graph.triangleAlgo", a))
     sys.env.get("GRAFT_ARGMIN_IMPL").foreach(a =>
       spark.conf.set("spark.graft.kmeans.argminImpl", a))
+    // A/B hook: GRAFT_AQE_COALESCE=1 sets the guide-§9 aggressive
+    // AQE coalescing posture (size-targeted, not parallelism-first)
+    if (sys.env.contains("GRAFT_AQE_COALESCE")) {
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    }
     spark
   }
 

@@ -366,6 +366,45 @@ case class GraftPairLongs(child: Expression) extends UnaryExpression {
       newChild: Expression): GraftPairLongs = copy(child = newChild)
 }
 
+/** Intersection of two SORTED distinct long arrays by linear merge —
+  * SQL name `graft_sorted_intersect`. The triangle-close kernel:
+  * `array_intersect` builds a hash set per ROW (one allocation + |a|
+  * inserts + |b| probes per oriented edge); over sorted adjacency
+  * this is a branchy two-pointer walk with no allocation beyond the
+  * result. Same SET of elements (callers' consumers are
+  * order-invariant counts); inputs must be ascending and distinct —
+  * the adjacency builder sorts once per group. Null-preserving. */
+case class GraftSortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_sorted_intersect"
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got " +
+          s"${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.operators.Graph.sortedIntersectKernel(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.operators.Graph.sortedIntersectKernel($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftSortedIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode NFC composition — SQL name `graft_nfc`. The one
   * normalization step Spark has no built-in for (é as one codepoint,
   * not e + combining acute — byte-identical text for downstream

@@ -1949,11 +1949,18 @@ object Graph {
         .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
         .select(col("src").as("u"), col("dst").as("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // element order inside an adjacency row is partition-dependent
-      // (collect_list) and deliberately NOT sorted: every consumer
-      // below is order-invariant (intersection + count aggregates)
+      // adjacency rows SORTED once per group (one cheap N-row pass):
+      // the per-edge close is then a linear two-pointer merge
+      // (graft_sorted_intersect) instead of array_intersect's per-ROW
+      // hash-set build + probe. Long-typed nodes only — other types
+      // keep the unsorted collect + array_intersect (the intersection
+      // SET is identical either way; every consumer below is an
+      // order-invariant count)
+      val longNodes =
+        e.schema.head.dataType == org.apache.spark.sql.types.LongType
       val adj = orient.groupBy(col("u"))
-        .agg(collect_list(col("v")).as("nbrs"))
+        .agg((if (longNodes) sort_array(collect_list(col("v")))
+          else collect_list(col("v"))).as("nbrs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       adj.count() // materialize once; both broadcast builds read the cache
       // INNER join on the v side: an edge whose head has no oriented
@@ -1963,7 +1970,8 @@ object Graph {
         .join(broadcast(adj.select(col("u").as("v"),
           col("nbrs").as("nbrs_v"))), Seq("v"))
         .select(col("u"), col("v"),
-          array_intersect(col("nbrs"), col("nbrs_v")).as("ws"))
+          (if (longNodes) sortedIntersectCol(col("nbrs"), col("nbrs_v"))
+           else array_intersect(col("nbrs"), col("nbrs_v"))).as("ws"))
         .where(size(col("ws")) > 0)
       // ONE pass: T triangle rows → 3T node credits → partial-agg'd
       // count (u and v are in every triangle of their base edge; each
@@ -2535,8 +2543,13 @@ object Graph {
     val out = withShufflePartitions(spark, pW) {
       val closeSide = orient2.select(col("u").as("b"), col("v").as("c"))
       val tri = if (csr) {
+        // sorted adjacency + linear-merge intersect for long-typed
+        // nodes (the [[triangleCoreCsr]] device); set-identical
+        val longNodes = gt.edges.schema.head.dataType ==
+          org.apache.spark.sql.types.LongType
         val adj = orient2.groupBy(col("u"))
-          .agg(collect_list(col("v")).as("nbrs"))
+          .agg((if (longNodes) sort_array(collect_list(col("v")))
+            else collect_list(col("v"))).as("nbrs"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         adj.count()
         adjToRelease = Some(adj)
@@ -2545,7 +2558,9 @@ object Graph {
           .join(broadcast(adj.select(col("u").as("v"),
             col("nbrs").as("nbrs_v"))), Seq("v"))
           .select(col("u"), col("v").as("b"),
-            explode(array_intersect(col("nbrs"), col("nbrs_v"))).as("c"))
+            explode(if (longNodes)
+              sortedIntersectCol(col("nbrs"), col("nbrs_v"))
+            else array_intersect(col("nbrs"), col("nbrs_v"))).as("c"))
       } else orient2
         .select(col("u"), col("v").as("b"), col("dv").as("db"))
         .join(orient2.select(col("u"), col("v").as("c"), col("dv").as("dc"))
@@ -2633,6 +2648,35 @@ object Graph {
     org.apache.spark.sql.graftshim.column(
       graft.functions.GraftPairLongs(
         org.apache.spark.sql.graftshim.expression(c)))
+
+  /** Linear-merge intersection of two SORTED distinct long arrays —
+    * see [[graft.functions.GraftSortedIntersect]]. */
+  def sortedIntersectKernel(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { out += x; i += 1; j += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+
+  private[operators] def sortedIntersectCol(
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.column(
+      graft.functions.GraftSortedIntersect(
+        org.apache.spark.sql.graftshim.expression(a),
+        org.apache.spark.sql.graftshim.expression(b)))
 
   /** Broadcast envelope (ROW count) for the capped neighbor list in
     * [[adamicAdarImpl]]: the close side of the wedge join is the
