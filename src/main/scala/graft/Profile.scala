@@ -22,6 +22,8 @@ object Profile {
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case Some("bp-phases") => bpPhases(
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      case Some("ga-phases") => gaPhases(
+        args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case _ => microbench(args.headOption.getOrElse("/root/testdata/sf0.01"))
     }
   }
@@ -378,6 +380,56 @@ object Profile {
     spark.stop()
   }
 
+  /** Phase attribution for q130's graph-append lifecycle: base write
+    * (buildGraphTable + publish from the 90% feed), merge-append of
+    * the 10% batch, then the 10-round PageRank over the appended
+    * artifact. Feeds are pre-materialized parquet (as in the bench,
+    * where they come from the shared graph_tables artifact), so the
+    * timed phases are exactly q130's timed content. */
+  def gaPhases(dir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val o = sources.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = sources.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairsAll = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))
+    val feedBase = s"/tmp/graft_gaprof_feeds"
+    t("feeds: write e90/e10 parquet (untimed in bench)") {
+      pairsAll.where(col("ok") % 10 =!= 0).select("src", "dst").distinct()
+        .write.mode("overwrite").parquet(s"$feedBase/e90")
+      pairsAll.where(col("ok") % 10 === 0).select("src", "dst").distinct()
+        .write.mode("overwrite").parquet(s"$feedBase/e10")
+    }
+    (1 to 3).foreach { rep =>
+      println(s"[prof] === rep $rep")
+      val base = s"/tmp/graft_gaprof_$rep"
+      val e90 = spark.read.parquet(s"$feedBase/e90")
+      val e10 = spark.read.parquet(s"$feedBase/e10")
+      t("writeGraphTable(e90)") {
+        operators.Graph.writeGraphTable(e90, "src", "dst", base,
+          assumeDistinct = true)
+      }
+      t("appendToGraphTable(e10)") {
+        operators.Graph.appendToGraphTable(spark, base, e10, "src", "dst")
+      }
+      t("readGraphTable + pageRank(10) top-20") {
+        operators.Graph.readGraphTable(spark, base)
+          .pageRank(iters = 10, danglingCorrection = true).limit(20)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+
   def microbench(dir: String): Unit = {
     val spark = session(8)
     def time(name: String)(f: => Any): Unit = {
@@ -459,15 +511,18 @@ object Profile {
   }
 
   /** Phase attribution for the q107 DISTRIBUTED-rank PageRank loop
-    * (the q102 feed): replicates Graph.pageRankDistributed's phases
-    * with per-round timing — build (co-partitioned edge cache, node
-    * cache, dangling set), then each round's shuffled-hash join +
-    * DECIMAL agg + node left-join + dangling 1-row crossJoin +
-    * localCheckpoint. */
+    * (the q102 feed): replicates Graph.pageRankDistributed's CURRENT
+    * round shape (sink flag folded into the rank table) and A/Bs the
+    * round-15 candidates — (B) long micro-unit contributions instead
+    * of the DECIMAL(38,12) aggregate, (C) B plus lazy per-round
+    * persist with a lineage-truncating checkpoint every 5 rounds
+    * (one job materializes 5 rounds instead of 1). All variants print
+    * the same top-20 so bit-identity is visible in the output. */
   def pagerankDistPhases(dir: String): Unit = {
     import org.apache.spark.sql.types.DecimalType
     import org.apache.spark.storage.StorageLevel
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val Dec12 = DecimalType(38, 12)
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -487,52 +542,136 @@ object Profile {
       val od = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val ed = t("build:edges repartition(src)+degree-join persist") {
         val ed = edges.join(broadcast(od), "src")
+          .select(col("src"), col("dst"), lit(1.0).as("w"),
+            col("outdeg").cast("double").as("wout"))
           .repartition(col("src"))
           .persist(StorageLevel.MEMORY_AND_DISK); ed.count(); ed
       }
       val srcNodes = edges.select(col("src").as("node")).distinct()
-      val nodesDf = t("build:nodes repartition(node) persist") {
-        val nd = srcNodes
-          .union(edges.select(col("dst").as("node"))).distinct()
+      val nodesDf = t("build:nodes(sink) repartition(node) persist") {
+        val nd = srcNodes.withColumn("is_src", lit(true))
+          .union(edges.select(col("dst").as("node"), lit(false)))
+          .groupBy("node").agg(max(col("is_src")).as("is_src"))
+          .select(col("node"), (!col("is_src")).as("sink"))
           .repartition(col("node"))
           .persist(StorageLevel.MEMORY_AND_DISK); nd.count(); nd
       }
       val n = nodesDf.count().toDouble
-      val danglingDf = t("build:dangling anti-join persist") {
-        val d = nodesDf.join(srcNodes, Seq("node"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK); d.count(); d
+      val nRounds = 10
+
+      // ---- variant A: the CURRENT operator shape (Dec12 agg,
+      // per-round eager localCheckpoint)
+      def roundA(ranks: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val contrib = ed
+          .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+          .select(col("dst").as("node"),
+            round(col("rank") * col("w") / col("wout"), 12)
+              .cast(Dec12).as("c"))
+          .groupBy("node").agg(sum(col("c")).as("s"))
+        val joined = nodesDf
+          .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"), col("sink"),
+            coalesce(col("s").cast("double"), lit(0.0)).as("sd"))
+        val dm = ranks.where(col("sink"))
+          .agg(coalesce(sum(round(col("rank"), 12).cast(Dec12)),
+            lit(java.math.BigDecimal.ZERO).cast(Dec12)).as("dms"))
+          .select((col("dms").cast("double") / lit(n)).as("dmn"))
+        joined.crossJoin(broadcast(dm))
+          .select(col("node"), col("sink"),
+            round(lit(0.15 / n) + lit(0.85) * (col("sd") + col("dmn")), 9)
+              .as("rank"))
       }
-      var ranks = nodesDf.withColumn("rank", lit(1.0 / n))
-        .localCheckpoint(eager = true)
-      (1 to 10).foreach { i =>
-        t(f"iter$i%02d") {
-          val contrib = ed
-            .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
-            .select(col("dst").as("node"),
-              round(col("rank") / col("outdeg").cast("double"), 12)
-                .cast(DecimalType(38, 12)).as("c"))
-            .groupBy("node").agg(sum(col("c")).as("s"))
-          val joined = nodesDf
-            .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
-            .select(col("node"),
-              coalesce(col("s").cast("double"), lit(0.0)).as("sd"))
-          val dm = ranks.join(danglingDf, Seq("node"), "left_semi")
-            .agg(coalesce(
-              sum(round(col("rank"), 12).cast(DecimalType(38, 12))),
-              lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)))
-              .as("dms"))
-            .select((col("dms").cast("double") / lit(n)).as("dmn"))
-          ranks = joined.crossJoin(broadcast(dm))
-            .select(col("node"),
-              round(lit(0.15 / n) + lit(0.85) * (col("sd") + col("dmn")), 9)
-                .as("rank"))
-            .localCheckpoint(eager = true)
+      // ---- variant B: long micro-units (12-dp term × 10¹² summed as
+      // machine longs; per-dst mass ≤ 1 so sums sit at ~1e12, far
+      // inside the long envelope; ·1E-12 decimal multiply recovers the
+      // identical DECIMAL(·,12) value, cast double unchanged)
+      val U = java.math.BigDecimal.valueOf(1000000000000L)
+      val Uinv = new java.math.BigDecimal("1E-12")
+      def roundB(ranks: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val contrib = ed
+          .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+          .select(col("dst").as("node"),
+            (round(col("rank") * col("w") / col("wout"), 12)
+              .cast(DecimalType(14, 12)) * lit(U)).cast("long").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("su"))
+        val joined = nodesDf
+          .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"), col("sink"),
+            coalesce((col("su").cast(DecimalType(26, 0)) * lit(Uinv))
+              .cast("double"), lit(0.0)).as("sd"))
+        val dm = ranks.where(col("sink"))
+          .agg(coalesce(sum((round(col("rank"), 12)
+            .cast(DecimalType(14, 12)) * lit(U)).cast("long")), lit(0L))
+            .as("dmu"))
+          .select(((col("dmu").cast(DecimalType(26, 0)) * lit(Uinv))
+            .cast("double") / lit(n)).as("dmn"))
+        joined.crossJoin(broadcast(dm))
+          .select(col("node"), col("sink"),
+            round(lit(0.15 / n) + lit(0.85) * (col("sd") + col("dmn")), 9)
+              .as("rank"))
+      }
+
+      def runEager(tag: String,
+          round: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame): Unit = {
+        var ranks = nodesDf.withColumn("rank", lit(1.0 / n))
+          .localCheckpoint(eager = true)
+        t(s"$tag: 10 rounds eager-checkpoint") {
+          (1 to nRounds).foreach { _ =>
+            ranks = round(ranks).localCheckpoint(eager = true)
+          }
+        }
+        t(s"$tag: final top-20") {
+          println("[prof]   " + ranks
+            .orderBy(desc("rank"), col("node")).limit(5).collect().toSeq)
         }
       }
-      t("final orderBy+collect") {
-        ranks.orderBy(desc("rank"), col("node")).limit(20).collect()
+      def runChained(tag: String, k: Int,
+          round: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame): Unit = {
+        var ranks = nodesDf.withColumn("rank", lit(1.0 / n))
+          .localCheckpoint(eager = true)
+        var pending = List.empty[org.apache.spark.sql.DataFrame]
+        t(s"$tag: 10 rounds persist-chained ck-every-$k") {
+          (1 to nRounds).foreach { it =>
+            val next0 = round(ranks)
+            if (it % k == 0 || it == nRounds) {
+              val next = next0.localCheckpoint(eager = true)
+              pending.foreach(_.unpersist(blocking = false))
+              pending = Nil
+              ranks = next
+            } else {
+              val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
+              pending ::= next
+              ranks = next
+            }
+          }
+        }
+        t(s"$tag: final top-20") {
+          println("[prof]   " + ranks
+            .orderBy(desc("rank"), col("node")).limit(5).collect().toSeq)
+        }
       }
-      ed.unpersist(); nodesDf.unpersist(); danglingDf.unpersist()
+
+      def withConf[A](k: String, v: String)(f: => A): A = {
+        val old = spark.conf.get(k)
+        spark.conf.set(k, v)
+        try f finally spark.conf.set(k, old)
+      }
+      // alternate order to kill JIT/first-run bias; E = A with AQE off
+      // inside the loop (rounds are latency-bound: 10-partition stages
+      // gain nothing from runtime re-optimization barriers)
+      runEager("B(units,eager)", roundB)
+      runEager("A(dec12,eager)", roundA)
+      withConf("spark.sql.adaptive.enabled", "false") {
+        runEager("E(dec12,noAQE)", roundA)
+        runEager("F(units,noAQE)", roundB)
+      }
+      runEager("A2(dec12,eager)", roundA)
+      runEager("B2(units,eager)", roundB)
+      ed.unpersist(); nodesDf.unpersist()
     }
     spark.stop()
   }

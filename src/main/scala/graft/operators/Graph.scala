@@ -268,7 +268,12 @@ object Graph {
     val withW =
       if (weightCol.isDefined) eD else eD.withColumn("w", lit(1.0))
     // out-weight totals are one row per source node — broadcast them
-    // back onto the edge list so the E-row side never shuffles
+    // back onto the edge list so the E-row side never shuffles.
+    // (A fused single-aggregate variant — node list, is_src, and
+    // out-weights in ONE tagged union agg, counts derived — measured
+    // WORSE at sf0.1 (append 1.7→2.6 s warm): it serializes what the
+    // two concurrent jobs below overlap, and the od pass it removes
+    // was the cheap one. Kept the overlapped two-job shape.)
     val od = weightCol match {
       case None =>
         eD.groupBy("src")
@@ -338,6 +343,13 @@ object Graph {
   private def publishGraphArtifact(
       spark: SparkSession, path: String, gt: GraphTable): Unit = {
     import spark.implicits._
+    // NOTE (measured, round 15): coalescing these writes to
+    // row-count-sized file counts (the iterPartitions heuristic) was
+    // tried and REVERTED — at sf0.1 the compact layout collapses the
+    // artifact's read side to a single scan split (open-cost packing),
+    // serializing every consumer's first pass (q130's rank phase
+    // 1.6 → 3.2 s, q98/q102 similarly); the commit-overhead saving was
+    // ~0.2 s. Ambient-partition writes keep the read side parallel.
     graft.sources.Artifacts.publishVersion(spark, path) { vdir =>
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
@@ -394,21 +406,20 @@ object Graph {
     val existing = spark.read
       .parquet(s"${latestGraphDir(spark, path)}/edges")
       .select("src", "dst", "w")
-    val batch = weightCol match {
-      case None =>
-        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-          .distinct().withColumn("w", lit(1.0))
-      case Some(w) =>
-        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-          col(w).cast("double").as("w"))
-          .groupBy("src", "dst")
-          .agg(sum(round(col("w"), 12).cast(Dec12)).cast("double").as("w"))
-    }
     val merged = weightCol match {
       case None =>
-        existing.select("src", "dst").union(batch.select("src", "dst"))
+        // the batch needs no pre-distinct of its own: the set-union
+        // distinct below already dedupes within the batch and against
+        // the artifact — one exchange instead of two
+        existing.select("src", "dst")
+          .union(edges.select(col(srcCol).as("src"),
+            col(dstCol).as("dst")))
           .distinct().withColumn("w", lit(1.0))
-      case Some(_) =>
+      case Some(w) =>
+        val batch = edges.select(col(srcCol).as("src"),
+            col(dstCol).as("dst"), col(w).cast("double").as("w"))
+          .groupBy("src", "dst")
+          .agg(sum(round(col("w"), 12).cast(Dec12)).cast("double").as("w"))
         existing.union(batch).groupBy("src", "dst")
           .agg(sum(round(col("w"), 12).cast(Dec12)).cast("double").as("w"))
     }
@@ -1055,12 +1066,28 @@ object Graph {
         .repartition(col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nL.toDouble
-    ed.count()
-    nodesDf.count()
+    // overlap the two cache-priming counts — independent jobs over
+    // independent caches (the buildGraphTable device): each alone
+    // underutilizes the cluster, and the E-row repartition dominates,
+    // so the N-row one rides inside its tail
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fe = Future(ed.count())
+      val fn = Future(nodesDf.count())
+      Await.result(fe, Duration.Inf)
+      Await.result(fn, Duration.Inf)
+    }
 
     val baseTerm = (1.0 - damping) / n
+    // round 0 is a LAZY projection over the cached node table — its
+    // lineage is one cache read + withColumn, and the projection
+    // preserves the cache's hash partitioning, so round 1 plans
+    // exactly as it did over the old eager checkpoint (which only
+    // re-materialized a second copy of the node rows). Checkpoints
+    // start with round 1's output.
     var ranks = nodesDf.withColumn("rank", lit(1.0 / n))
-      .localCheckpoint(eager = true)
     var it = 0
     var converged = false
     while (it < iters && !converged) {
@@ -1108,8 +1135,9 @@ object Graph {
           .head().getDouble(0) <= eps
       }
       // the previous round's checkpoint blocks are dead once the next
-      // round is materialized (and the epsilon diff has run)
-      releaseCheckpoint(ranks)
+      // round is materialized (and the epsilon diff has run); round 0
+      // has none — it reads the node cache directly
+      if (it > 0) releaseCheckpoint(ranks)
       ranks = next
       it += 1
     }
@@ -1233,12 +1261,20 @@ object Graph {
         when(col("_g_seed").isNotNull, lit(rv0)).otherwise(lit(0.0)).as("rv"))
       .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    nodesDf.count()
-    ed.count()
+    // overlapped cache-priming counts + lazy round 0 — the
+    // pageRankDistributed devices (see there for the rationale)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fe = Future(ed.count())
+      val fn = Future(nodesDf.count())
+      Await.result(fe, Duration.Inf)
+      Await.result(fn, Duration.Inf)
+    }
 
     var ranks = nodesDf
       .select(col("node"), col("sink"), col("rv").as("rank"))
-      .localCheckpoint(eager = true)
     var it = 0
     var converged = false
     while (it < iters && !converged) {
@@ -1273,7 +1309,7 @@ object Graph {
           .agg(max(abs(col("rank") - col("prev_rank"))).as("d"))
           .head().getDouble(0) <= eps
       }
-      releaseCheckpoint(ranks)
+      if (it > 0) releaseCheckpoint(ranks)
       ranks = next
       it += 1
     }
@@ -1817,7 +1853,13 @@ object Graph {
     *
     * Returns (node, deg, tri) for EVERY node (tri = 0 when the node
     * closes no triangle), ordered by node. */
-  private[operators] def triangleCountsImpl(gt: GraphTable): DataFrame = {
+  private[operators] def triangleCountsImpl(gt: GraphTable): DataFrame =
+    triangleCountsCore(gt).orderBy("node")
+
+  /** Unsorted (node, deg, tri) core shared by [[triangleCountsImpl]]
+    * and [[clusteringCoefficientImpl]] — the latter persists it before
+    * its full-output sort (see there). */
+  private def triangleCountsCore(gt: GraphTable): DataFrame = {
     require(gt.numNodes > 0, "graph has no nodes")
     require(gt.numDangling == 0,
       "triangleCounts requires a symmetric double-edged feed " +
@@ -1825,7 +1867,6 @@ object Graph {
     triangleCore(
       gt.edges.where(col("src") =!= col("dst")).select("src", "dst"),
       gt.numEdges)
-      .orderBy("node")
   }
 
   /** Degree-oriented per-node triangle counts over a symmetric,
@@ -1939,16 +1980,20 @@ object Graph {
     // runs over the E-row oriented list, so narrowing tasks to
     // E/250k (the iterative-body heuristic) would starve it — the r12
     // floors already showed narrowed scope costing on big graphs.
+    // (Ambient planning is also what makes the LAZY return below safe:
+    // unlike the wedge path, no conf scope has to be alive when the
+    // caller's action finally plans the exchanges.)
     {
-      val deg = e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val orient = e
+      val deg = graft.CachePool.swap("graph.tri.deg",
+        e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      val orient = graft.CachePool.swap("graph.tri.orient", e
         .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
         .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
         .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
         .select(col("src").as("u"), col("dst").as("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK))
       // adjacency rows SORTED once per group (one cheap N-row pass):
       // the per-edge close is then a linear two-pointer merge
       // (graft_sorted_intersect) instead of array_intersect's per-ROW
@@ -1958,10 +2003,11 @@ object Graph {
       // order-invariant count)
       val longNodes =
         e.schema.head.dataType == org.apache.spark.sql.types.LongType
-      val adj = orient.groupBy(col("u"))
-        .agg((if (longNodes) sort_array(collect_list(col("v")))
-          else collect_list(col("v"))).as("nbrs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val adj = graft.CachePool.swap("graph.tri.adj",
+        orient.groupBy(col("u"))
+          .agg((if (longNodes) sort_array(collect_list(col("v")))
+            else collect_list(col("v"))).as("nbrs"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
       adj.count() // materialize once; both broadcast builds read the cache
       // INNER join on the v side: an edge whose head has no oriented
       // out-neighbors can close nothing, so dropping it is exact
@@ -1980,15 +2026,19 @@ object Graph {
         .select(col("u"), col("v"), explode(col("ws")).as("w"))
         .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("tri"))
-      val out = deg
+      // LAZY result (the adamicAdarImpl discipline): the old eager
+      // `localCheckpoint` materialized every per-node row only for a
+      // top-k caller to re-scan them — dropping it lets q119-style
+      // callers fuse sort/limit into TakeOrdered over the close
+      // pipeline, and the plan dumps show the real close instead of a
+      // bare checkpoint scan. The deg/orient/adj caches the plan
+      // references are generation-tracked in CachePool (the next
+      // triangle call or releaseAll frees them; an evicted cache
+      // recomputes from lineage — correctness unaffected).
+      deg
         .join(perNode.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), col("deg"),
           coalesce(col("tri"), lit(0L)).as("tri"))
-        .localCheckpoint(eager = true)
-      adj.unpersist(blocking = false)
-      orient.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
-      out
     }
   }
 
@@ -2116,12 +2166,23 @@ object Graph {
     * a single double division of exact longs — bit-identical in any
     * engine that evaluates the same expression, so no rounding device
     * is needed. Returns (node, deg, tri, cc) ordered by node. */
-  private[operators] def clusteringCoefficientImpl(gt: GraphTable): DataFrame =
-    triangleCountsImpl(gt)
+  private[operators] def clusteringCoefficientImpl(gt: GraphTable): DataFrame = {
+    // FULL-output consumer: a global sort directly over the lazy close
+    // pipeline would execute the close twice (the range partitioner's
+    // sampling pass runs the child once before the sort pass) — so the
+    // N-row core is persisted (lazy, CachePool-tracked): the sampling
+    // pass materializes it once and the sort pass reads the cache.
+    // Top-k consumers (q119-style) fuse into TakeOrdered and need no
+    // such guard.
+    val core = graft.CachePool.swap("graph.tri.ccbase",
+      triangleCountsCore(gt).persist(StorageLevel.MEMORY_AND_DISK))
+    core
       .withColumn("cc",
         when(col("deg") < 2, lit(0.0))
           .otherwise(col("tri") * lit(2.0) /
             (col("deg") * (col("deg") - lit(1)))))
+      .orderBy("node")
+  }
 
   /** k-core: the maximal subgraph in which every node has degree ≥ k
     * (Seidman 1983), by synchronous (Jacobi) peeling: each round drops
@@ -2547,10 +2608,11 @@ object Graph {
         // nodes (the [[triangleCoreCsr]] device); set-identical
         val longNodes = gt.edges.schema.head.dataType ==
           org.apache.spark.sql.types.LongType
-        val adj = orient2.groupBy(col("u"))
-          .agg((if (longNodes) sort_array(collect_list(col("v")))
-            else collect_list(col("v"))).as("nbrs"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val adj = graft.CachePool.swap("graph.ej.adj",
+          orient2.groupBy(col("u"))
+            .agg((if (longNodes) sort_array(collect_list(col("v")))
+              else collect_list(col("v"))).as("nbrs"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
         adj.count()
         adjToRelease = Some(adj)
         orient2
@@ -2582,7 +2644,7 @@ object Graph {
         .groupBy("src", "dst").agg(count(lit(1)).as("common"))
       def degSide(df: DataFrame): DataFrame =
         if (small) broadcast(df) else df
-      e.where(col("src") < col("dst"))
+      val res = e.where(col("src") < col("dst"))
         .join(degSide(deg.select(col("node").as("src"),
           col("deg").as("deg_src"))), "src")
         .join(degSide(deg.select(col("node").as("dst"),
@@ -2593,11 +2655,22 @@ object Graph {
         .withColumn("jac",
           col("common").cast("double") /
             (col("deg_src") + col("deg_dst") - col("common")))
-        .localCheckpoint(eager = true)
+      // csr: LAZY result (the triangleCoreCsr discipline) — csr plans
+      // at ambient partitions, so no conf scope needs to be alive when
+      // the caller's top-k finally plans; the caches the plan
+      // references are generation-tracked below. Wedge: keep the eager
+      // checkpoint — its exchanges are pW-scoped and must plan inside
+      // this scope, and the E-row caches are released right after.
+      if (csr) res else res.localCheckpoint(eager = true)
     }
-    adjToRelease.foreach(_.unpersist(blocking = false))
-    orient2.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    if (csr) {
+      graft.CachePool.swap("graph.ej.deg", deg)
+      graft.CachePool.swap("graph.ej.orient", orient2)
+    } else {
+      adjToRelease.foreach(_.unpersist(blocking = false))
+      orient2.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+    }
     out.orderBy(desc("jac"), col("src"), col("dst"))
     }
   }
@@ -2717,14 +2790,21 @@ object Graph {
            org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    val eligible = deg.where(col("deg") >= 2 && col("deg") <= maxDegree)
+    // id range probed over ALL of `deg`, never the eligible-center
+    // subset: the packed plan packs NEIGHBOR ids (wedge u/w) and every
+    // anti-join edge endpoint, and the symmetric-feed precondition
+    // makes `deg` cover every endpoint — a ≥2^31 id of degree 1 (or
+    // > maxDegree) is invisible to an eligible-only probe yet still
+    // appears as a neighbor, and its packed key would alias/overflow.
+    val eligDeg =
+      when(col("deg") >= 2 && col("deg") <= maxDegree, col("deg"))
     val probe = (if (integralNode)
-        eligible.agg(
-          coalesce(sum(col("deg")), lit(0L)).cast("long").as("nbRows"),
+        deg.agg(
+          coalesce(sum(eligDeg), lit(0L)).cast("long").as("nbRows"),
           min(col("node").cast("long")).as("lo"),
           max(col("node").cast("long")).as("hi"))
-      else eligible.agg(
-          coalesce(sum(col("deg")), lit(0L)).cast("long").as("nbRows"),
+      else deg.agg(
+          coalesce(sum(eligDeg), lit(0L)).cast("long").as("nbRows"),
           lit(-1L).as("lo"), lit(-1L).as("hi"))).head
     val nbRows = probe.getLong(0)
     // packed single-long pair key (u << 32 | w): exact for ids in

@@ -1286,6 +1286,46 @@ class GraphSpec extends SparkSpec {
     } finally gt.unpersist()
   }
 
+  test("adamicAdar packed-key gate: an id >= 2^31 that is only a " +
+      "degree-1 NEIGHBOR (never an eligible center) disables packing " +
+      "and the result still matches the set replica") {
+    import spark.implicits._
+    // 2^33 + 7: if packed as u·2^32 + w this spills into u's bits and
+    // unpacks as a DIFFERENT pair — the latent aliasing the probe must
+    // catch. Degree 1 keeps it out of the eligible-center set, so an
+    // eligible-only id probe (the round-14 bug) would wrongly enable
+    // the packed plan.
+    val big = 8589934599L
+    val und = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> big, 3L -> 4L)
+    val sym = (und ++ und.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val edgeSet = sym.toSet
+    val cap = 10
+    def units(b: Long): Long =
+      (BigDecimal(1.0 / math.log(adj(b).size.toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000000000L)).toLongExact
+    val nodes = adj.keySet
+    val exp = (for {
+      u <- nodes.toSeq; w <- nodes.toSeq
+      if u < w && !edgeSet.contains((u, w))
+      cs = (adj(u) & adj(w))
+        .filter(b => adj(b).size >= 2 && adj(b).size <= cap)
+      if cs.nonEmpty
+    } yield (u, w, cs.size.toLong,
+      cs.toSeq.map(units).sum.toDouble / 1.0e12)).toSet
+    assert(exp.exists(t => t._1 == big || t._2 == big),
+      "fixture must score at least one pair involving the big id")
+    val gt = Graph.buildGraphTable(
+      sym.toDF("src", "dst").repartition(3), "src", "dst",
+      assumeDistinct = true)
+    try {
+      val got = gt.adamicAdar(maxDegree = cap).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === exp)
+    } finally gt.unpersist()
+  }
+
   test("adamicAdar refuses a directed feed and a degenerate cap") {
     import spark.implicits._
     val gt = Graph.buildGraphTable(
