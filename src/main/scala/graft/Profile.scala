@@ -265,14 +265,31 @@ object Profile {
   }
 
   /** A/B for q160's projection aggregate: packed pair-kernel vs the
-    * two-sided self-join, over the same pruned incidence. */
+    * two-sided self-join, over the same pruned incidence — wall-clock
+    * AND total shuffle bytes written (task-metrics listener), the
+    * at-scale cost the kernel form was adopted for. */
   def bpPhases(dir: String): Unit = {
     import org.apache.spark.storage.StorageLevel
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
     def t[A](name: String)(f: => A): A = {
+      Thread.sleep(300) // drain listener events from the previous phase
+      val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val r = f
-      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      Thread.sleep(300)
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+        f"shuffleMB=${(shuffleBytes.get() - b0) / 1048576.0}%.1f")
       r
     }
     (1 to 2).foreach { rep =>
@@ -628,6 +645,28 @@ object Profile {
             .orderBy(desc("rank"), col("node")).limit(5).collect().toSeq)
         }
       }
+      // round-15 scheme: partitioning-preserving eager checkpoint per
+      // round (graftshim) — O(1) logical lineage like a checkpoint
+      // (a persist chain doubles the logical plan per round: ranks is
+      // referenced twice per round body), but the declared
+      // hashpartitioning(node) survives, so no rank-side exchange
+      def runShim(tag: String,
+          round: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame): Unit = {
+        var ranks = org.apache.spark.sql.graftshim
+          .localCheckpointPartitioned(
+            nodesDf.withColumn("rank", lit(1.0 / n)))
+        t(s"$tag: 10 rounds shim-checkpoint") {
+          (1 to nRounds).foreach { _ =>
+            ranks = org.apache.spark.sql.graftshim
+              .localCheckpointPartitioned(round(ranks))
+          }
+        }
+        t(s"$tag: final top-20") {
+          println("[prof]   " + ranks
+            .orderBy(desc("rank"), col("node")).limit(5).collect().toSeq)
+        }
+      }
       def runChained(tag: String, k: Int,
           round: org.apache.spark.sql.DataFrame =>
             org.apache.spark.sql.DataFrame): Unit = {
@@ -660,17 +699,48 @@ object Profile {
         spark.conf.set(k, v)
         try f finally spark.conf.set(k, old)
       }
+      if (rep == 1) {
+        // evidence dumps: ONE round's physical plan over (a) a
+        // checkpointed rank table — the old per-round materialization,
+        // whose LogicalRDD reports UnknownPartitioning under AQE and
+        // re-exchanges the rank side — and (b) a persist-materialized
+        // one, the round-15 scheme, whose InMemoryRelation keeps
+        // hashpartitioning(node) visible
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("plans/r15"))
+        def dump(name: String, r0: org.apache.spark.sql.DataFrame,
+            note: String): Unit = {
+          val plan = roundA(r0).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode
+              .fromString("formatted"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"plans/r15/$name"),
+            (note + "\n" + plan).getBytes("UTF-8"))
+          println(s"[prof] wrote plans/r15/$name")
+        }
+        val rCk = nodesDf.withColumn("rank", lit(1.0 / n))
+          .localCheckpoint(eager = true)
+        dump("q107_round_shape_checkpoint.txt", rCk,
+          "REPLICA of one pageRankDistributed round over a " +
+            "CHECKPOINTED rank table (the pre-round-15 shape)")
+        val rS = org.apache.spark.sql.graftshim.localCheckpointPartitioned(
+          nodesDf.withColumn("rank", lit(1.0 / n)))
+        dump("q107_round_shape_shimckpt.txt", rS,
+          "REPLICA of one pageRankDistributed round over a " +
+            "graftshim PARTITIONING-PRESERVING checkpoint of the rank " +
+            "table (the round-15 shape)")
+      }
       // alternate order to kill JIT/first-run bias; E = A with AQE off
       // inside the loop (rounds are latency-bound: 10-partition stages
       // gain nothing from runtime re-optimization barriers)
-      runEager("B(units,eager)", roundB)
-      runEager("A(dec12,eager)", roundA)
+      runEager("A(dec12,ckpt)", roundA)
+      runShim("G(dec12,shim)", roundA)
+      runEager("A2(dec12,ckpt)", roundA)
+      runShim("G2(dec12,shim)", roundA)
       withConf("spark.sql.adaptive.enabled", "false") {
         runEager("E(dec12,noAQE)", roundA)
-        runEager("F(units,noAQE)", roundB)
       }
-      runEager("A2(dec12,eager)", roundA)
-      runEager("B2(units,eager)", roundB)
+      runEager("B(units,ckpt)", roundB)
       ed.unpersist(); nodesDf.unpersist()
     }
     spark.stop()

@@ -93,11 +93,14 @@ object Components {
 
       // eager localCheckpoint: materializes AND truncates lineage (see
       // the scale note above — persist alone leaves the logical plan
-      // growing ~4× per round)
-      var labels = und.select(col("_g_src").as("id"))
-        .distinct()
-        .withColumn("lbl", col("id"))
-        .localCheckpoint(eager = true)
+      // growing ~4× per round). The partitioning-preserving graftshim
+      // variant keeps hashpartitioning(id) from the distinct visible,
+      // so the per-round label-offer join and union-agg never
+      // re-exchange the label table.
+      var labels = Graph.checkpointPartitioned(
+        und.select(col("_g_src").as("id"))
+          .distinct()
+          .withColumn("lbl", col("id")))
 
       var round = 0
       var converged = false
@@ -113,10 +116,9 @@ object Components {
         // (2) pointer jump: lbl ← label(lbl). Every label is a node id
         // (min over ids), so the inner self-join matches every row.
         val parents = merged.select(col("id").as("p_id"), col("lbl").as("p_lbl"))
-        val jumped = merged
+        val jumped = Graph.checkpointPartitioned(merged
           .join(parents, merged("lbl") === parents("p_id"))
-          .select(col("id"), col("p_lbl").as("lbl"))
-          .localCheckpoint(eager = true)
+          .select(col("id"), col("p_lbl").as("lbl")))
         // (3) converged iff no label moved. Labels only ever decrease,
         // so "changed" is exactly "new < old".
         val changed = jumped.as("n")

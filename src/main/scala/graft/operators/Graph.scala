@@ -1121,11 +1121,20 @@ object Graph {
         } else joined.withColumn("dmn", lit(0.0))
       // sd + 0.0 == sd for the non-dangling path (contributions are
       // ≥ 0, so no -0.0 edge), keeping the two bodies bit-identical
-      val next = withDm
-        .select(Seq(col("node")) ++ sinkCols :+
-          round(lit(baseTerm) + lit(damping) * (col("sd") + col("dmn")), 9)
-            .as("rank"): _*)
-        .localCheckpoint(eager = true)
+      // partitioning-preserving eager checkpoint (graftshim): a plain
+      // localCheckpoint reports UnknownPartitioning under AQE, which
+      // re-exchanged the N-row rank side of BOTH next-round reads
+      // (the contribution join and the sink-mass aggregate's scan) —
+      // every round. Declaring the executed plan's own
+      // hashpartitioning(node) on the checkpoint removes those two
+      // exchanges from the steady-state round while keeping the O(1)
+      // logical lineage a checkpoint gives (a persist chain doubles
+      // the logical plan per round — ranks is referenced twice).
+      val next = checkpointPartitioned(
+        withDm
+          .select(Seq(col("node")) ++ sinkCols :+
+            round(lit(baseTerm) + lit(damping) * (col("sd") + col("dmn")), 9)
+              .as("rank"): _*))
       converged = epsilon.exists { eps =>
         // bounded scalar action (one row), the K-Means-convergence
         // category — only paid when an epsilon is requested
@@ -1297,12 +1306,15 @@ object Graph {
           lit(java.math.BigDecimal.ZERO).cast(Dec12))
           .as("dms"))
         .select(col("dms").cast("double").as("dmt"))
-      val next = joined.crossJoin(broadcast(dm))
-        .select(col("node"), col("sink"),
-          round(lit(1.0 - damping) * col("rv") +
-            lit(damping) * (col("sd") + col("dmt") * col("rv")), 9)
-            .as("rank"))
-        .localCheckpoint(eager = true)
+      // partitioning-preserving checkpoint — the pageRankDistributed
+      // device (see there): kills the per-round rank-side exchanges a
+      // plain checkpoint's UnknownPartitioning re-introduced
+      val next = checkpointPartitioned(
+        joined.crossJoin(broadcast(dm))
+          .select(col("node"), col("sink"),
+            round(lit(1.0 - damping) * col("rv") +
+              lit(damping) * (col("sd") + col("dmt") * col("rv")), 9)
+              .as("rank")))
       converged = epsilon.exists { eps =>
         val prev = ranks.select(col("node"), col("rank").as("prev_rank"))
         next.join(prev, Seq("node"))
@@ -1483,9 +1495,8 @@ object Graph {
     bi.count(); nodesDf.count()
 
     val dec0 = lit(java.math.BigDecimal.ZERO).cast(Dec12)
-    var scores = nodesDf
-      .select(col("node"), lit(1.0 / n).as("auth"), lit(1.0 / n).as("hub"))
-      .localCheckpoint(eager = true)
+    var scores = checkpointPartitioned(nodesDf
+      .select(col("node"), lit(1.0 / n).as("auth"), lit(1.0 / n).as("hub")))
     var it = 0
     var converged = false
     while (it < iters && !converged) {
@@ -1503,15 +1514,14 @@ object Graph {
       // L1 totals as ONE one-row aggregate, cross-joined (no collect)
       val tots = perNode.agg(coalesce(sum(col("sa")), dec0).as("ta"),
         coalesce(sum(col("sh")), dec0).as("th"))
-      val next = nodesDf
+      val next = checkpointPartitioned(nodesDf
         .join(perNode.hint("shuffle_hash"), Seq("node"), "left")
         .crossJoin(broadcast(tots))
         .select(col("node"),
           round(coalesce(col("sa").cast("double"), lit(0.0)) /
             col("ta").cast("double"), 9).as("auth"),
           round(coalesce(col("sh").cast("double"), lit(0.0)) /
-            col("th").cast("double"), 9).as("hub"))
-        .localCheckpoint(eager = true)
+            col("th").cast("double"), 9).as("hub")))
       converged = epsilon.exists { eps =>
         // one-row bounded scalar action per round, epsilon path only
         val prev = scores.select(col("node"), col("auth").as("pa"),
@@ -1783,9 +1793,9 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     ed.count()
 
-    var labels = gt.nodes.select(col("node"), col("node").as("lbl"))
-      .repartition(col("node"))
-      .localCheckpoint(eager = true)
+    var labels = checkpointPartitioned(
+      gt.nodes.select(col("node"), col("node").as("lbl"))
+        .repartition(col("node")))
     // early fixpoint stop (the kCoreImpl stationary device): each round
     // is a pure function of the previous labels, so a round that changes
     // NOTHING proves every remaining round is a no-op — the result is
@@ -1809,13 +1819,12 @@ object Graph {
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
           .as("m"))
         .select(col("node"), col("m").getField("l").as("new_lbl"))
-      val next = labels
+      val next = checkpointPartitioned(labels
         .select(col("node"), col("lbl").as("prev"))
         .join(pick.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_lbl"), col("prev")).as("lbl"),
-          col("prev"))
-        .localCheckpoint(eager = true)
+          col("prev")))
       val changed = next.where(col("lbl") =!= col("prev")).count()
       releaseCheckpoint(labels)
       labels = next
@@ -2273,10 +2282,10 @@ object Graph {
   private def kCoreDistributed(
       gt: GraphTable, k: Int, maxRounds: Int): DataFrame =
     withIterParallelism(gt) {
-    var edges = gt.edges.where(col("src") =!= col("dst"))
-      .select("src", "dst")
-      .repartition(col("src"))
-      .localCheckpoint(eager = true)
+    var edges = checkpointPartitioned(
+      gt.edges.where(col("src") =!= col("dst"))
+        .select("src", "dst")
+        .repartition(col("src")))
     var m = edges.count()
     var it = 0
     var converged = m == 0L
@@ -2285,11 +2294,10 @@ object Graph {
         .agg(count(lit(1)).as("d"))
         .where(col("d") >= k)
         .select("node")
-      val next = edges
+      val next = checkpointPartitioned(edges
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .localCheckpoint(eager = true)
+        .select("src", "dst"))
       val m2 = next.count()
       converged = m2 == m || m2 == 0L
       releaseCheckpoint(edges)
@@ -2388,26 +2396,23 @@ object Graph {
     val ed = gt.edges.select("src", "dst").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ed.count()
-    var levels = gt.nodes.join(seedsDf, Seq("node"), "left_semi")
-      .select(col("node"), lit(0).as("lvl"))
-      .repartition(col("node"))
-      .localCheckpoint(eager = true)
-    var frontier = levels.select("node")
-      .localCheckpoint(eager = true)
+    var levels = checkpointPartitioned(
+      gt.nodes.join(seedsDf, Seq("node"), "left_semi")
+        .select(col("node"), lit(0).as("lvl"))
+        .repartition(col("node")))
+    var frontier = checkpointPartitioned(levels.select("node"))
     var depth = 0
     var frontierSize = frontier.count()
     while (depth < maxDepth && frontierSize > 0) {
       depth += 1
-      val next = ed
+      val next = checkpointPartitioned(ed
         .join(frontier.withColumnRenamed("node", "src")
           .hint("shuffle_hash"), "src")
         .select(col("dst").as("node")).distinct()
-        .join(levels, Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
+        .join(levels, Seq("node"), "left_anti"))
       frontierSize = next.count()
-      val newLevels = levels
-        .unionByName(next.select(col("node"), lit(depth).as("lvl")))
-        .localCheckpoint(eager = true)
+      val newLevels = checkpointPartitioned(levels
+        .unionByName(next.select(col("node"), lit(depth).as("lvl"))))
       releaseCheckpoint(levels)
       releaseCheckpoint(frontier)
       levels = newLevels
@@ -2514,12 +2519,11 @@ object Graph {
     val ed = gt.edges.select("src", "dst", "w").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ed.count()
-    var dist = gt.nodes.join(seedsDf, Seq("node"), "left_semi")
-      .select(col("node"), lit(0.0).as("dist"))
-      .repartition(col("node"))
-      .localCheckpoint(eager = true)
-    var frontier = dist.select("node", "dist")
-      .localCheckpoint(eager = true)
+    var dist = checkpointPartitioned(
+      gt.nodes.join(seedsDf, Seq("node"), "left_semi")
+        .select(col("node"), lit(0.0).as("dist"))
+        .repartition(col("node")))
+    var frontier = checkpointPartitioned(dist.select("node", "dist"))
     var round = 0
     var frontierSize = frontier.count()
     while (round < maxRounds && frontierSize > 0) {
@@ -2529,16 +2533,14 @@ object Graph {
           .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy("node").agg(min(col("dist")).as("dist"))
-      val improved = relaxed
+      val improved = checkpointPartitioned(relaxed
         .join(dist.select(col("node"), col("dist").as("old")),
           Seq("node"), "left")
         .where(col("old").isNull || col("dist") < col("old"))
-        .select("node", "dist")
-        .localCheckpoint(eager = true)
+        .select("node", "dist"))
       frontierSize = improved.count()
-      val newDist = dist.unionByName(improved)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = true)
+      val newDist = checkpointPartitioned(dist.unionByName(improved)
+        .groupBy("node").agg(min(col("dist")).as("dist")))
       releaseCheckpoint(dist)
       releaseCheckpoint(frontier)
       dist = newDist
@@ -3012,6 +3014,16 @@ object Graph {
     * A non-LogicalRDD plan here means a refactor inserted an operator
     * between the checkpoint and this call — warn loudly so the
     * resulting per-round block leak is visible instead of silent. */
+  /** Eager localCheckpoint that keeps the executed plan's hash
+    * partitioning visible (graftshim device — see there): a plain
+    * checkpoint reports UnknownPartitioning under AQE, so every
+    * iterative operator that checkpoints a key-partitioned table per
+    * round re-paid that table's exchange per round. Falls back to the
+    * plain checkpoint when the executed plan has no hash partitioning
+    * (e.g. after a union). */
+  private[operators] def checkpointPartitioned(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.localCheckpointPartitioned(df)
+
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>

@@ -254,9 +254,13 @@ object Joins {
         s"got $maxDist")
     val k = maxDist
     val v = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    val e = v.select(col("id"),
+    // both self-join sides read the SAME deletion-neighborhood explode
+    // — persist it once (CachePool generation-tracked): un-cached, the
+    // k-deletion hash kernel ran twice, once per side
+    val e = graft.CachePool.swap("joins.editdist.e", v.select(col("id"),
       explode(graft.functions.TextKernelFunctions
         .deletionHashesCol(col("s"), k)).as("vk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = e.as("a")
       .join(e.as("b"),
         col("a.vk") === col("b.vk") && col("a.id") < col("b.id"))

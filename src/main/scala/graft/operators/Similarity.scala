@@ -164,15 +164,24 @@ object Similarity {
       val planes = hyperplanes(seed + 0x9e3779b97f4a7c15L * b, planesPerBand, dim)
       lshBucket(col(embCol), planes).bitwiseOR(lit(b.toLong << 33))
     }
-    val banded = df
+    // both self-join sides read the SAME banded projection and both
+    // verify joins read the SAME norm frame — persist each once
+    // (CachePool generation-tracked; the next call or releaseAll frees
+    // them, an evicted cache recomputes from lineage): the hyperplane
+    // bucket kernel is nBands·planes·dim multiplies per row, the most
+    // expensive per-row work in this plan, and un-cached it ran twice
+    val banded = graft.CachePool.swap("sim.lsh.banded", df
       .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = banded.select(col("bk").as("bk_l"), col("id").as("id_a"))
       .join(banded.select(col("bk").as("bk_r"), col("id").as("id_b")),
         col("bk_l") === col("bk_r") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val withNorm = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      normCol(col(embCol)).as("nrm"))
+    val withNorm = graft.CachePool.swap("sim.lsh.norm", df
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        normCol(col(embCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cand
       .join(withNorm.toDF("id_a", "emb_a", "nrm_a"), "id_a")
       .join(withNorm.toDF("id_b", "emb_b", "nrm_b"), "id_b")

@@ -34,6 +34,51 @@ package object graftshim {
   def unloadAllStateStores(): Unit =
     execution.streaming.state.StateStore.unloadAll()
 
+  /** Eager `localCheckpoint` that KEEPS the executed plan's hash
+    * partitioning visible to the next query.
+    *
+    * A plain checkpoint's `LogicalRDD` reports `UnknownPartitioning`
+    * whenever the source ran under AQE (`AdaptiveSparkPlanExec`
+    * cannot promise a partitioning before finalization, so it
+    * inherits `SparkPlan`'s Unknown default and that is what
+    * `LogicalRDD.fromDataset` captures) — so an iterative operator
+    * that checkpoints a hash-partitioned table every round re-pays
+    * the table's exchange every round. Here the checkpoint has
+    * already executed (eager), the AQE plan IS final, and checkpoint
+    * blocks preserve partition boundaries 1:1 — re-declaring the
+    * final plan's own partitioning on the checkpoint's `LogicalRDD`
+    * is therefore always truthful. Attributes are remapped
+    * positionally from the physical output to the new logical output
+    * (same schema by construction); anything unexpected falls back to
+    * the plain checkpoint. */
+  def localCheckpointPartitioned(df: Dataset[Row]): Dataset[Row] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val ck = ds.localCheckpoint(true).asInstanceOf[classic.Dataset[Row]]
+    val srcPlan = ds.queryExecution.executedPlan match {
+      case a: execution.adaptive.AdaptiveSparkPlanExec => a.finalPhysicalPlan
+      case p => p
+    }
+    (srcPlan.outputPartitioning, ck.queryExecution.analyzed) match {
+      case (hp: catalyst.plans.physical.HashPartitioningLike,
+            lr: execution.LogicalRDD)
+          if srcPlan.output.size == lr.output.size =>
+        val attrMap = catalyst.expressions.AttributeMap(
+          srcPlan.output.zip(lr.output))
+        var ok = true
+        val remapped = hp.transformUp {
+          case a: catalyst.expressions.Attribute =>
+            attrMap.getOrElse(a, { ok = false; a })
+        }.asInstanceOf[catalyst.plans.physical.Partitioning]
+        if (!ok) ck
+        else classic.Dataset.ofRows(ds.sparkSession,
+          execution.LogicalRDD(
+            lr.output, lr.rdd, remapped, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(
+            ds.sparkSession, Some(lr.computeStats()), Some(lr.constraints)))
+      case _ => ck
+    }
+  }
+
   /** Force-compile every whole-stage-codegen subtree of `df`'s
     * executed plan, returning the compile-error messages (empty =
     * everything stays compiled). Production Spark falls back to
